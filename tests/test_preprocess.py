@@ -1,0 +1,71 @@
+"""Preprocessing parity helpers (``toolbox/imtools.py``, CLI pipelines)."""
+
+import numpy as np
+
+from unmicst_tpu.io import preprocess as pp
+
+
+def test_im2double():
+    assert pp.im2double(np.array([65535], np.uint16))[0] == 1.0
+    assert pp.im2double(np.array([255], np.uint8))[0] == 1.0
+    assert pp.im2double(np.array([0.5], np.float32)).dtype == np.float64
+    x = np.array([1.5], np.float64)
+    assert pp.im2double(x) is x
+
+
+def test_rescale_intensity():
+    x = np.linspace(0, 1, 11)
+    y = pp.rescale_intensity(x, (0, 1), (0, 0.983))
+    np.testing.assert_allclose(y, x * 0.983)
+    # clipping at in_range
+    y = pp.rescale_intensity(x, (0.2, 0.8), (0, 1))
+    assert y[0] == 0 and y[-1] == 1
+    np.testing.assert_allclose(y[5], (0.5 - 0.2) / 0.6)
+
+
+def test_resize_identity_scales_dtype():
+    x = (np.arange(12, dtype=np.uint16).reshape(3, 4) * 1000)
+    y = pp.resize(x, (3, 4))
+    np.testing.assert_allclose(y, x / 65535)
+
+
+def test_resize_up_down(rng):
+    x = rng.rand(40, 60)
+    up = pp.resize(x, (80, 120))
+    assert up.shape == (80, 120)
+    # bilinear upsample preserves range and mean approximately
+    assert abs(up.mean() - x.mean()) < 0.01
+    down = pp.resize(x, (20, 30))
+    assert down.shape == (20, 30)
+    assert abs(down.mean() - x.mean()) < 0.01
+
+
+def test_preprocess_channel_solo_quirk(rng):
+    plane = (rng.rand(50, 60) * 60000).astype(np.uint16)
+    a = pp.preprocess_channel(plane, 1.0, -1, use_rescaled=True)
+    b = pp.preprocess_channel(plane, 1.0, -1, use_rescaled=False)
+    # rescaled version tops out at 0.983 (the magic constant, UnMicst1-5.py:821)
+    np.testing.assert_allclose(a.net_input.max(), 0.983, atol=1e-12)
+    # solo quirk: resized-only plane (im2double of uint16)
+    np.testing.assert_allclose(b.net_input, plane / 65535)
+    assert a.raw_shape == (50, 60)
+
+
+def test_preprocess_outlier_percentile(rng):
+    plane = (rng.rand(100, 100) * 60000).astype(np.uint16)
+    c = pp.preprocess_channel(plane, 1.0, 99.0)
+    assert c.net_input.max() == 0.983  # values above p99 clipped to max
+
+
+def test_float32_cast_to_uint16():
+    plane = np.array([[1000.7, 2.2]], np.float32)
+    c = pp.preprocess_channel(plane, 1.0, -1)
+    # float32 inputs are truncated to uint16 first (UnMicst1-5.py:807-808)
+    assert c.net_input.max() <= 0.983 + 1e-9
+
+
+def test_postprocess_double_quantization():
+    pm = np.full((10, 10), 0.5)
+    out = pp.postprocess_pm(pm, (10, 10))
+    assert out.dtype == np.uint8
+    assert abs(int(out[0, 0]) - 127) <= 1

@@ -1,0 +1,79 @@
+"""TIFF IO: reader vs PIL, writer round trips, append chains, region reads."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import REFERENCE, needs_reference
+from unmicst_tpu.io.tiff import TiffFile, TiffWriter, imread, imwrite, num_pages
+
+
+@needs_reference
+def test_read_fixtures_match_pil():
+    for rel, pages in [
+        ("UNet sample data/registration/105.tif", 1),
+        ("UNet sample data/prob_maps/105_ContoursPM_1.tif", 2),
+        ("UNet sample data/prob_maps/105_NucleiPM_1.tif", 1),
+    ]:
+        path = os.path.join(REFERENCE, rel)
+        assert num_pages(path) == pages
+        for k in range(pages):
+            ours = imread(path, k)
+            im = Image.open(path)
+            im.seek(k)
+            theirs = np.asarray(im)
+            assert ours.shape == theirs.shape
+            assert np.array_equal(ours.astype(np.int64), theirs.astype(np.int64))
+
+
+@pytest.mark.parametrize("bigtiff", [False, True])
+def test_write_append_roundtrip(tmp_path, rng, bigtiff):
+    fn = str(tmp_path / "t.tif")
+    x1 = (rng.rand(700, 530) * 65535).astype(np.uint16)
+    x2 = (rng.rand(700, 530) * 255).astype(np.uint8)
+    x3 = rng.rand(64, 64).astype(np.float32)
+    imwrite(fn, x1, bigtiff=bigtiff, append=False)
+    imwrite(fn, x2, bigtiff=bigtiff, append=True)
+    imwrite(fn, x3, bigtiff=bigtiff, append=True)
+    with TiffFile(fn) as tf:
+        assert len(tf.pages) == 3
+        assert np.array_equal(tf.read_page(0), x1)
+        assert np.array_equal(tf.read_page(1), x2)
+        assert np.allclose(tf.read_page(2), x3)
+    # cross-check with PIL (PIL reads BigTIFF too)
+    im = Image.open(fn)
+    assert np.array_equal(np.asarray(im), x1)
+    im.seek(1)
+    assert np.array_equal(np.asarray(im), x2)
+
+
+def test_region_read(tmp_path, rng):
+    fn = str(tmp_path / "r.tif")
+    x = (rng.rand(1200, 900) * 65535).astype(np.uint16)
+    imwrite(fn, x)
+    with TiffFile(fn) as tf:
+        assert np.array_equal(tf.read_region(0, 100, 250, 64, 80), x[100:164, 250:330])
+        assert np.array_equal(tf.read_region(0, 0, 0, 1200, 900), x)
+        # window clipped at image edge comes back zero-padded
+        w = tf.read_region(0, 1190, 890, 20, 20)
+        assert np.array_equal(w[:10, :10], x[1190:, 890:])
+        assert (w[10:, :] == 0).all() and (w[:, 10:] == 0).all()
+
+
+def test_compressed_read_deflate_lzw(tmp_path, rng):
+    # PIL writes compressed TIFFs; verify our decoder agrees.
+    x = (rng.rand(300, 200) * 255).astype(np.uint8)
+    for codec in ["tiff_deflate", "tiff_lzw", "packbits"]:
+        fn = str(tmp_path / f"{codec}.tif")
+        Image.fromarray(x).save(fn, compression=codec)
+        got = imread(fn)
+        assert np.array_equal(got, x), codec
+
+
+def test_big_endian_input(tmp_path, rng):
+    x = (rng.rand(50, 60) * 65535).astype(">u2")
+    fn = str(tmp_path / "be.tif")
+    Image.fromarray(x.astype("u2")).save(fn)
+    assert np.array_equal(imread(fn), x.astype("u2"))

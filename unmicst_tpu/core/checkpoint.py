@@ -1,0 +1,247 @@
+"""Checkpoint ingestion/serialization: TF1 name mapping + native format.
+
+Maps TF1 tensor-bundle variables (read by :mod:`unmicst_tpu.core.tf1_ckpt`)
+onto the :mod:`unmicst_tpu.core.unet` params pytree.  Variable-name schemas
+verified against the shipped zoo checkpoints (SURVEY #2.5):
+
+Legacy (``UnMicst.py``; e.g. ``models/nucleiDAPI``, 41 vars)::
+
+    downsampling/ld{i}/kernel1 | kernelExtra{j} | shortcutWeights   (1x1)
+    lb/kernel1
+    upsampling/lu{i}/kernel1 | kernel2 | kernel2Extra{j}
+    lt/kernel
+    batch_normalization[_{i}]/{gamma,beta,moving_mean,moving_variance}
+        (flat, creation order == down-layer order, UnMicst.py:99)
+
+v2 (``UnMicst1-5.py`` et al.; e.g. ``models/nucleiDAPI1-5``, 137 vars)::
+
+    downsampling/ld{i}/kernelD{i}
+    ld{i}/shortcutWeights | kernelExtra{j} | batch_normalization/*
+    lb/kernel1 ; conv/*                      (bottom BN, top-level scope)
+    lu{i}/kernelU{i} | kernel2 | kernel2Extra{j} | conv2/*
+    lt/kernel ; batch_normalization/*        (final BN, top-level scope)
+
+Optimizer slot variables (``/Momentum``, ``/Adam``, ``/Adam_1``,
+``optim/beta*_power``) and the global-step scalar are ignored for inference.
+
+The native format is a flax msgpack blob carrying params + hp + variant +
+normalization sidecars in one file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from unmicst_tpu.core.hp import HParams, ModelBundle
+from unmicst_tpu.core.tf1_ckpt import TF1Checkpoint
+from unmicst_tpu.core.unet import Params, get_variant
+
+
+def _bn_group(ck: TF1Checkpoint, scope: str) -> Dict[str, jnp.ndarray]:
+    return {
+        "gamma": jnp.asarray(ck.get_tensor(f"{scope}/gamma")),
+        "beta": jnp.asarray(ck.get_tensor(f"{scope}/beta")),
+        "moving_mean": jnp.asarray(ck.get_tensor(f"{scope}/moving_mean")),
+        "moving_variance": jnp.asarray(ck.get_tensor(f"{scope}/moving_variance")),
+    }
+
+
+def load_tf1_params(prefix: str, hp: HParams, variant: str) -> Params:
+    """Read a TF1 checkpoint into the unet params pytree (with validation)."""
+    ck = TF1Checkpoint(prefix)
+    legacy = get_variant(variant).legacy
+    g = lambda name: jnp.asarray(ck.get_tensor(name))
+    params: Params = {"down": [], "up": []}
+
+    for i in range(hp.n_layers):
+        if legacy:
+            layer = {
+                "kernel1": g(f"downsampling/ld{i}/kernel1"),
+                "extra": [
+                    g(f"downsampling/ld{i}/kernelExtra{j}")
+                    for j in range(hp.n_extra_convs)
+                ],
+                "shortcut": g(f"downsampling/ld{i}/shortcutWeights"),
+                "bn": _bn_group(
+                    ck, "batch_normalization" + (f"_{i}" if i else "")
+                ),
+            }
+        else:
+            layer = {
+                "kernel1": g(f"downsampling/ld{i}/kernelD{i}"),
+                "extra": [
+                    g(f"ld{i}/kernelExtra{j}") for j in range(hp.n_extra_convs)
+                ],
+                "shortcut": g(f"ld{i}/shortcutWeights"),
+                "bn": _bn_group(ck, f"ld{i}/batch_normalization"),
+            }
+        params["down"].append(layer)
+
+    params["bottom"] = {"kernel1": g("lb/kernel1")}
+    if not legacy:
+        params["bottom"]["bn"] = _bn_group(ck, "conv")
+
+    for i in range(hp.n_layers):
+        if legacy:
+            layer = {
+                "kernel1": g(f"upsampling/lu{i}/kernel1"),
+                "kernel2": g(f"upsampling/lu{i}/kernel2"),
+                "extra": [
+                    g(f"upsampling/lu{i}/kernel2Extra{j}")
+                    for j in range(hp.n_extra_convs)
+                ],
+            }
+        else:
+            layer = {
+                "kernel1": g(f"lu{i}/kernelU{i}"),
+                "kernel2": g(f"lu{i}/kernel2"),
+                "extra": [
+                    g(f"lu{i}/kernel2Extra{j}") for j in range(hp.n_extra_convs)
+                ],
+            }
+            layer["bn"] = _bn_group(ck, f"lu{i}/conv2")
+        params["up"].append(layer)
+
+    params["top"] = {"kernel": g("lt/kernel")}
+    if not legacy:
+        params["top"]["bn"] = _bn_group(ck, "batch_normalization")
+
+    _validate_shapes(params, hp)
+    return params
+
+
+def _validate_shapes(params: Params, hp: HParams) -> None:
+    widths = hp.n_out_x
+    ks = hp.ks
+    for i, layer in enumerate(params["down"]):
+        expect = (ks, ks, widths[i], widths[i + 1])
+        got = tuple(layer["kernel1"].shape)
+        if got != expect:
+            raise ValueError(f"down[{i}].kernel1 shape {got} != {expect}")
+    for i, layer in enumerate(params["up"]):
+        expect = (ks, ks, widths[i] + widths[i + 1], widths[i + 1])
+        got = tuple(layer["kernel2"].shape)
+        if got != expect:
+            raise ValueError(f"up[{i}].kernel2 shape {got} != {expect}")
+    tk = tuple(params["top"]["kernel"].shape)
+    if tk != (1, 1, widths[1], hp.n_classes):
+        raise ValueError(f"top.kernel shape {tk}")
+
+
+def _find_ckpt_prefix(model_dir: str) -> Optional[str]:
+    """Locate a restorable tensor bundle in a model dir.
+
+    Prefers ``model.ckpt`` (the reference's fixed name, ``UnMicst.py:490``);
+    falls back to any other ``<prefix>.index`` whose data shards are present
+    (e.g. ``mousenucleiDAPI/nuclei20x2bin1chan`` — that dir's ``model.ckpt``
+    data blob is absent upstream).
+    """
+    candidates = []
+    for f in sorted(os.listdir(model_dir)):
+        if f.endswith(".index"):
+            candidates.append(os.path.join(model_dir, f[: -len(".index")]))
+    candidates.sort(key=lambda p: not p.endswith("model.ckpt"))
+    for prefix in candidates:
+        base = os.path.basename(prefix)
+        if any(
+            f.startswith(base + ".data-") for f in os.listdir(model_dir)
+        ):
+            return prefix
+    return None
+
+
+# ---------------------------------------------------------------------------
+# native format
+# ---------------------------------------------------------------------------
+
+
+def save_native(
+    path: str,
+    params: Params,
+    hp: HParams,
+    variant: str,
+    mean: float,
+    std: float,
+    extra: Optional[dict] = None,
+) -> None:
+    """Serialize params + metadata into one msgpack file."""
+    from flax import serialization
+
+    meta = {
+        "hp": hp.to_ref_dict(),
+        "variant": variant,
+        "mean": mean,
+        "std": std,
+        "format": "unmicst-tpu-v1",
+    }
+    if extra:
+        meta.update(extra)
+    blob = serialization.msgpack_serialize(
+        {
+            "meta_json": json.dumps(meta),
+            "params": _to_numpy(params),
+        }
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_native(path: str) -> Tuple[Params, HParams, str, float, float, dict]:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    meta = json.loads(tree["meta_json"])
+    hp = HParams.from_ref_dict(meta["hp"])
+    params = _listify(tree["params"])
+    return (
+        params,
+        hp,
+        meta["variant"],
+        float(meta["mean"]),
+        float(meta["std"]),
+        meta,
+    )
+
+
+def _to_numpy(tree):
+    if isinstance(tree, dict):
+        return {k: _to_numpy(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return {f"__list_{i}": _to_numpy(v) for i, v in enumerate(tree)}
+    return np.asarray(tree)
+
+
+def _listify(tree):
+    if isinstance(tree, dict):
+        if tree and all(k.startswith("__list_") for k in tree):
+            return [
+                _listify(tree[f"__list_{i}"]) for i in range(len(tree))
+            ]
+        if not tree:
+            return []
+        return {k: _listify(v) for k, v in tree.items()}
+    return jnp.asarray(tree)
+
+
+def load_params_for_bundle(bundle: ModelBundle) -> Params:
+    """Load params for a model dir: native file if present, else TF1 bundle."""
+    if bundle.has_native_ckpt:
+        params, hp, variant, _, _, _ = load_native(bundle.native_ckpt_path)
+        if hp != bundle.hp:
+            raise ValueError("native checkpoint hp mismatch with hp.data")
+        return params
+    prefix = _find_ckpt_prefix(bundle.model_dir)
+    if prefix is None:
+        raise FileNotFoundError(
+            f"no restorable checkpoint in {bundle.model_dir} (the upstream "
+            "repo fetches large blobs from S3 at Docker build, Dockerfile:4-5)"
+        )
+    return load_tf1_params(prefix, bundle.hp, bundle.variant)

@@ -1,0 +1,197 @@
+"""Whole-slide tiled inference — the ``singleImageInference`` successor.
+
+Reference behavior (``UnMicst.py:520-541``, ``UnMicst1-5.py:687-710``):
+tile the image (patch ``imSize``, margin ``imSize//8``), normalize each patch
+by dataset mean/std, run ``batchSize`` patches per ``Session.run``, blend one
+softmax plane with the ramp window, and re-run the whole network once per
+requested class (2-3 full passes per slide, ``UnMicst.py:651-677``).
+
+TPU-first redesign, one jitted call per slide:
+
+* the padded canvas lives in HBM; normalization is fused on device;
+* a ``lax.scan`` walks row-stripes of tiles; each stripe is gathered
+  (unfold), batch-forwarded through the UNet (inner ``lax.map`` chunks keep
+  activation memory bounded), window-weighted and overlap-added (fold) into
+  the output canvas — **all classes in one pass** (the 2-3x per-class
+  redundancy of the reference is eliminated);
+* phantom tiles introduced by stripe padding are masked to zero weight, so
+  results are identical to the exact grid;
+* division by the blend-count and cropping happen on device; a single D2H
+  transfer returns the finished probability maps.
+
+Parity note: the reference accumulates in float16 (``PartitionOfImage.py:
+86-90``); we accumulate in float32, which only reduces blend error.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unmicst_tpu.core import tiler
+from unmicst_tpu.core.hp import HParams, ModelBundle
+from unmicst_tpu.core.unet import Params, apply
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class InferenceEngine:
+    """Compiled whole-image inference for one loaded model.
+
+    ``channel_mode``:
+      * ``'broadcast'`` — one 2D image copied into every net channel
+        (solo/legacy/cyto plumbing, ``UnMicst1-5.py:700-702``)
+      * ``'stack'`` — a [C, H, W] stack feeds the channels directly
+        (duo plumbing, ``UnMicst2.py:679-681``)
+    """
+
+    def __init__(
+        self,
+        hp: HParams,
+        params: Params,
+        variant: str,
+        mean: float,
+        std: float,
+        *,
+        compute_dtype=None,
+        tile_batch: int = 128,
+        accum_dtype=jnp.float32,
+    ):
+        self.hp = hp
+        self.params = params
+        self.variant = variant
+        self.mean = float(mean)
+        self.std = float(std)
+        self.compute_dtype = compute_dtype
+        self.tile_batch = int(tile_batch)
+        self.accum_dtype = accum_dtype
+        self._compiled = {}
+
+    @classmethod
+    def from_bundle(cls, bundle: ModelBundle, params: Params, **kw):
+        return cls(
+            bundle.hp, params, bundle.variant, bundle.mean, bundle.std, **kw
+        )
+
+    # -- jitted core ---------------------------------------------------------
+
+    def _build(self, height: int, width: int):
+        hp = self.hp
+        patch, margin = hp.im_size, hp.margin
+        grid = tiler.make_grid(height, width, patch, margin)
+        sub = grid.sub
+        npc = grid.npc
+        # stripe = R tile-rows, sized so a stripe holds >= one forward batch
+        R = max(1, min(grid.npr, self.tile_batch // max(1, npc)))
+        npr_pad = _round_up(grid.npr, R)
+        n_stripes = npr_pad // R
+        stripe_grid = tiler.make_grid(R * sub, width, patch, margin)
+        tiles_per_stripe = R * npc
+        chunk = min(self.tile_batch, tiles_per_stripe)
+        n_chunks = -(-tiles_per_stripe // chunk)
+        pad_tiles = n_chunks * chunk - tiles_per_stripe
+        canvas_h = npr_pad * sub + 2 * margin  # >= grid.padded_height
+        canvas_w = grid.padded_width
+        n_ch, n_cls = hp.n_channels, hp.n_classes
+        mean, std = self.mean, self.std
+        window = tiler.ramp_window(patch, margin)
+        compute_dtype = self.compute_dtype
+        variant = self.variant
+        accum_dtype = self.accum_dtype
+
+        def forward(params, t):
+            return apply(
+                params, t, hp, variant, compute_dtype=compute_dtype
+            )
+
+        def run(params, canvas):
+            # canvas: (canvas_h, canvas_w, C) raw float32 (zero padded)
+            norm = (canvas - mean) / std
+
+            def stripe_step(out, s):
+                row0 = s * R * sub
+                stripe = jax.lax.dynamic_slice(
+                    norm, (row0, 0, 0), (R * sub + 2 * margin, canvas_w, n_ch)
+                )
+                tiles = tiler.unfold(stripe, stripe_grid)  # (R,npc,P,P,C)
+                flat = tiles.reshape(tiles_per_stripe, patch, patch, n_ch)
+                if pad_tiles:
+                    flat = jnp.pad(flat, ((0, pad_tiles), (0, 0), (0, 0), (0, 0)))
+                chunks = flat.reshape(n_chunks, chunk, patch, patch, n_ch)
+                probs = jax.lax.map(lambda t: forward(params, t), chunks)
+                probs = probs.reshape(-1, patch, patch, n_cls)[:tiles_per_stripe]
+                probs = probs.reshape(R, npc, patch, patch, n_cls)
+                row_ids = s * R + jnp.arange(R)
+                mask = (row_ids < grid.npr).astype(accum_dtype)
+                w = window[None, None, :, :, None] * mask[:, None, None, None, None]
+                strip = tiler.fold(probs.astype(accum_dtype) * w, stripe_grid)
+                cur = jax.lax.dynamic_slice(
+                    out, (row0, 0, 0), (R * sub + 2 * margin, canvas_w, n_cls)
+                )
+                out = jax.lax.dynamic_update_slice(out, cur + strip, (row0, 0, 0))
+                return out, None
+
+            out0 = jnp.zeros((canvas_h, canvas_w, n_cls), accum_dtype)
+            out, _ = jax.lax.scan(stripe_step, out0, jnp.arange(n_stripes))
+            count = tiler.count_map(grid, window.astype(accum_dtype))
+            valid = out[: grid.padded_height] / count[..., None]
+            m = margin
+            return valid[m : m + height, m : m + width].astype(jnp.float32)
+
+        jitted = jax.jit(run, donate_argnums=(1,))
+        return jitted, grid, canvas_h, canvas_w
+
+    def _get(self, height: int, width: int):
+        key = (height, width)
+        if key not in self._compiled:
+            self._compiled[key] = self._build(height, width)
+        return self._compiled[key]
+
+    # -- public API ----------------------------------------------------------
+
+    def make_canvas(
+        self, image: np.ndarray, channel_mode: str = "broadcast"
+    ) -> np.ndarray:
+        """Assemble the zero-padded [H'', W', C] float32 canvas on host."""
+        hp = self.hp
+        if image.ndim == 2:
+            planes = [image] * (hp.n_channels if channel_mode == "broadcast" else 1)
+        elif image.ndim == 3:
+            if channel_mode == "broadcast":
+                if image.shape[0] != 1:
+                    raise ValueError("broadcast mode expects a single plane")
+                planes = [image[0]] * hp.n_channels
+            else:
+                planes = list(image)
+        else:
+            raise ValueError("image must be [H, W] or [C, H, W]")
+        if len(planes) != hp.n_channels:
+            raise ValueError(
+                f"model expects {hp.n_channels} channels, got {len(planes)}"
+            )
+        height, width = planes[0].shape
+        _, grid, canvas_h, canvas_w = self._get(height, width)
+        canvas = np.zeros((canvas_h, canvas_w, hp.n_channels), np.float32)
+        m = grid.margin
+        for c, p in enumerate(planes):
+            canvas[m : m + height, m : m + width, c] = p
+        return canvas
+
+    def infer(
+        self, image: np.ndarray, channel_mode: str = "broadcast"
+    ) -> np.ndarray:
+        """Run tiled inference.  Returns [K, H, W] float32 probability maps."""
+        if image.ndim == 3 and channel_mode == "stack":
+            height, width = image.shape[1:]
+        else:
+            height, width = image.shape[-2:]
+        jitted, _, _, _ = self._get(height, width)
+        canvas = self.make_canvas(image, channel_mode)
+        probs = jitted(self.params, jnp.asarray(canvas))
+        return np.moveaxis(np.asarray(probs), -1, 0)

@@ -1,0 +1,586 @@
+"""Self-contained TIFF reading/writing for whole-slide IO.
+
+The reference delegates TIFF IO to ``tifffile``/``skimage`` (e.g.
+``toolbox/imtools.py:10-14``, ``UnMicst1-5.py:794-797``) and writes uint8
+BigTIFF probability maps with per-page append (``UnMicst1-5.py:834-843``:
+``{'bigtiff': True, 'metadata': None, 'append': True}``).
+
+This module implements that contract natively:
+
+* ``TiffFile`` — a zero-copy-oriented reader for classic and BigTIFF files,
+  II/MM byte orders, strip- or tile-organized pages, uncompressed / Deflate /
+  LZW / PackBits codecs, 8/16/32-bit unsigned and float samples.  Supports
+  whole-page reads and windowed region reads (only the strips/tiles that
+  intersect the window are decoded) — the building block for streaming
+  mega-slide inference without loading the slide into RAM.
+* ``TiffWriter`` — classic/BigTIFF writer with multi-page append semantics
+  matching the CLI output contract (append to an existing file re-chains the
+  IFD linked list).
+* ``imread`` / ``imwrite`` convenience wrappers (PIL fallback on exotic
+  codecs, e.g. old-style JPEG).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# TIFF tag ids used here.
+TAG_IMAGE_WIDTH = 256
+TAG_IMAGE_LENGTH = 257
+TAG_BITS_PER_SAMPLE = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_STRIP_OFFSETS = 273
+TAG_SAMPLES_PER_PIXEL = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_BYTE_COUNTS = 279
+TAG_PLANAR_CONFIG = 284
+TAG_PREDICTOR = 317
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_BYTE_COUNTS = 325
+TAG_SAMPLE_FORMAT = 339
+
+COMPRESSION_NONE = 1
+COMPRESSION_LZW = 5
+COMPRESSION_DEFLATE_ADOBE = 8
+COMPRESSION_DEFLATE = 32946
+COMPRESSION_PACKBITS = 32773
+
+# TIFF field types -> (struct char, size)
+_FIELD_TYPES = {
+    1: ("B", 1),  # BYTE
+    2: ("s", 1),  # ASCII
+    3: ("H", 2),  # SHORT
+    4: ("I", 4),  # LONG
+    5: ("I", 4),  # RATIONAL (two LONGs)
+    6: ("b", 1),
+    7: ("B", 1),
+    8: ("h", 2),
+    9: ("i", 4),
+    10: ("i", 4),  # SRATIONAL (two SLONGs)
+    11: ("f", 4),
+    12: ("d", 8),
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),
+    18: ("Q", 8),  # IFD8
+}
+
+
+def _unpack_lzw(data: bytes) -> bytes:
+    """Decode TIFF-flavor LZW (MSB-first codes, early-change)."""
+    result = bytearray()
+    table: List[bytes] = []
+
+    def reset_table():
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset_table()
+    bitpos = 0
+    nbits = 9
+    prev: Optional[bytes] = None
+    maxlen = len(data) * 8
+    while bitpos + nbits <= maxlen:
+        byte0 = bitpos >> 3
+        chunk = data[byte0 : byte0 + 4]
+        val = int.from_bytes(chunk.ljust(4, b"\0"), "big")
+        code = (val >> (32 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == 256:  # clear
+            reset_table()
+            nbits = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            entry = table[code]
+            result += entry
+            prev = entry
+        else:
+            if code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            result += entry
+            prev = entry
+        # early-change: bump code width one code early (TIFF spec 6.0)
+        if len(table) >= (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+    return bytes(result)
+
+
+def _unpack_packbits(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+    return bytes(out)
+
+
+def _decode(data: bytes, compression: int) -> bytes:
+    if compression == COMPRESSION_NONE:
+        return data
+    if compression in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
+        return zlib.decompress(data)
+    if compression == COMPRESSION_LZW:
+        return _unpack_lzw(data)
+    if compression == COMPRESSION_PACKBITS:
+        return _unpack_packbits(data)
+    raise NotImplementedError(f"TIFF compression {compression} not supported")
+
+
+def _undo_predictor(arr: np.ndarray, predictor: int) -> np.ndarray:
+    if predictor == 2:  # horizontal differencing
+        np.cumsum(arr, axis=-1, dtype=arr.dtype, out=arr)
+    return arr
+
+
+@dataclass
+class TiffPage:
+    width: int
+    height: int
+    bits: int
+    sample_format: int  # 1 uint, 2 int, 3 float
+    samples: int
+    compression: int
+    predictor: int
+    photometric: int
+    planar: int
+    rows_per_strip: int
+    strip_offsets: np.ndarray
+    strip_counts: np.ndarray
+    tile_width: int = 0
+    tile_length: int = 0
+    tile_offsets: Optional[np.ndarray] = None
+    tile_counts: Optional[np.ndarray] = None
+
+    @property
+    def tiled(self) -> bool:
+        return self.tile_offsets is not None
+
+    @property
+    def dtype(self) -> np.dtype:
+        kind = {1: "u", 2: "i", 3: "f"}[self.sample_format]
+        return np.dtype(f"{kind}{self.bits // 8}")
+
+
+class TiffFile:
+    """Minimal random-access TIFF reader (classic + BigTIFF)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = open(path, "rb")
+        header = self._fh.read(16)
+        if header[:2] == b"II":
+            self.byteorder = "<"
+        elif header[:2] == b"MM":
+            self.byteorder = ">"
+        else:
+            raise ValueError(f"{path}: not a TIFF file")
+        magic = struct.unpack(self.byteorder + "H", header[2:4])[0]
+        if magic == 42:
+            self.big = False
+            first_ifd = struct.unpack(self.byteorder + "I", header[4:8])[0]
+        elif magic == 43:
+            self.big = True
+            first_ifd = struct.unpack(self.byteorder + "Q", header[8:16])[0]
+        else:
+            raise ValueError(f"{path}: bad TIFF magic {magic}")
+        self.pages: List[TiffPage] = []
+        self._page_offsets: List[int] = []
+        offset = first_ifd
+        while offset:
+            self._page_offsets.append(offset)
+            page, offset = self._read_ifd(offset)
+            self.pages.append(page)
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    # -- IFD parsing ---------------------------------------------------------
+
+    def _read_ifd(self, offset: int) -> Tuple[TiffPage, int]:
+        bo = self.byteorder
+        fh = self._fh
+        fh.seek(offset)
+        if self.big:
+            (n_entries,) = struct.unpack(bo + "Q", fh.read(8))
+            entry_size, count_fmt, off_fmt = 20, "Q", "Q"
+        else:
+            (n_entries,) = struct.unpack(bo + "H", fh.read(2))
+            entry_size, count_fmt, off_fmt = 12, "I", "I"
+        raw = fh.read(entry_size * n_entries)
+        (next_ifd,) = struct.unpack(bo + off_fmt, fh.read(8 if self.big else 4))
+
+        tags = {}
+        inline_size = 8 if self.big else 4
+        for i in range(n_entries):
+            ent = raw[i * entry_size : (i + 1) * entry_size]
+            tag, ftype = struct.unpack(bo + "HH", ent[:4])
+            (count,) = struct.unpack(bo + count_fmt, ent[4 : 4 + (8 if self.big else 4)])
+            payload = ent[4 + (8 if self.big else 4) :]
+            if ftype not in _FIELD_TYPES:
+                continue
+            ch, sz = _FIELD_TYPES[ftype]
+            total = sz * count * (2 if ftype in (5, 10) else 1)
+            if total <= inline_size:
+                data = payload[:total]
+            else:
+                (ptr,) = struct.unpack(bo + off_fmt, payload[: 8 if self.big else 4])
+                pos = fh.tell()
+                fh.seek(ptr)
+                data = fh.read(total)
+                fh.seek(pos)
+            if ftype == 2:
+                tags[tag] = data.rstrip(b"\0").decode("ascii", "replace")
+            elif ftype in (5, 10):
+                vals = struct.unpack(bo + ch[0] * 2 * count, data)
+                tags[tag] = [
+                    vals[2 * j] / vals[2 * j + 1] if vals[2 * j + 1] else 0
+                    for j in range(count)
+                ]
+            else:
+                tags[tag] = np.frombuffer(
+                    data, dtype=np.dtype(ch).newbyteorder(bo), count=count
+                )
+        def scalar(tag, default=None):
+            v = tags.get(tag)
+            if v is None:
+                return default
+            return int(v[0]) if hasattr(v, "__len__") else int(v)
+
+        width = scalar(TAG_IMAGE_WIDTH)
+        height = scalar(TAG_IMAGE_LENGTH)
+        if width is None or height is None:
+            raise ValueError("TIFF page missing dimensions")
+        bits_tag = tags.get(TAG_BITS_PER_SAMPLE)
+        bits = int(bits_tag[0]) if bits_tag is not None else 1
+        page = TiffPage(
+            width=width,
+            height=height,
+            bits=bits,
+            sample_format=scalar(TAG_SAMPLE_FORMAT, 1),
+            samples=scalar(TAG_SAMPLES_PER_PIXEL, 1),
+            compression=scalar(TAG_COMPRESSION, 1),
+            predictor=scalar(TAG_PREDICTOR, 1),
+            photometric=scalar(TAG_PHOTOMETRIC, 1),
+            planar=scalar(TAG_PLANAR_CONFIG, 1),
+            rows_per_strip=scalar(TAG_ROWS_PER_STRIP, height),
+            strip_offsets=np.atleast_1d(tags.get(TAG_STRIP_OFFSETS, np.array([], np.int64))).astype(np.int64),
+            strip_counts=np.atleast_1d(tags.get(TAG_STRIP_BYTE_COUNTS, np.array([], np.int64))).astype(np.int64),
+        )
+        if TAG_TILE_OFFSETS in tags:
+            page.tile_width = scalar(TAG_TILE_WIDTH)
+            page.tile_length = scalar(TAG_TILE_LENGTH)
+            page.tile_offsets = np.atleast_1d(tags[TAG_TILE_OFFSETS]).astype(np.int64)
+            page.tile_counts = np.atleast_1d(tags[TAG_TILE_BYTE_COUNTS]).astype(np.int64)
+        return page, next_ifd
+
+    # -- decoding ------------------------------------------------------------
+
+    def _decode_segment(self, offset: int, count: int, page: TiffPage) -> bytes:
+        self._fh.seek(offset)
+        return _decode(self._fh.read(count), page.compression)
+
+    def read_page(self, index: int = 0) -> np.ndarray:
+        """Decode a full page to a numpy array (H, W) or (H, W, S)."""
+        page = self.pages[index]
+        if page.planar != 1 and page.samples > 1:
+            raise NotImplementedError("planar TIFF not supported")
+        dtype = page.dtype.newbyteorder(self.byteorder)
+        if page.tiled:
+            return self.read_region(index, 0, 0, page.height, page.width)
+        rows_done = 0
+        out = np.empty((page.height, page.width * page.samples), page.dtype)
+        for off, cnt in zip(page.strip_offsets, page.strip_counts):
+            nrows = min(page.rows_per_strip, page.height - rows_done)
+            buf = self._decode_segment(int(off), int(cnt), page)
+            arr = np.frombuffer(buf, dtype=dtype, count=nrows * page.width * page.samples)
+            arr = arr.reshape(nrows, page.width * page.samples).astype(page.dtype)
+            if page.predictor == 2:
+                _undo_predictor(arr.reshape(nrows, page.width, page.samples), 2)
+            out[rows_done : rows_done + nrows] = arr
+            rows_done += nrows
+        if page.samples > 1:
+            out = out.reshape(page.height, page.width, page.samples)
+        return out
+
+    def read_region(
+        self, index: int, r0: int, c0: int, nrows: int, ncols: int
+    ) -> np.ndarray:
+        """Decode only the strips/tiles intersecting a window.
+
+        This is the streaming primitive: for a 100k x 100k tiled OME-TIFF we
+        touch only the bytes under the requested stripe.
+        """
+        page = self.pages[index]
+        dtype = page.dtype.newbyteorder(self.byteorder)
+        out = np.zeros((nrows, ncols, page.samples), page.dtype)
+        r1, c1 = r0 + nrows, c0 + ncols
+        if page.tiled:
+            tw, th = page.tile_width, page.tile_length
+            tiles_across = (page.width + tw - 1) // tw
+            ti0, ti1 = r0 // th, (min(r1, page.height) + th - 1) // th
+            tj0, tj1 = c0 // tw, (min(c1, page.width) + tw - 1) // tw
+            for ti in range(ti0, ti1):
+                for tj in range(tj0, tj1):
+                    k = ti * tiles_across + tj
+                    buf = self._decode_segment(
+                        int(page.tile_offsets[k]), int(page.tile_counts[k]), page
+                    )
+                    arr = np.frombuffer(buf, dtype=dtype, count=th * tw * page.samples)
+                    arr = arr.reshape(th, tw, page.samples).astype(page.dtype)
+                    if page.predictor == 2:
+                        _undo_predictor(arr, 2)
+                    tr0, tc0 = ti * th, tj * tw
+                    sr0, sr1 = max(r0, tr0), min(r1, tr0 + th, page.height)
+                    sc0, sc1 = max(c0, tc0), min(c1, tc0 + tw, page.width)
+                    out[sr0 - r0 : sr1 - r0, sc0 - c0 : sc1 - c0] = arr[
+                        sr0 - tr0 : sr1 - tr0, sc0 - tc0 : sc1 - tc0
+                    ]
+        else:
+            rps = page.rows_per_strip
+            s0, s1 = r0 // rps, (min(r1, page.height) + rps - 1) // rps
+            for s in range(s0, s1):
+                buf = self._decode_segment(
+                    int(page.strip_offsets[s]), int(page.strip_counts[s]), page
+                )
+                sr0 = s * rps
+                srows = min(rps, page.height - sr0)
+                arr = np.frombuffer(buf, dtype=dtype, count=srows * page.width * page.samples)
+                arr = arr.reshape(srows, page.width, page.samples).astype(page.dtype)
+                if page.predictor == 2:
+                    _undo_predictor(arr, 2)
+                a, b = max(r0, sr0), min(r1, sr0 + srows)
+                cc1 = min(c1, page.width)
+                out[a - r0 : b - r0, : cc1 - c0] = arr[a - sr0 : b - sr0, c0:cc1]
+        if page.samples == 1:
+            out = out[:, :, 0]
+        return out
+
+
+class TiffWriter:
+    """Grayscale multi-page TIFF/BigTIFF writer with append semantics.
+
+    Matches the reference output contract (``UnMicst1-5.py:834-843``):
+    bigtiff, no extra metadata, per-page append.  Little-endian, uncompressed,
+    strip-per-~1MB layout.
+    """
+
+    _MAGIC_CLASSIC = 42
+    _MAGIC_BIG = 43
+
+    def __init__(self, path: str, bigtiff: bool = True, append: bool = False):
+        self.path = path
+        self.big = bigtiff
+        exists = os.path.exists(path) and os.path.getsize(path) > 0
+        if append and exists:
+            # Honor the existing file's format; find the tail of the IFD chain.
+            self._fh = open(path, "r+b")
+            self._parse_existing()
+        else:
+            self._fh = open(path, "w+b")
+            if self.big:
+                self._fh.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0))
+            else:
+                self._fh.write(struct.pack("<2sHI", b"II", 42, 0))
+            # patch target for the first IFD pointer:
+            self._last_ifd_ptr_pos = 8 if self.big else 4
+            self._ptr_fmt = "<Q" if self.big else "<I"
+
+    def _parse_existing(self):
+        fh = self._fh
+        fh.seek(0)
+        header = fh.read(16)
+        if header[:2] != b"II":
+            raise NotImplementedError("append to big-endian TIFF not supported")
+        magic = struct.unpack("<H", header[2:4])[0]
+        self.big = magic == 43
+        self._ptr_fmt = "<Q" if self.big else "<I"
+        ptr_pos = 8 if self.big else 4
+        fh.seek(ptr_pos)
+        (offset,) = struct.unpack(self._ptr_fmt, fh.read(8 if self.big else 4))
+        while offset:
+            fh.seek(offset)
+            if self.big:
+                (n,) = struct.unpack("<Q", fh.read(8))
+                ptr_pos = offset + 8 + 20 * n
+            else:
+                (n,) = struct.unpack("<H", fh.read(2))
+                ptr_pos = offset + 2 + 12 * n
+            fh.seek(ptr_pos)
+            (offset,) = struct.unpack(self._ptr_fmt, fh.read(8 if self.big else 4))
+        self._last_ifd_ptr_pos = ptr_pos
+        fh.seek(0, os.SEEK_END)
+
+    def write(self, image: np.ndarray) -> None:
+        """Append one grayscale page (uint8/uint16/float32)."""
+        image = np.ascontiguousarray(image)
+        if image.ndim != 2:
+            raise ValueError("TiffWriter writes single-sample 2D pages")
+        if image.dtype.byteorder == ">":
+            image = image.astype(image.dtype.newbyteorder("<"))
+        h, w = image.shape
+        itemsize = image.dtype.itemsize
+        sample_format = 3 if image.dtype.kind == "f" else (2 if image.dtype.kind == "i" else 1)
+        rows_per_strip = max(1, min(h, (1 << 20) // max(1, w * itemsize)))
+        n_strips = (h + rows_per_strip - 1) // rows_per_strip
+
+        fh = self._fh
+        fh.seek(0, os.SEEK_END)
+        if fh.tell() % 2:
+            fh.write(b"\0")
+        strip_offsets, strip_counts = [], []
+        for s in range(n_strips):
+            data = image[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
+            strip_offsets.append(fh.tell())
+            strip_counts.append(len(data))
+            fh.write(data)
+
+        # Out-of-line arrays (strip offsets/counts) when they don't fit inline.
+        def maybe_outline(values, fmt_char, inline_slots):
+            nonlocal fh
+            if len(values) <= inline_slots:
+                return None, values
+            if fh.tell() % 2:
+                fh.write(b"\0")
+            pos = fh.tell()
+            fh.write(struct.pack(f"<{len(values)}{fmt_char}", *values))
+            return pos, values
+
+        if self.big:
+            off_type, off_char, inline = 16, "Q", 1
+        else:
+            off_type, off_char, inline = 4, "I", 1
+        so_ptr, _ = maybe_outline(strip_offsets, off_char, inline)
+        sc_ptr, _ = maybe_outline(strip_counts, off_char, inline)
+
+        entries = [
+            (TAG_IMAGE_WIDTH, 4, 1, [w]),
+            (TAG_IMAGE_LENGTH, 4, 1, [h]),
+            (TAG_BITS_PER_SAMPLE, 3, 1, [itemsize * 8]),
+            (TAG_COMPRESSION, 3, 1, [COMPRESSION_NONE]),
+            (TAG_PHOTOMETRIC, 3, 1, [1]),
+            (
+                TAG_STRIP_OFFSETS,
+                off_type,
+                len(strip_offsets),
+                [so_ptr] if so_ptr is not None else strip_offsets,
+            ),
+            (TAG_SAMPLES_PER_PIXEL, 3, 1, [1]),
+            (TAG_ROWS_PER_STRIP, 4, 1, [rows_per_strip]),
+            (
+                TAG_STRIP_BYTE_COUNTS,
+                off_type,
+                len(strip_counts),
+                [sc_ptr] if sc_ptr is not None else strip_counts,
+            ),
+            (TAG_SAMPLE_FORMAT, 3, 1, [sample_format]),
+        ]
+
+        if fh.tell() % 2:
+            fh.write(b"\0")
+        ifd_pos = fh.tell()
+        if self.big:
+            buf = struct.pack("<Q", len(entries))
+            for tag, ftype, count, values in entries:
+                ch, _ = _FIELD_TYPES[ftype]
+                payload = struct.pack(f"<{len(values)}{ch}", *values).ljust(8, b"\0")
+                is_ptr = (
+                    tag in (TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS)
+                    and count > 1
+                )
+                buf += struct.pack("<HHQ", tag, ftype, count) + (
+                    struct.pack("<Q", values[0]) if is_ptr else payload
+                )
+            buf += struct.pack("<Q", 0)
+        else:
+            buf = struct.pack("<H", len(entries))
+            for tag, ftype, count, values in entries:
+                ch, _ = _FIELD_TYPES[ftype]
+                is_ptr = (
+                    tag in (TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS)
+                    and count > 1
+                )
+                payload = struct.pack(f"<{len(values)}{ch}", *values).ljust(4, b"\0")
+                buf += struct.pack("<HHI", tag, ftype, count) + (
+                    struct.pack("<I", values[0]) if is_ptr else payload
+                )
+            buf += struct.pack("<I", 0)
+        fh.write(buf)
+
+        # Re-chain: point the previous IFD (or header) at this new IFD.
+        fh.seek(self._last_ifd_ptr_pos)
+        fh.write(struct.pack(self._ptr_fmt, ifd_pos))
+        # Next-IFD pointer position inside the IFD we just wrote:
+        if self.big:
+            self._last_ifd_ptr_pos = ifd_pos + 8 + 20 * len(entries)
+        else:
+            self._last_ifd_ptr_pos = ifd_pos + 2 + 12 * len(entries)
+        fh.flush()
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def imread(path: str, page: int = 0) -> np.ndarray:
+    """Read one TIFF page; native reader first, PIL fallback for exotic codecs."""
+    try:
+        with TiffFile(path) as tf:
+            arr = tf.read_page(page)
+        # normalize to native byte order
+        if arr.dtype.byteorder not in ("=", "|"):
+            arr = arr.astype(arr.dtype.newbyteorder("="))
+        return arr
+    except (NotImplementedError, ValueError):
+        from PIL import Image
+
+        im = Image.open(path)
+        im.seek(page)
+        return np.asarray(im)
+
+
+def num_pages(path: str) -> int:
+    with TiffFile(path) as tf:
+        return len(tf.pages)
+
+
+def imwrite(
+    path: str, image: np.ndarray, bigtiff: bool = True, append: bool = False
+) -> None:
+    """Write/append one grayscale page (reference contract ``UnMicst1-5.py:852-862``)."""
+    with TiffWriter(path, bigtiff=bigtiff, append=append) as tw:
+        tw.write(image)
