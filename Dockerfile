@@ -1,0 +1,23 @@
+# UnMICST-TPU container (reference packaging parity: Dockerfile:1-6 builds a
+# TF GPU image + pip deps + S3 checkpoint fetch; here the base is a JAX TPU
+# image and the same two v2 checkpoints are fetched for the zoo).
+FROM python:3.12-slim
+
+WORKDIR /app
+COPY pyproject.toml ./
+COPY unmicst_tpu ./unmicst_tpu
+COPY models ./models
+
+RUN pip install --no-cache-dir "jax[tpu]" flax optax numpy scipy pillow \
+    && pip install --no-cache-dir -e .
+
+# Large v2 checkpoint blobs live on S3 upstream (reference Dockerfile:4-5);
+# fail fast if unavailable, exactly like the reference's `curl -f`.
+RUN mkdir -p models/nucleiDAPILAMIN models/nucleiDAPI1-5 \
+    && curl -f -o models/nucleiDAPILAMIN/model.ckpt.data-00000-of-00001 \
+       https://mcmicro.s3.amazonaws.com/models/nucleiDAPILAMIN/model.ckpt.data-00000-of-00001 \
+    && curl -f -o models/nucleiDAPI1-5/model.ckpt.data-00000-of-00001 \
+       https://mcmicro.s3.amazonaws.com/models/nucleiDAPI1-5/model.ckpt.data-00000-of-00001
+
+ENV UNMICST_TPU_MODEL_ROOT=/app/models
+ENTRYPOINT ["unmicst-tpu"]

@@ -1,0 +1,87 @@
+"""Benchmark: tiled UNet whole-slide inference throughput on one TPU chip.
+
+Workload: the flagship legacy ``nucleiDAPI`` model (the zoo checkpoint that
+ships in-repo) over a synthetic uint16 slide, full pipeline per call —
+host canvas assembly, H2D, normalize, unfold, batched forward (bf16 MXU
+path), window blend, divide, crop, D2H — all 3 classes in one pass.
+
+Baseline: the reference's execution model (per-class full re-runs, batch-16
+feed-dict steps, fp16 numpy blending) reproduced in torch on CPU — the
+hardware the reference's own CI uses; it publishes no GPU numbers
+(BASELINE.md).  Measured once via ``scripts/baseline_torch.py`` and pinned
+below.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Measured on this host (see BASELINE.md "Measured baselines"):
+# reference-style torch CPU executor, 2048x2048 slide, 2 class passes.
+BASELINE_CPU_MPX_S = float(os.environ.get("UNMICST_BASELINE_MPX_S", "0.121"))
+
+SIZE = int(os.environ.get("BENCH_SIZE", "4096"))
+TILE_BATCH = int(os.environ.get("BENCH_TILE_BATCH", "256"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+
+def main() -> None:
+    import jax
+
+    from unmicst_tpu.core.checkpoint import load_params_for_bundle
+    from unmicst_tpu.core.hp import load_model_dir
+    from unmicst_tpu.infer import InferenceEngine
+
+    import jax.numpy as jnp
+
+    model_dir = os.environ.get(
+        "BENCH_MODEL_DIR", "/root/reference/models/nucleiDAPI"
+    )
+    bundle = load_model_dir(model_dir)
+    params = load_params_for_bundle(bundle)
+    engine = InferenceEngine.from_bundle(
+        bundle, params, compute_dtype=jnp.bfloat16, tile_batch=TILE_BATCH
+    )
+
+    rng = np.random.RandomState(0)
+    # synthetic uint16 slide (random texture; defeats constant folding)
+    slide = (rng.rand(SIZE, SIZE) * 60000).astype(np.uint16)
+
+    # warmup / compile; full raw-slide path (device preprocess + uint8 out)
+    maps = engine.infer_slide(slide)
+    assert maps.shape == (bundle.hp.n_classes, SIZE, SIZE)
+    assert maps.dtype == np.uint8
+
+    best = np.inf
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        maps = engine.infer_slide(slide)
+        best = min(best, time.perf_counter() - t0)
+
+    mpx_s = SIZE * SIZE / 1e6 / best
+    result = {
+        "metric": "tiled_unet_inference_throughput",
+        "value": round(mpx_s, 2),
+        "unit": "Mpx/s/chip",
+        "vs_baseline": round(mpx_s / BASELINE_CPU_MPX_S, 2),
+        "detail": {
+            "model": os.path.basename(model_dir),
+            "slide": f"{SIZE}x{SIZE}",
+            "classes_per_pass": int(bundle.hp.n_classes),
+            "wall_s": round(best, 3),
+            "device": str(jax.devices()[0]),
+            "precision": "bfloat16 compute, f32 accumulate",
+            "baseline": "reference-style torch CPU executor "
+            f"({BASELINE_CPU_MPX_S} Mpx/s, per-class re-runs)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

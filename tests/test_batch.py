@@ -1,0 +1,96 @@
+"""Batch sweep: discovery globs, resume cursor, shard split, deploy."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE, needs_reference
+from unmicst_tpu import batch
+from unmicst_tpu.io.tiff import imread, imwrite, num_pages
+
+
+def _make_tree(tmp_path, tma=False):
+    slides = []
+    for name in ["exemplar-001", "exemplar-002"]:
+        sub = "dearray" if tma else "registration"
+        d = tmp_path / name / sub
+        d.mkdir(parents=True)
+        fname = "core1.tif" if tma else "slide.ome.tif"
+        img = (np.random.RandomState(len(slides)).rand(96, 80) * 60000).astype(
+            np.uint16
+        )
+        imwrite(str(d / fname), img, bigtiff=False)
+        if tma:
+            imwrite(str(d / "TMA_MAP.tif"), img, bigtiff=False)  # excluded
+        slides.append(str(d / fname))
+    (tmp_path / "not-a-sample").mkdir()
+    return slides
+
+
+def test_discovery_registration(tmp_path):
+    slides = _make_tree(tmp_path)
+    assert batch.discover_slides(str(tmp_path)) == slides
+
+
+def test_discovery_tma_excludes_map(tmp_path):
+    slides = _make_tree(tmp_path, tma=True)
+    found = batch.discover_slides(str(tmp_path), tma=True)
+    assert found == slides
+    assert not any("TMA_MAP" in s for s in found)
+
+
+@needs_reference
+def test_sweep_resume_and_outputs(tmp_path):
+    slides = _make_tree(tmp_path)
+    model_dir = os.path.join(REFERENCE, "models/nucleiDAPI")
+    rep = batch.run_sweep(slides, model_dir, verbose=False)
+    assert rep.completed == slides and not rep.failed
+    for s in slides:
+        out = os.path.join(os.path.dirname(os.path.dirname(s)), "prob_maps")
+        assert num_pages(os.path.join(out, "slide_ContoursPM_1.tif")) == 1
+        assert os.path.exists(os.path.join(out, "slide_NucleiPM_1.tif"))
+    # resume: nothing re-runs
+    rep2 = batch.run_sweep(slides, model_dir, verbose=False)
+    assert rep2.skipped == slides and not rep2.completed
+
+
+@needs_reference
+def test_sweep_sharding(tmp_path):
+    slides = _make_tree(tmp_path)
+    model_dir = os.path.join(REFERENCE, "models/nucleiDAPI")
+    r0 = batch.run_sweep(
+        slides, model_dir, shard_index=0, num_shards=2, verbose=False
+    )
+    r1 = batch.run_sweep(
+        slides, model_dir, shard_index=1, num_shards=2, verbose=False
+    )
+    assert sorted(r0.completed + r1.completed) == sorted(slides)
+    assert len(r0.completed) == len(r1.completed) == 1
+
+
+@needs_reference
+def test_sweep_records_failures(tmp_path):
+    d = tmp_path / "exemplar-001" / "registration"
+    d.mkdir(parents=True)
+    bad = d / "bad.ome.tif"
+    bad.write_bytes(b"not a tiff at all")
+    model_dir = os.path.join(REFERENCE, "models/nucleiDAPI")
+    rep = batch.run_sweep([str(bad)], model_dir, verbose=False)
+    assert rep.failed == [str(bad)] and not rep.completed
+
+
+@needs_reference
+def test_deploy_folder(tmp_path):
+    im_dir = tmp_path / "corpus"
+    im_dir.mkdir()
+    for i in range(3):
+        img = (np.random.RandomState(i).rand(128, 128) * 60000).astype(np.uint16)
+        imwrite(str(im_dir / f"I{i:05d}_Img.tif"), img, bigtiff=False)
+    pm_dir = tmp_path / "pm"
+    batch.deploy_folder(
+        str(im_dir), 3, os.path.join(REFERENCE, "models/nucleiDAPI"), str(pm_dir)
+    )
+    for i in range(1, 4):
+        assert (pm_dir / f"I{i:05d}_Im.png").exists()
+        assert (pm_dir / f"I{i:05d}_PM.png").exists()

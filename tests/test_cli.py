@@ -1,0 +1,92 @@
+"""CLI surface: flag parsing, stem parsing, output file contract."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE, needs_reference
+from unmicst_tpu import cli
+from unmicst_tpu.io.tiff import imread, imwrite, num_pages
+
+
+def test_parser_wrapper_surface():
+    p = cli.build_parser()
+    args = p.parse_args(
+        ["img.ome.tif", "--tool", "unmicst-duo", "--channel", "2", "3",
+         "--classOrder", "1", "2", "3", "--stackOutput", "--GPU", "1"]
+    )
+    assert args.channel == [2, 3]
+    assert args.classOrder == [1, 2, 3]
+    assert args.stackOutput
+
+
+@pytest.mark.parametrize(
+    "tool,fname,stem,ftype",
+    [
+        ("unmicst-solo", "a.ome.tif", "a", "ome.tif"),
+        ("unmicst-solo", "a.b.ome.tiff", "a.b", "ome.tiff"),
+        ("unmicst-solo", "x.tif", "x", "tif"),
+        # legacy/duo split at the FIRST dot (UnMicst.py:603-605)
+        ("unmicst-legacy", "a.b.tif", "a", "b.tif"),
+        ("UnMicstCyto2", "x.ome.tif", "x", "ome.tif"),
+    ],
+)
+def test_stem_parsing(tool, fname, stem, ftype):
+    got_stem, got_type = cli.parse_stem(fname, tool)
+    assert (got_stem, got_type) == (stem, ftype)
+
+
+def test_solo_stem_requires_extension():
+    with pytest.raises(ValueError):
+        cli.parse_stem("noextension", "unmicst-solo")
+
+
+def test_resolve_model_dir_missing(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        cli.resolve_model_dir("nope", str(tmp_path))
+
+
+@needs_reference
+def test_cli_end_to_end_legacy(tmp_path, rng):
+    """Full CLI run on a small crop: output naming + page contract."""
+    # build an input in a nested dir (outputPath defaults to ../probability_maps)
+    img_dir = tmp_path / "sample" / "registration"
+    img_dir.mkdir(parents=True)
+    crop = imread(
+        os.path.join(REFERENCE, "UNet sample data/registration/105.tif")
+    )[:192, :160]
+    imwrite(str(img_dir / "crop.tif"), crop, bigtiff=False)
+
+    out = tmp_path / "out"
+    rc = cli.main(
+        [str(img_dir / "crop.tif"), "--tool", "unmicst-legacy",
+         "--outputPath", str(out), "--stackOutput", "--stats"]
+    )
+    assert rc == 0
+    prob = out / "crop_Probabilities_1.tif"
+    prev = out / "qc" / "crop_Preview_1.tif"
+    assert prob.exists() and prev.exists()
+    assert num_pages(str(prob)) == 3
+    assert num_pages(str(prev)) == 2
+    pages = [imread(str(prob), k) for k in range(3)]
+    assert all(p.shape == crop.shape and p.dtype == np.uint8 for p in pages)
+    # reversed class order: page0=nuclei(cls2), page2=background(cls0);
+    # probabilities sum to ~255 per pixel
+    total = sum(p.astype(int) for p in pages)
+    assert np.abs(total - 255).max() <= 3
+
+    # non-stack mode
+    out2 = tmp_path / "out2"
+    rc = cli.main(
+        [str(img_dir / "crop.tif"), "--tool", "unmicst-legacy",
+         "--outputPath", str(out2)]
+    )
+    assert rc == 0
+    assert num_pages(str(out2 / "crop_ContoursPM_1.tif")) == 2
+    assert num_pages(str(out2 / "crop_NucleiPM_1.tif")) == 1
+    # contours plane identical across modes
+    np.testing.assert_array_equal(
+        imread(str(out2 / "crop_ContoursPM_1.tif"), 0),
+        pages[1],
+    )

@@ -1,0 +1,206 @@
+"""Batch slide sweeps — the ``batchUnMicst.py`` successor, resumable + shardable.
+
+Reference behavior (``batchUnMicst.py:533-588``): set up the model once,
+glob ``<root>/exemplar*``, per sample take ``dearray/*.tif`` minus
+``TMA_MAP.tif`` (``--TMA``) or ``registration/*ome.tif``, run per-class
+inference, write ``prob_maps/<stem>_{ContoursPM,NucleiPM}_<chan+1>.tif``.
+(The lab-path variants ``batchUNet2DtCycif.py:507-553`` /
+``batchUNet2DTMACycif.py:507-594`` are the same loop with hard-coded roots.)
+
+TPU rebuild additions (SURVEY #5 failure-detection row):
+
+* one engine, one compile, all slides; all classes in one pass;
+* a JSON cursor file per output dir makes sweeps resumable after
+  preemption (slides already finished are skipped);
+* multi-host sharding: with ``shard_index/num_shards`` each process takes
+  every N-th slide — the work-queue analogue of slide-level DP over DCN;
+* per-slide failures are recorded and skipped, not fatal (the reference
+  aborts the whole sweep).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import os
+import time
+import traceback
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclass
+class BatchReport:
+    completed: List[str] = field(default_factory=list)
+    skipped: List[str] = field(default_factory=list)
+    failed: List[str] = field(default_factory=list)
+    mpx_total: float = 0.0
+    wall_s: float = 0.0
+
+
+def discover_slides(
+    root: str, tma: bool = False, sample_glob: str = "exemplar*"
+) -> List[str]:
+    """Slide discovery (``batchUnMicst.py:548-556``)."""
+    slides: List[str] = []
+    for sample in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        if not fnmatch.fnmatch(sample, sample_glob):
+            continue
+        sample_dir = os.path.join(root, sample)
+        if tma:
+            sub = os.path.join(sample_dir, "dearray")
+            if os.path.isdir(sub):
+                for f in sorted(os.listdir(sub)):
+                    # TMA_MAP exclusion: batchUnMicst.py:553
+                    if f.endswith(".tif") and f != "TMA_MAP.tif":
+                        slides.append(os.path.join(sub, f))
+        else:
+            sub = os.path.join(sample_dir, "registration")
+            if os.path.isdir(sub):
+                for f in sorted(os.listdir(sub)):
+                    if f.endswith("ome.tif"):
+                        slides.append(os.path.join(sub, f))
+    return slides
+
+
+def _cursor_path(out_dir: str) -> str:
+    return os.path.join(out_dir, ".unmicst-tpu-cursor.json")
+
+
+def _load_cursor(out_dir: str) -> dict:
+    try:
+        with open(_cursor_path(out_dir)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"done": []}
+
+
+def _save_cursor(out_dir: str, cursor: dict) -> None:
+    tmp = _cursor_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cursor, f)
+    os.replace(tmp, _cursor_path(out_dir))
+
+
+def run_sweep(
+    slides: List[str],
+    model_dir: str,
+    out_dir: Optional[str] = None,
+    *,
+    channel: int = 0,
+    scaling_factor: float = 1.0,
+    outlier: float = -1,
+    mean: float = -1,
+    std: float = -1,
+    compute_dtype=None,
+    tile_batch: int = 256,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    resume: bool = True,
+    verbose: bool = True,
+) -> BatchReport:
+    """Run the sweep over this shard's slides; resumable via cursor file."""
+    import jax.numpy as jnp
+
+    from unmicst_tpu.core.checkpoint import load_params_for_bundle
+    from unmicst_tpu.core.hp import load_model_dir
+    from unmicst_tpu.infer import InferenceEngine
+    from unmicst_tpu.io import preprocess as pp
+    from unmicst_tpu.io.tiff import imread, imwrite
+
+    bundle = load_model_dir(model_dir, mean, std)
+    params = load_params_for_bundle(bundle)
+    engine = InferenceEngine.from_bundle(
+        bundle, params, compute_dtype=compute_dtype, tile_batch=tile_batch
+    )
+
+    report = BatchReport()
+    t_start = time.perf_counter()
+    my_slides = slides[shard_index::num_shards]
+    for slide in my_slides:
+        slide_dir = os.path.dirname(slide)
+        this_out = out_dir or os.path.join(os.path.dirname(slide_dir), "prob_maps")
+        os.makedirs(this_out, exist_ok=True)
+        cursor = _load_cursor(this_out) if resume else {"done": []}
+        if slide in cursor["done"]:
+            report.skipped.append(slide)
+            continue
+        stem = os.path.basename(slide).split(os.extsep, 1)[0]
+        try:
+            raw = imread(slide, channel)
+            pc = pp.preprocess_channel(raw, scaling_factor, outlier)
+            t0 = time.perf_counter()
+            probs = engine.infer(pc.net_input.astype(np.float32))
+            dt = time.perf_counter() - t0
+            # batch walker output contract (batchUnMicst.py:570-587)
+            contours = pp.postprocess_pm(probs[1], pc.raw_shape)
+            imwrite(
+                os.path.join(this_out, f"{stem}_ContoursPM_{channel + 1}.tif"),
+                contours,
+            )
+            nuclei = pp.postprocess_pm(probs[2], pc.raw_shape)
+            imwrite(
+                os.path.join(this_out, f"{stem}_NucleiPM_{channel + 1}.tif"),
+                nuclei,
+            )
+            mpx = raw.shape[0] * raw.shape[1] / 1e6
+            report.mpx_total += mpx
+            report.completed.append(slide)
+            cursor["done"].append(slide)
+            _save_cursor(this_out, cursor)
+            if verbose:
+                print(f"[sweep] {slide}: {mpx:.1f} Mpx in {dt:.2f}s")
+        except Exception:
+            report.failed.append(slide)
+            if verbose:
+                print(f"[sweep] FAILED {slide}\n{traceback.format_exc()}")
+    report.wall_s = time.perf_counter() - t_start
+    return report
+
+
+def deploy_folder(
+    im_path: str,
+    n_images: int,
+    model_dir: str,
+    pm_path: str,
+    pm_index: int = 1,
+    mean: float = -1,
+    std: float = -1,
+) -> None:
+    """``UNet2D.deploy`` equivalent (``UnMicst.py:417-487``): run the net on
+    ``I%05d_Img.tif`` crops and write ``I%05d_{Im,PM}.png`` pairs."""
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from unmicst_tpu.core import unet
+    from unmicst_tpu.core.checkpoint import load_params_for_bundle
+    from unmicst_tpu.core.hp import load_model_dir
+    from unmicst_tpu.io import preprocess as pp
+    from unmicst_tpu.io.tiff import imread
+
+    bundle = load_model_dir(model_dir, mean, std)
+    params = load_params_for_bundle(bundle)
+    hp = bundle.hp
+    os.makedirs(pm_path, exist_ok=True)
+    import jax
+
+    fwd = jax.jit(
+        lambda p, x: unet.apply(p, x, hp, bundle.variant)
+    )
+    for i in range(n_images):
+        im = pp.im2double(imread(os.path.join(im_path, f"I{i:05d}_Img.tif")))
+        x = ((im - bundle.mean) / bundle.std).astype(np.float32)
+        x = np.broadcast_to(
+            x[None, :, :, None], (1,) + x.shape + (hp.n_channels,)
+        )
+        probs = np.asarray(fwd(params, jnp.asarray(x)))[0]
+        norm = (im - im.min()) / max(im.max() - im.min(), 1e-12)
+        Image.fromarray(np.uint8(255 * np.sqrt(norm))).save(
+            os.path.join(pm_path, f"I{i + 1:05d}_Im.png")
+        )
+        Image.fromarray(np.uint8(255 * probs[..., pm_index])).save(
+            os.path.join(pm_path, f"I{i + 1:05d}_PM.png")
+        )

@@ -1,0 +1,268 @@
+"""Unified CLI — the ``unmicstWrapper.py`` surface without the exec hop.
+
+The reference dispatches via ``os.execvp`` to four near-identical scripts
+(``unmicstWrapper.py:40-90``); here every tool is a code path over the same
+engine, and inference runs **once** for all classes (the reference re-runs
+the full network per output class, ``UnMicst.py:651-677``).
+
+Flag surface (1-based channels/GPU exactly like the wrapper,
+``unmicstWrapper.py:6-22``)::
+
+    unmicst-tpu IMAGE --tool {unmicst-solo,unmicst-duo,unmicst-legacy,
+                              UnMicstCyto2}
+        --model M --outputPath P --channel N [N2] --classOrder A B C
+        --mean F --std F --scalingFactor F --stackOutput --GPU N
+        --outlier F --verbose
+
+Framework additions: ``--modelRoot`` (zoo location), ``--precision``
+(float32 parity | bfloat16 TPU fast path), ``--tileBatch``, ``--stats``.
+
+Output contract parity (verified against the reference sources):
+
+* solo/duo/legacy: ``<stem>_Probabilities_<chan+1>.tif`` (reversed
+  classOrder pages) + ``qc/<stem>_Preview_<chan+1>.tif``; without
+  ``--stackOutput``: ``<stem>_ContoursPM_<chan+1>.tif`` (2 pages: PM, raw)
+  and ``<stem>_NucleiPM_<chan+1>.tif`` (``UnMicst1-5.py:845-875``)
+* Cyto2 deviates: 0-based channel suffix, Preview beside the maps (not
+  under ``qc/``) (``UnMicstCyto2.py`` output block)
+* legacy/duo/cyto2 parse the file stem at the first dot
+  (``fileName.split(os.extsep, 1)``, ``UnMicst.py:603``); solo handles
+  ``.ome`` stems properly (``UnMicst1-5.py:783-792``)
+* the v2 solo tool feeds the resized-but-not-rescaled image to the network
+  (``UnMicst1-5.py:815-816,848``); the others feed the rescaled image
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+DEFAULT_MODEL_ROOTS = [
+    os.environ.get("UNMICST_TPU_MODEL_ROOT", ""),
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "models"),
+    "/root/reference/models",
+]
+
+TOOL_DEFAULT_MODEL = {
+    "unmicst-legacy": "nucleiDAPI",  # UnMicst.py:547
+    "unmicst-solo": "nucleiDAPI1-5",  # UnMicst1-5.py:716
+    "unmicst-duo": "nucleiDAPILAMIN",  # UnMicst2.py:695
+    "UnMicstCyto2": "nucleiDAPI",  # UnMicstCyto2.py:695
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="unmicst-tpu",
+        description="TPU-native UnMICST: probability maps for cell segmentation",
+    )
+    p.add_argument("imagePath", help="path to the image (.tif/.ome.tif/.btf)")
+    p.add_argument("--tool", default="unmicst-solo", choices=list(TOOL_DEFAULT_MODEL))
+    p.add_argument("--model", help="model directory name (or absolute path)")
+    p.add_argument("--outputPath", help="output path of probability map")
+    p.add_argument(
+        "--channel", nargs="+", type=int, default=[1],
+        help="channel(s) to perform inference on, 1-based",
+    )
+    p.add_argument(
+        "--classOrder", nargs="+", type=int, default=-1,
+        help="background, contours, foreground (1-based)",
+    )
+    p.add_argument("--mean", type=float, default=-1)
+    p.add_argument("--std", type=float, default=-1)
+    p.add_argument("--scalingFactor", type=float, default=1)
+    p.add_argument("--stackOutput", action="store_true")
+    p.add_argument("--GPU", type=int, default=0, help="accepted for wrapper compatibility; device selection is automatic on TPU")
+    p.add_argument("--outlier", type=float, default=-1)
+    p.add_argument("--verbose", action="store_true")
+    # framework additions
+    p.add_argument("--modelRoot", help="directory containing model subdirs")
+    p.add_argument(
+        "--precision", choices=["float32", "bfloat16"], default="float32",
+        help="float32 = bit-parity mode; bfloat16 = TPU fast path",
+    )
+    p.add_argument("--tileBatch", type=int, default=128)
+    p.add_argument("--stats", action="store_true", help="print stage timings + Mpx/s")
+    return p
+
+
+def resolve_model_dir(model: str, model_root: Optional[str]) -> str:
+    if os.path.isabs(model) and os.path.isdir(model):
+        return model
+    roots = [model_root] if model_root else [r for r in DEFAULT_MODEL_ROOTS if r]
+    for root in roots:
+        cand = os.path.join(root, model)
+        if os.path.isdir(cand):
+            return cand
+    raise FileNotFoundError(
+        f"model dir '{model}' not found under {roots}; set --modelRoot"
+    )
+
+
+def parse_stem(file_name: str, tool: str):
+    """Stem/extension parsing, per-tool parity."""
+    if tool == "unmicst-solo":
+        parts = file_name.split(os.extsep)  # UnMicst1-5.py:783-792
+        if len(parts) < 2:
+            raise ValueError("Input filename has no extension")
+        if parts[-2] == "ome":
+            return os.extsep.join(parts[:-2]), os.extsep.join(parts[-2:])
+        return os.extsep.join(parts[:-1]), parts[-1]
+    parts = file_name.split(os.extsep, 1)  # UnMicst.py:603-605
+    return parts[0], parts[1] if len(parts) > 1 else ""
+
+
+def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
+    """Format dispatch (``UnMicst1-5.py:794-806``).  CZI/ND2 need optional
+    readers not bundled here; a clear error replaces the reference's silent
+    NameError on the nd2 path."""
+    from unmicst_tpu.io.tiff import imread
+
+    if file_type in ("ome.tif", "ome.tiff", "btf", "tif", "tiff"):
+        return imread(image_path, channel)
+    if file_type == "czi":
+        try:
+            import czifile  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "czi input requires the optional 'czifile' package"
+            ) from e
+        with czifile.CziFile(image_path) as czi:
+            return czi.asarray()[0, 0, channel, 0, 0, :, :, 0]
+    if file_type == "nd2":
+        try:
+            from nd2reader import ND2Reader  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "nd2 input requires the optional 'nd2reader' package"
+            ) from e
+        with ND2Reader(image_path) as stack:
+            return np.asarray(stack[channel])
+    raise NotImplementedError(
+        f"Don't know how to read image with extension .{file_type}"
+    )
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    t_start = time.perf_counter()
+
+    import jax.numpy as jnp
+
+    from unmicst_tpu.core.checkpoint import load_params_for_bundle
+    from unmicst_tpu.core.hp import load_model_dir
+    from unmicst_tpu.infer import InferenceEngine
+    from unmicst_tpu.io import preprocess as pp
+    from unmicst_tpu.io.tiff import imwrite
+
+    tool = args.tool
+    model_name = args.model or TOOL_DEFAULT_MODEL[tool]
+    model_dir = resolve_model_dir(model_name, args.modelRoot)
+    bundle = load_model_dir(model_dir, args.mean, args.std)
+    hp = bundle.hp
+
+    # wrapper 1-based -> 0-based (unmicstWrapper.py:35-38)
+    channels0 = [c - 1 for c in args.channel]
+    dapi_channel = channels0[0]
+    if args.classOrder == -1:
+        class_order = list(range(hp.n_classes))
+    else:
+        class_order = [c - 1 for c in args.classOrder]
+
+    file_name = os.path.basename(args.imagePath)
+    stem, file_type = parse_stem(file_name, tool)
+    parent = os.path.dirname(os.path.dirname(args.imagePath))
+    out_path = args.outputPath or os.path.join(parent, "probability_maps")
+    os.makedirs(out_path, exist_ok=True)
+    cyto = tool == "UnMicstCyto2"
+    if not cyto:
+        os.makedirs(os.path.join(out_path, "qc"), exist_ok=True)
+
+    # ---- read + preprocess ------------------------------------------------
+    t_read = time.perf_counter()
+    if tool == "unmicst-duo":
+        chans = channels0 if len(channels0) == 2 else [dapi_channel, dapi_channel]
+        planes, raw_norm, raw_shape = [], None, None
+        for c in chans:
+            raw = read_channel(args.imagePath, file_type, c)
+            pc = pp.preprocess_channel(raw, args.scalingFactor, args.outlier)
+            planes.append(pc.net_input)
+            raw_norm, raw_shape = pc.raw_norm, pc.raw_shape  # last channel wins
+            # (duo preview shows the LAST channel read — UnMicst2.py:776,792)
+        net_image = np.stack(planes).astype(np.float32)
+        channel_mode = "stack"
+    else:
+        raw = read_channel(args.imagePath, file_type, dapi_channel)
+        use_rescaled = tool != "unmicst-solo"  # the v2-solo quirk
+        pc = pp.preprocess_channel(
+            raw, args.scalingFactor, args.outlier, use_rescaled=use_rescaled
+        )
+        net_image = pc.net_input.astype(np.float32)
+        raw_norm, raw_shape = pc.raw_norm, pc.raw_shape
+        channel_mode = "broadcast"
+
+    # ---- inference (single pass, all classes) -----------------------------
+    t_pre = time.perf_counter()
+    params = load_params_for_bundle(bundle)
+    compute_dtype = jnp.bfloat16 if args.precision == "bfloat16" else None
+    engine = InferenceEngine.from_bundle(
+        bundle, params, compute_dtype=compute_dtype, tile_batch=args.tileBatch
+    )
+    t_load = time.perf_counter()
+    probs = engine.infer(net_image, channel_mode)
+    t_infer = time.perf_counter()
+
+    # ---- outputs ----------------------------------------------------------
+    chan_suffix = str(dapi_channel if cyto else dapi_channel + 1)
+    qc_dir = out_path if cyto else os.path.join(out_path, "qc")
+
+    def out_file(kind: str) -> str:
+        return os.path.join(out_path, f"{stem}_{kind}_{chan_suffix}.tif")
+
+    if args.stackOutput:
+        prob_file = out_file("Probabilities")
+        preview_file = os.path.join(qc_dir, f"{stem}_Preview_{chan_suffix}.tif")
+        for slice_idx, i_class in enumerate(class_order[::-1]):
+            pm = pp.postprocess_pm(probs[i_class], raw_shape)
+            imwrite(prob_file, pm, bigtiff=True, append=slice_idx > 0)
+            if slice_idx == 1:
+                imwrite(preview_file, pm, bigtiff=True, append=False)
+                imwrite(
+                    preview_file, np.uint8(255 * raw_norm), bigtiff=True, append=True
+                )
+    else:
+        if len(class_order) < 3:
+            raise SystemExit(
+                "non-stack output needs 3 classes (contours+nuclei); this "
+                "model has fewer — use --stackOutput (the reference tool "
+                "crashes with an IndexError here)"
+            )
+        contours = pp.postprocess_pm(probs[class_order[1]], raw_shape)
+        f = out_file("ContoursPM")
+        imwrite(f, contours, bigtiff=True, append=False)
+        imwrite(f, np.uint8(255 * raw_norm), bigtiff=True, append=True)
+        nuclei = pp.postprocess_pm(probs[class_order[2]], raw_shape)
+        imwrite(out_file("NucleiPM"), nuclei, bigtiff=True, append=False)
+    t_write = time.perf_counter()
+
+    if args.stats or args.verbose:
+        h, w = net_image.shape[-2:]
+        mpx = h * w / 1e6
+        infer_s = t_infer - t_load
+        print(
+            f"[unmicst-tpu] read+pre {t_pre - t_read:.2f}s | model load "
+            f"{t_load - t_pre:.2f}s | infer {infer_s:.2f}s "
+            f"({mpx / infer_s:.1f} Mpx/s, all {hp.n_classes} classes) | "
+            f"write {t_write - t_infer:.2f}s | total {t_write - t_start:.2f}s",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -78,11 +78,16 @@ def make_grid(height: int, width: int, patch: int, margin: int) -> TileGrid:
     return TileGrid(height=height, width=width, patch=patch, margin=margin)
 
 
-def ramp_window(patch: int, margin: int, dtype=jnp.float32) -> jnp.ndarray:
+def ramp_window(patch: int, margin: int, dtype=np.float32) -> np.ndarray:
     """The PI2D blend window, bit-for-bit (``PartitionOfImage.py:30-39``).
 
     Zero on the outermost ring, then linear ramp ``i / (2*margin)`` on ring
     ``i`` for ``i in 1..2*margin-1``, ones inside.
+
+    Returns **numpy** deliberately: jitted callers must take it as an
+    argument or embed it as a literal — a device-resident closure constant
+    forces a device->host fetch at lowering time, which is pathologically
+    slow on tunneled TPU runtimes.
     """
     w = np.ones((patch, patch), np.float64)
     w[[0, -1], :] = 0
@@ -93,7 +98,7 @@ def ramp_window(patch: int, margin: int, dtype=jnp.float32) -> jnp.ndarray:
         w[-i - 1, i:-i] = v
         w[i:-i, i] = v
         w[i:-i, -i - 1] = v
-    return jnp.asarray(w, dtype)
+    return np.asarray(w, dtype)
 
 
 def pad_canvas(image: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
@@ -107,22 +112,31 @@ def pad_canvas(image: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
     )
 
 
-def _row_starts(n: int, sub: int, patch: int) -> np.ndarray:
-    idx = np.arange(n)[:, None] * sub + np.arange(patch)[None, :]
-    return idx
+def _unfold_axis(x: jnp.ndarray, n: int, sub: int, patch: int) -> jnp.ndarray:
+    """Split the leading axis into ``n`` overlapping windows of ``patch``.
+
+    ``[n*sub + 2m, ...] -> [n, patch, ...]`` using only reshape + slice +
+    concat (no gather — XLA lowers these to pure data movement on TPU).
+    Requires ``sub >= patch - sub`` (guaranteed by TileGrid).
+    """
+    two_m = patch - sub
+    main = x[: n * sub].reshape((n, sub) + x.shape[1:])
+    # tail window i covers rows [(i+1)*sub, (i+1)*sub + 2m); the shifted view
+    # has (n-1)*sub + 2m rows — pad to n*sub so it reshapes into n chunks
+    shifted = x[sub:]
+    pad = [(0, n * sub - shifted.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    tail = jnp.pad(shifted, pad).reshape((n, sub) + x.shape[1:])[:, :two_m]
+    return jnp.concatenate([main, tail], axis=1)
 
 
 def unfold(padded: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
-    """Gather all tiles: ``[H', W', C] -> [npr, npc, P, P, C]``.
-
-    One XLA gather per axis; rows/cols index maps are compile-time
-    constants.
-    """
-    row_idx = jnp.asarray(_row_starts(grid.npr, grid.sub, grid.patch))
-    col_idx = jnp.asarray(_row_starts(grid.npc, grid.sub, grid.patch))
-    stripes = padded[row_idx]  # (npr, P, W', C)
-    patches = stripes[:, :, col_idx]  # (npr, P, npc, P, C)
-    return jnp.moveaxis(patches, 2, 1)  # (npr, npc, P, P, C)
+    """Extract all tiles: ``[H', W', C] -> [npr, npc, P, P, C]``."""
+    t = _unfold_axis(padded, grid.npr, grid.sub, grid.patch)  # (npr, P, W', C)
+    t = jnp.moveaxis(t, 2, 0)  # (W', npr, P, C)
+    t = _unfold_axis(t, grid.npc, grid.sub, grid.patch)  # (npc, Pc, npr, Pr, C)
+    return jnp.transpose(
+        t, (2, 0, 3, 1) + tuple(range(4, t.ndim))
+    )  # (npr, npc, Pr, Pc, C)
 
 
 def _fold_axis(tiles: jnp.ndarray, sub: int, margin: int) -> jnp.ndarray:

@@ -1,0 +1,134 @@
+"""3D overlap tiling — the ``PI3D`` successor (``PartitionOfImage.py:150-304``).
+
+The reference ships a volumetric analogue of PI2D (cubic ramp window,
+z/r/c tile grid) that no CLI uses; it exists for volumetric models.  Ported
+to the same pure-array design as :mod:`unmicst_tpu.core.tiler`: gather
+unfold + per-axis two-shift overlap-add fold, fully vectorized and
+jit-able.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class TileGrid3D:
+    depth: int  # NZ
+    height: int  # NR
+    width: int  # NC
+    patch: int
+    margin: int
+
+    @property
+    def sub(self) -> int:
+        return self.patch - 2 * self.margin
+
+    @property
+    def npz(self) -> int:
+        return -(-self.depth // self.sub)
+
+    @property
+    def npr(self) -> int:
+        return -(-self.height // self.sub)
+
+    @property
+    def npc(self) -> int:
+        return -(-self.width // self.sub)
+
+    @property
+    def padded(self):
+        m2 = 2 * self.margin
+        return (
+            self.npz * self.sub + m2,
+            self.npr * self.sub + m2,
+            self.npc * self.sub + m2,
+        )
+
+    def __post_init__(self):
+        if self.sub < 2 * self.margin:
+            raise ValueError("3D overlap-add requires sub >= 2*margin")
+
+
+def make_grid3d(depth, height, width, patch, margin) -> TileGrid3D:
+    return TileGrid3D(depth, height, width, patch, margin)
+
+
+def ramp_window3d(patch: int, margin: int, dtype=jnp.float32) -> jnp.ndarray:
+    """The PI3D cubic weight window, bit-for-bit (``:176-186``)."""
+    w = np.ones((patch, patch, patch))
+    w[[0, -1], :, :] = 0
+    w[:, [0, -1], :] = 0
+    w[:, :, [0, -1]] = 0
+    for i in range(1, 2 * margin):
+        v = i / (2 * margin)
+        w[[i, -i - 1], i:-i, i:-i] = v
+        w[i:-i, [i, -i - 1], i:-i] = v
+        w[i:-i, i:-i, [i, -i - 1]] = v
+    return jnp.asarray(w, dtype)
+
+
+def pad_canvas3d(volume: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:
+    pz, pr, pc = grid.padded
+    m = grid.margin
+    pads = [
+        (m, pz - grid.depth - m),
+        (m, pr - grid.height - m),
+        (m, pc - grid.width - m),
+    ] + [(0, 0)] * (volume.ndim - 3)
+    return jnp.pad(volume, pads)
+
+
+def _idx(n: int, sub: int, patch: int) -> jnp.ndarray:
+    return jnp.asarray(np.arange(n)[:, None] * sub + np.arange(patch)[None, :])
+
+
+def unfold3d(padded: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:
+    """[Z', H', W', ...] -> [npz, npr, npc, P, P, P, ...]."""
+    zi = _idx(grid.npz, grid.sub, grid.patch)
+    ri = _idx(grid.npr, grid.sub, grid.patch)
+    ci = _idx(grid.npc, grid.sub, grid.patch)
+    t = padded[zi]  # (npz, P, H', W', ...)
+    t = t[:, :, ri]  # (npz, P, npr, P, W', ...)
+    t = t[:, :, :, :, ci]  # (npz, P, npr, P, npc, P, ...)
+    return jnp.moveaxis(jnp.moveaxis(t, 2, 1), 4, 2)
+
+
+def _fold_axis(tiles: jnp.ndarray, sub: int) -> jnp.ndarray:
+    n, patch = tiles.shape[0], tiles.shape[1]
+    two_m = patch - sub
+    main = tiles[:, :sub]
+    tail = tiles[:, sub:]
+    pad_spec = [(1, 0), (0, sub - two_m)] + [(0, 0)] * (tiles.ndim - 2)
+    add = jnp.pad(tail[:-1], pad_spec)
+    chunks = (main + add).reshape((n * sub,) + tiles.shape[2:])
+    return jnp.concatenate([chunks, tail[-1]], axis=0)
+
+
+def fold3d(tiles: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:
+    """[npz, npr, npc, Pz, Pr, Pc, ...] -> [Z', H', W', ...]."""
+    t = jnp.moveaxis(tiles, 3, 1)  # (npz, Pz, npr, npc, Pr, Pc, ...)
+    t = _fold_axis(t, grid.sub)  # (Z', npr, npc, Pr, Pc, ...)
+    t = jnp.moveaxis(jnp.moveaxis(t, 1, 0), 3, 1)  # (npr, Pr, Z', npc, Pc, ...)
+    t = _fold_axis(t, grid.sub)  # (H', Z', npc, Pc, ...)
+    t = jnp.moveaxis(jnp.moveaxis(t, 2, 0), 3, 1)  # (npc, Pc, H', Z', ...)
+    t = _fold_axis(t, grid.sub)  # (W', H', Z', ...)
+    return jnp.moveaxis(t, (0, 1, 2), (2, 1, 0))  # (Z', H', W', ...)
+
+
+def count_map3d(grid: TileGrid3D, window: jnp.ndarray) -> jnp.ndarray:
+    tiles = jnp.broadcast_to(
+        window[None, None, None],
+        (grid.npz, grid.npr, grid.npc) + window.shape,
+    )
+    return fold3d(tiles, grid)
+
+
+def crop_valid3d(canvas: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:
+    m = grid.margin
+    return canvas[
+        m : m + grid.depth, m : m + grid.height, m : m + grid.width
+    ]

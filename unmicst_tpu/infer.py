@@ -100,7 +100,6 @@ class InferenceEngine:
         canvas_w = grid.padded_width
         n_ch, n_cls = hp.n_channels, hp.n_classes
         mean, std = self.mean, self.std
-        window = tiler.ramp_window(patch, margin)
         compute_dtype = self.compute_dtype
         variant = self.variant
         accum_dtype = self.accum_dtype
@@ -110,16 +109,25 @@ class InferenceEngine:
                 params, t, hp, variant, compute_dtype=compute_dtype
             )
 
-        def run(params, canvas):
-            # canvas: (canvas_h, canvas_w, C) raw float32 (zero padded)
-            norm = (canvas - mean) / std
+        stripe_rows = R * sub + 2 * margin
+        arange_r = np.arange(R)  # numpy: embeds as a literal, never D2H
 
-            def stripe_step(out, s):
-                row0 = s * R * sub
-                stripe = jax.lax.dynamic_slice(
-                    norm, (row0, 0, 0), (R * sub + 2 * margin, canvas_w, n_ch)
-                )
-                tiles = tiler.unfold(stripe, stripe_grid)  # (R,npc,P,P,C)
+        # NOTE: no device-array constants may be captured below — on
+        # tunneled TPU runtimes every captured device array costs a
+        # device->host fetch at lowering time (observed 35s per constant).
+        # The blend window therefore enters as a traced argument and the
+        # count map is computed on-device from it.
+        def run(params, canvas, win):
+            # canvas: (canvas_h, canvas_w, C) raw float32 (zero padded).
+            # Pre-split into overlapping stripes with pure reshapes; the
+            # scan consumes them as xs — no dynamic slicing, no big carried
+            # accumulator, maximum XLA freedom.
+            stripes = tiler._unfold_axis(canvas, n_stripes, R * sub, stripe_rows)
+            win_a = win.astype(accum_dtype)
+
+            def stripe_step(s, stripe):
+                norm = (stripe - mean) / std
+                tiles = tiler.unfold(norm, stripe_grid)  # (R,npc,P,P,C)
                 flat = tiles.reshape(tiles_per_stripe, patch, patch, n_ch)
                 if pad_tiles:
                     flat = jnp.pad(flat, ((0, pad_tiles), (0, 0), (0, 0), (0, 0)))
@@ -127,24 +135,21 @@ class InferenceEngine:
                 probs = jax.lax.map(lambda t: forward(params, t), chunks)
                 probs = probs.reshape(-1, patch, patch, n_cls)[:tiles_per_stripe]
                 probs = probs.reshape(R, npc, patch, patch, n_cls)
-                row_ids = s * R + jnp.arange(R)
+                row_ids = s * R + arange_r
                 mask = (row_ids < grid.npr).astype(accum_dtype)
-                w = window[None, None, :, :, None] * mask[:, None, None, None, None]
+                w = win_a[None, None, :, :, None] * mask[:, None, None, None, None]
                 strip = tiler.fold(probs.astype(accum_dtype) * w, stripe_grid)
-                cur = jax.lax.dynamic_slice(
-                    out, (row0, 0, 0), (R * sub + 2 * margin, canvas_w, n_cls)
-                )
-                out = jax.lax.dynamic_update_slice(out, cur + strip, (row0, 0, 0))
-                return out, None
+                return s + 1, strip
 
-            out0 = jnp.zeros((canvas_h, canvas_w, n_cls), accum_dtype)
-            out, _ = jax.lax.scan(stripe_step, out0, jnp.arange(n_stripes))
-            count = tiler.count_map(grid, window.astype(accum_dtype))
+            _, strips = jax.lax.scan(stripe_step, jnp.int32(0), stripes)
+            # overlap-add the stripe strips (stripe stride = R*sub, overlap 2m)
+            out = tiler._fold_axis(strips, R * sub, margin)
+            count = tiler.count_map(grid, win_a)
             valid = out[: grid.padded_height] / count[..., None]
             m = margin
             return valid[m : m + height, m : m + width].astype(jnp.float32)
 
-        jitted = jax.jit(run, donate_argnums=(1,))
+        jitted = jax.jit(run)
         return jitted, grid, canvas_h, canvas_w
 
     def _get(self, height: int, width: int):
@@ -193,5 +198,69 @@ class InferenceEngine:
             height, width = image.shape[-2:]
         jitted, _, _, _ = self._get(height, width)
         canvas = self.make_canvas(image, channel_mode)
-        probs = jitted(self.params, jnp.asarray(canvas))
+        window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
+        probs = jitted(self.params, jnp.asarray(canvas), jnp.asarray(window))
         return np.moveaxis(np.asarray(probs), -1, 0)
+
+    # -- device-side end-to-end slide path -----------------------------------
+
+    def _build_slide(self, height: int, width: int, in_dtype, outlier: float,
+                     rescale: bool):
+        """Jitted raw-slide pipeline: uint16 in, uint8 maps out.
+
+        Fuses the host preprocessing (``UnMicst1-5.py:817-821``:
+        ``rescale_intensity(in=(min, max|percentile), out=(0, 0.983))`` +
+        ``im2double``) and the output quantization (``uint8(255*pm)``)
+        onto the device, so the host link carries raw pixels in (2 B/px)
+        and uint8 maps out (K B/px) instead of float32 both ways — the
+        dominant cost on PCIe/tunnel-attached hosts.
+        """
+        hp = self.hp
+        grid = tiler.make_grid(height, width, hp.im_size, hp.margin)
+        scale = {np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0}.get(
+            np.dtype(in_dtype), 1.0
+        )
+        core, _, canvas_h, canvas_w = self._get(height, width)
+        n_ch = hp.n_channels
+        m = grid.margin
+
+        def run(params, raw, win):
+            x = raw.astype(jnp.float32) / scale  # im2double
+            if rescale:
+                lo = jnp.min(x)
+                hi = jnp.percentile(x, outlier) if outlier != -1 else jnp.max(x)
+                x = jnp.clip(x, lo, hi)
+                x = (x - lo) / jnp.maximum(hi - lo, 1e-12) * 0.983
+            canvas = jnp.zeros((canvas_h, canvas_w, n_ch), jnp.float32)
+            canvas = jax.lax.dynamic_update_slice(
+                canvas,
+                jnp.broadcast_to(x[:, :, None], (height, width, n_ch)),
+                (m, m, 0),
+            )
+            probs = core(params, canvas, win)  # (H, W, K) f32 — inlined jit
+            return (probs * 255.0).astype(jnp.uint8)
+
+        return jax.jit(run)
+
+    def infer_slide(
+        self,
+        raw: np.ndarray,
+        outlier: float = -1,
+        rescale: bool = True,
+    ) -> np.ndarray:
+        """Raw single-channel slide -> uint8 [K, H, W] probability maps.
+
+        Device-side preprocessing parity with the reference CLI at
+        ``scalingFactor == 1`` (float32 instead of float64 intermediate;
+        observed output difference <= 1 uint8 level).
+        """
+        height, width = raw.shape
+        key = ("slide", height, width, np.dtype(raw.dtype), outlier, rescale)
+        if key not in self._compiled:
+            self._compiled[key] = self._build_slide(
+                height, width, raw.dtype, outlier, rescale
+            )
+        jitted = self._compiled[key]
+        window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
+        out = jitted(self.params, jnp.asarray(raw), jnp.asarray(window))
+        return np.moveaxis(np.asarray(out), -1, 0)

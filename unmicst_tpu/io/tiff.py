@@ -138,14 +138,29 @@ def _unpack_packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode(data: bytes, compression: int) -> bytes:
+def _decode(data: bytes, compression: int, max_out: int = 0) -> bytes:
+    """Decode one strip/tile.  Uses the native C++ codecs
+    (``native/tiffcodec.cpp``, built via ``python native/build.py``) when
+    available; pure-Python fallback otherwise."""
     if compression == COMPRESSION_NONE:
         return data
     if compression in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
         return zlib.decompress(data)
     if compression == COMPRESSION_LZW:
+        if max_out:
+            from unmicst_tpu.io import _native
+
+            out = _native.lzw_decode(data, max_out)
+            if out is not None:
+                return out
         return _unpack_lzw(data)
     if compression == COMPRESSION_PACKBITS:
+        if max_out:
+            from unmicst_tpu.io import _native
+
+            out = _native.packbits_decode(data, max_out)
+            if out is not None:
+                return out
         return _unpack_packbits(data)
     raise NotImplementedError(f"TIFF compression {compression} not supported")
 
@@ -305,9 +320,11 @@ class TiffFile:
 
     # -- decoding ------------------------------------------------------------
 
-    def _decode_segment(self, offset: int, count: int, page: TiffPage) -> bytes:
+    def _decode_segment(
+        self, offset: int, count: int, page: TiffPage, max_out: int = 0
+    ) -> bytes:
         self._fh.seek(offset)
-        return _decode(self._fh.read(count), page.compression)
+        return _decode(self._fh.read(count), page.compression, max_out)
 
     def read_page(self, index: int = 0) -> np.ndarray:
         """Decode a full page to a numpy array (H, W) or (H, W, S)."""
@@ -321,7 +338,8 @@ class TiffFile:
         out = np.empty((page.height, page.width * page.samples), page.dtype)
         for off, cnt in zip(page.strip_offsets, page.strip_counts):
             nrows = min(page.rows_per_strip, page.height - rows_done)
-            buf = self._decode_segment(int(off), int(cnt), page)
+            seg_bytes = nrows * page.width * page.samples * (page.bits // 8)
+            buf = self._decode_segment(int(off), int(cnt), page, seg_bytes)
             arr = np.frombuffer(buf, dtype=dtype, count=nrows * page.width * page.samples)
             arr = arr.reshape(nrows, page.width * page.samples).astype(page.dtype)
             if page.predictor == 2:
@@ -353,7 +371,8 @@ class TiffFile:
                 for tj in range(tj0, tj1):
                     k = ti * tiles_across + tj
                     buf = self._decode_segment(
-                        int(page.tile_offsets[k]), int(page.tile_counts[k]), page
+                        int(page.tile_offsets[k]), int(page.tile_counts[k]),
+                        page, th * tw * page.samples * (page.bits // 8),
                     )
                     arr = np.frombuffer(buf, dtype=dtype, count=th * tw * page.samples)
                     arr = arr.reshape(th, tw, page.samples).astype(page.dtype)
@@ -369,8 +388,11 @@ class TiffFile:
             rps = page.rows_per_strip
             s0, s1 = r0 // rps, (min(r1, page.height) + rps - 1) // rps
             for s in range(s0, s1):
+                sr0_tmp = s * rps
+                srows_tmp = min(rps, page.height - sr0_tmp)
                 buf = self._decode_segment(
-                    int(page.strip_offsets[s]), int(page.strip_counts[s]), page
+                    int(page.strip_offsets[s]), int(page.strip_counts[s]),
+                    page, srows_tmp * page.width * page.samples * (page.bits // 8),
                 )
                 sr0 = s * rps
                 srows = min(rps, page.height - sr0)

@@ -1,0 +1,82 @@
+"""Model zoo registry — manifests for the 7 shipped model directories.
+
+Mirrors the reference ``models/`` inventory (SURVEY #2.4) including where
+the large checkpoint blobs live: two are fetched from S3 at Docker build
+time upstream (``Dockerfile:4-5``); the rest ship in-repo (some with data
+blobs missing upstream, noted below).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+S3_BASE = "https://mcmicro.s3.amazonaws.com/models"
+
+
+@dataclasses.dataclass(frozen=True)
+class ZooEntry:
+    name: str
+    tool: str  # which CLI tool defaults to / uses it
+    variant: str  # architecture generation
+    im_size: int
+    n_classes: int
+    n_channels: int
+    ckpt_url: Optional[str] = None  # S3 blob if not shipped in-repo
+    notes: str = ""
+
+
+ZOO = {
+    "nucleiDAPI": ZooEntry(
+        "nucleiDAPI", "unmicst-legacy", "legacy", 128, 3, 1,
+        notes="default legacy model; checkpoint ships in-repo",
+    ),
+    "nucleiDAPI1-5": ZooEntry(
+        "nucleiDAPI1-5", "unmicst-solo", "v2", 64, 3, 1,
+        ckpt_url=f"{S3_BASE}/nucleiDAPI1-5/model.ckpt.data-00000-of-00001",
+        notes="default solo model; blob fetched from S3 (Dockerfile:5)",
+    ),
+    "nucleiDAPILAMIN": ZooEntry(
+        "nucleiDAPILAMIN", "unmicst-duo", "v2", 128, 3, 2,
+        ckpt_url=f"{S3_BASE}/nucleiDAPILAMIN/model.ckpt.data-00000-of-00001",
+        notes="default duo model; blob fetched from S3 (Dockerfile:4)",
+    ),
+    "CytoplasmIncell2": ZooEntry(
+        "CytoplasmIncell2", "UnMicstCyto2", "v2", 256, 2, 1,
+        notes="data blob missing upstream (.MISSING_LARGE_BLOBS)",
+    ),
+    "CytoplasmIncell": ZooEntry(
+        "CytoplasmIncell", "UnMicstCyto2", "legacy", 128, 2, 1,
+        notes="checkpoint ships in-repo",
+    ),
+    "CytoplasmZeissNikon": ZooEntry(
+        "CytoplasmZeissNikon", "UnMicstCyto2", "legacy", 256, 2, 1,
+        notes="data blob missing upstream",
+    ),
+    "mousenucleiDAPI": ZooEntry(
+        "mousenucleiDAPI", "unmicst-legacy", "legacy", 256, 3, 1,
+        notes="model.ckpt data missing upstream; alternate bundle "
+        "nuclei20x2bin1chan is auto-discovered by the loader",
+    ),
+}
+
+
+def available_models(model_root: str) -> dict:
+    """Which zoo entries are actually loadable under ``model_root``."""
+    from unmicst_tpu.core.checkpoint import _find_ckpt_prefix
+
+    out = {}
+    for name, entry in ZOO.items():
+        d = os.path.join(model_root, name)
+        if not os.path.isdir(d):
+            out[name] = "absent"
+        elif _find_ckpt_prefix(d) or os.path.exists(
+            os.path.join(d, "model.unmicst-tpu.msgpack")
+        ):
+            out[name] = "ready"
+        else:
+            out[name] = "needs-blob" + (
+                f" ({entry.ckpt_url})" if entry.ckpt_url else ""
+            )
+    return out

@@ -1,0 +1,169 @@
+"""Spatially-sharded inference with ICI halo exchange (the CP analogue).
+
+The reference's "long-context" mechanism is overlap-tiling with margin halos
+(SURVEY #2.6, #5): tiles + ``margin`` are its context windows, with zero
+cross-tile dependence.  On a TPU pod the natural scale-out is therefore
+*spatial sharding*: the slide canvas is row-sharded across the ``data`` mesh
+axis, each device runs the tile pipeline on its band, and the two seams that
+need neighbor data — the input halo (2*margin rows of the next band) and the
+output overlap (the fold tail that lands on the next band's head) — travel
+over ICI via ``jax.lax.ppermute``, exactly one hop each.
+
+Everything is expressed with ``shard_map`` so the same code path runs on a
+real pod or on the CPU-simulated 8-device mesh in CI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from unmicst_tpu.core import tiler, unet
+from unmicst_tpu.core.hp import HParams
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def spatial_infer(
+    params,
+    canvas: jnp.ndarray,
+    height: int,
+    width: int,
+    hp: HParams,
+    variant: str,
+    mesh: Mesh,
+    *,
+    mean: float,
+    std: float,
+    axis: str = "data",
+    tile_batch: int = 64,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Row-sharded tiled inference over ``mesh[axis]`` devices.
+
+    ``canvas``: the zero-padded float32 canvas ``[npr_pad*sub + 2m, W', C]``
+    (see :func:`build_canvas`).  Returns ``[H, W, K]`` probability maps
+    (replicated).
+    """
+    n_dev = mesh.shape[axis]
+    patch, margin = hp.im_size, hp.margin
+    grid = tiler.make_grid(height, width, patch, margin)
+    sub = grid.sub
+    two_m = 2 * margin
+    npr_pad = _round_up(grid.npr, n_dev)
+    rows_per_dev = (npr_pad // n_dev) * sub
+    R = npr_pad // n_dev  # tile rows per device
+    band_grid = tiler.make_grid(R * sub, width, patch, margin)
+    npc = grid.npc
+    tiles_per_band = R * npc
+    chunk = min(tile_batch, tiles_per_band)
+    n_chunks = -(-tiles_per_band // chunk)
+    pad_tiles = n_chunks * chunk - tiles_per_band
+    n_ch, n_cls = hp.n_channels, hp.n_classes
+    window = tiler.ramp_window(patch, margin)
+
+    expected_rows = npr_pad * sub + two_m
+    if canvas.shape[0] != expected_rows:
+        raise ValueError(
+            f"canvas has {canvas.shape[0]} rows, expected {expected_rows}"
+        )
+
+    body = canvas[: npr_pad * sub]  # row-shardable part
+    # global tail rows are zero padding by construction (npr_pad*sub >= H+m)
+
+    def forward(t):
+        return unet.apply(params, t, hp, variant, compute_dtype=compute_dtype)
+
+    def band_fn(block):
+        # block: (rows_per_dev, W', C) — this device's band
+        d = jax.lax.axis_index(axis)
+        # --- input halo: first 2m rows of the next band (zeros past the end)
+        head = block[:two_m]
+        halo = jax.lax.ppermute(
+            head, axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        halo = jnp.where(d == n_dev - 1, jnp.zeros_like(halo), halo)
+        stripe = jnp.concatenate([block, halo], axis=0)
+        stripe = (stripe - mean) / std
+
+        # --- local tile pipeline
+        tiles = tiler.unfold(stripe, band_grid)
+        flat = tiles.reshape(tiles_per_band, patch, patch, n_ch)
+        if pad_tiles:
+            flat = jnp.pad(flat, ((0, pad_tiles), (0, 0), (0, 0), (0, 0)))
+        chunks = flat.reshape(n_chunks, chunk, patch, patch, n_ch)
+        probs = jax.lax.map(forward, chunks)
+        probs = probs.reshape(-1, patch, patch, n_cls)[:tiles_per_band]
+        probs = probs.reshape(R, npc, patch, patch, n_cls)
+        row_ids = d * R + jnp.arange(R)
+        mask = (row_ids < grid.npr).astype(jnp.float32)
+        w = window[None, None, :, :, None] * mask[:, None, None, None, None]
+        strip = tiler.fold(probs * w, band_grid)  # (rows_per_dev + 2m, W', K)
+
+        # --- output halo: our fold tail lands on the next band's head
+        tail = strip[rows_per_dev:]
+        recv = jax.lax.ppermute(
+            tail, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        recv = jnp.where(d == 0, jnp.zeros_like(recv), recv)
+        out_block = strip[:rows_per_dev].at[:two_m].add(recv)
+        return out_block, tail
+
+    in_spec = P(axis, None, None)
+    out_block, tails = shard_map(
+        band_fn,
+        mesh=mesh,
+        in_specs=(in_spec,),
+        out_specs=(in_spec, P(axis, None, None)),
+    )(body)
+
+    # reassemble: sharded body + the genuine global tail (last device's)
+    out = jnp.concatenate(
+        [out_block, tails[-two_m:]], axis=0
+    )  # (npr_pad*sub + 2m, W', K)
+    count = tiler.count_map(grid, window)
+    valid = out[: grid.padded_height] / count[..., None]
+    m = margin
+    return valid[m : m + height, m : m + width]
+
+
+def build_canvas(
+    image: np.ndarray,
+    hp: HParams,
+    n_dev: int,
+    channel_mode: str = "broadcast",
+) -> np.ndarray:
+    """Host-side canvas assembly padded for an ``n_dev``-way row shard."""
+    patch, margin = hp.im_size, hp.margin
+    if image.ndim == 2:
+        planes = [image] * (hp.n_channels if channel_mode == "broadcast" else 1)
+    else:
+        planes = [image[0]] * hp.n_channels if channel_mode == "broadcast" else list(image)
+    height, width = planes[0].shape
+    grid = tiler.make_grid(height, width, patch, margin)
+    npr_pad = _round_up(grid.npr, n_dev)
+    rows = npr_pad * grid.sub + 2 * margin
+    canvas = np.zeros((rows, grid.padded_width, hp.n_channels), np.float32)
+    for c, p in enumerate(planes):
+        canvas[margin : margin + height, margin : margin + width, c] = p
+    return canvas
+
+
+def spatial_infer_jit(hp: HParams, variant: str, mesh: Mesh, **kw):
+    """Jitted closure for repeated same-geometry calls."""
+
+    def fn(params, canvas, height, width, mean, std):
+        return spatial_infer(
+            params, canvas, height, width, hp, variant, mesh,
+            mean=mean, std=std, **kw,
+        )
+
+    return fn
