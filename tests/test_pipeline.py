@@ -1,0 +1,79 @@
+"""Streaming engine: stripe independence == whole-image path."""
+
+import jax
+import numpy as np
+import pytest
+
+from unmicst_tpu.core import unet
+from unmicst_tpu.core.hp import HParams
+from unmicst_tpu.infer import InferenceEngine
+from unmicst_tpu.io.tiff import TiffFile, imwrite
+from unmicst_tpu.runtime.pipeline import StreamingEngine
+
+
+@pytest.fixture(scope="module")
+def model():
+    hp = HParams(
+        im_size=32, n_channels=1, n_classes=3, n_out0=6, ks=3,
+        n_extra_convs=0, n_layers=2, batch_size=8, std_dev0=0.5,
+    )
+    # std_dev0 large enough that outputs actually depend on the input
+    params = unet.init_params(jax.random.PRNGKey(11), hp, "legacy")
+    return hp, params
+
+
+@pytest.mark.parametrize("stripe_rows", [1, 2, 5])
+def test_stream_matches_whole(model, rng, stripe_rows):
+    hp, params = model
+    raw = (rng.rand(150, 90) * 60000).astype(np.uint16)
+    whole = InferenceEngine(hp, params, "legacy", 0.3, 0.2).infer_slide(raw)
+    stream = StreamingEngine(
+        hp, params, "legacy", 0.3, 0.2, compute_dtype=None,
+        stripe_tile_rows=stripe_rows,
+    )
+    got = stream.infer(raw)
+    assert got.dtype == np.uint8 and got.shape == whole.shape
+    diff = np.abs(whole.astype(int) - got.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_stream_from_tiff_source(model, rng, tmp_path):
+    hp, params = model
+    raw = (rng.rand(120, 77) * 60000).astype(np.uint16)
+    path = str(tmp_path / "s.tif")
+    imwrite(path, raw, bigtiff=False)
+    stream = StreamingEngine(
+        hp, params, "legacy", 0.3, 0.2, compute_dtype=None, stripe_tile_rows=2
+    )
+    from_array = stream.infer(raw)
+    with TiffFile(path) as tf:
+        from_file = stream.infer((tf, 0))
+    np.testing.assert_array_equal(from_array, from_file)
+
+
+def test_stream_no_rescale_quirk(model, rng):
+    """rescale=False must equal the host im2double-only (solo-quirk) path."""
+    hp, params = model
+    raw = (rng.rand(100, 60) * 60000).astype(np.uint16)
+    eng = InferenceEngine(hp, params, "legacy", 0.3, 0.2)
+    host = eng.infer((raw / 65535.0).astype(np.float32))
+    host_u8 = (host * 255).astype(np.uint8)
+    stream = StreamingEngine(
+        hp, params, "legacy", 0.3, 0.2, compute_dtype=None, stripe_tile_rows=3
+    )
+    got = stream.infer(raw, rescale=False)
+    assert np.abs(host_u8.astype(int) - got.astype(int)).max() <= 1
+
+
+def test_stream_outlier_percentile(model, rng):
+    hp, params = model
+    raw = (rng.rand(100, 60) * 60000).astype(np.uint16)
+    whole = InferenceEngine(hp, params, "legacy", 0.3, 0.2).infer_slide(
+        raw, outlier=99.0
+    )
+    stream = StreamingEngine(
+        hp, params, "legacy", 0.3, 0.2, compute_dtype=None, stripe_tile_rows=2
+    )
+    got = stream.infer(raw, outlier=99.0)
+    assert np.abs(whole.astype(int) - got.astype(int)).max() <= 1

@@ -1,0 +1,292 @@
+"""Streaming whole-slide inference pipeline — host IO overlapped with TPU.
+
+The reference processes slides fully in RAM with a synchronous
+``Session.run`` per 16-32 patches (``UnMicst.py:530-541``).  This engine
+streams arbitrarily tall slides through the chip with bounded memory and
+the host<->device link as the only serialized resource:
+
+* the slide is cut into **independent overlapping mega-stripes** of ``S``
+  tile-rows; a stripe re-computes one boundary tile-row of its predecessor
+  (compute overhead ``1/S``) so that every output row is *finished* by
+  exactly one stripe — no cross-stripe accumulation, no ordering
+  constraints;
+* one jit serves every stripe of a given width (the stripe row-index enters
+  as a traced scalar), so compile cost is independent of slide height;
+* dispatch is asynchronous: stripe ``s+k`` uploads/computes while stripe
+  ``s`` downloads (``k`` = in-flight window), hiding compute and one
+  transfer direction behind the other;
+* per-stripe output is finished uint8 (all classes), so the link carries
+  2 B/px in (uint16) and ``K`` B/px out;
+* input can be a numpy array or a :class:`unmicst_tpu.io.tiff.TiffFile`
+  page (windowed region reads — the slide never fully materializes in
+  host RAM).
+
+Preprocessing parity: ``rescale_intensity(in=(min, max|percentile),
+out=(0, 0.983))`` + ``im2double`` (``UnMicst1-5.py:817-821``) with the
+global statistics computed on host and applied on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unmicst_tpu.core import tiler
+from unmicst_tpu.core.hp import HParams, ModelBundle
+from unmicst_tpu.core.unet import Params, apply
+
+
+@dataclasses.dataclass
+class _StripePlan:
+    height: int
+    width: int
+    S: int  # finished tile-rows per stripe
+    n_stripes: int
+    grid: tiler.TileGrid
+    in_rows: int  # raw input rows fed per stripe
+    band_rows: int  # finished output rows per stripe (S*sub)
+
+
+class StreamingEngine:
+    """Pipelined raw-slide inference: uint16 in, uint8 maps out."""
+
+    def __init__(
+        self,
+        hp: HParams,
+        params: Params,
+        variant: str,
+        mean: float,
+        std: float,
+        *,
+        compute_dtype=jnp.bfloat16,
+        tile_batch: int = 256,
+        stripe_tile_rows: Optional[int] = None,
+        in_flight: int = 4,
+    ):
+        self.hp = hp
+        self.params = params
+        self.variant = variant
+        self.mean = float(mean)
+        self.std = float(std)
+        self.compute_dtype = compute_dtype
+        self.tile_batch = tile_batch
+        self.stripe_tile_rows = stripe_tile_rows
+        self.in_flight = in_flight
+        self._compiled = {}
+
+    @classmethod
+    def from_bundle(cls, bundle: ModelBundle, params: Params, **kw):
+        return cls(
+            bundle.hp, params, bundle.variant, bundle.mean, bundle.std, **kw
+        )
+
+    # -- planning ------------------------------------------------------------
+
+    def _plan(self, height: int, width: int) -> _StripePlan:
+        hp = self.hp
+        grid = tiler.make_grid(height, width, hp.im_size, hp.margin)
+        sub = grid.sub
+        if self.stripe_tile_rows is not None:
+            S = self.stripe_tile_rows
+        else:
+            # aim for >= tile_batch tiles and >= ~1024 rows per stripe
+            S = max(1, self.tile_batch // max(1, grid.npc), -(-1024 // sub))
+        S = min(S, grid.npr)
+        n_stripes = -(-grid.npr // S)
+        # stripe s finishes output band rows [s*S*sub, (s+1)*S*sub) of the
+        # padded canvas, computing tile rows s*S-1 .. (s+1)*S-1 inclusive.
+        in_rows = (S + 1) * sub + 2 * grid.margin
+        return _StripePlan(
+            height=height, width=width, S=S, n_stripes=n_stripes, grid=grid,
+            in_rows=in_rows, band_rows=S * sub,
+        )
+
+    # -- per-stripe jit ------------------------------------------------------
+
+    def _build(self, plan: _StripePlan, in_dtype, rescale: bool):
+        hp = self.hp
+        inv_scale = 1.0 / {
+            np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0
+        }.get(np.dtype(in_dtype), 1.0)
+        patch, margin = hp.im_size, hp.margin
+        grid = plan.grid
+        sub = grid.sub
+        S = plan.S
+        npc = grid.npc
+        rows_tiles = S + 1
+        n_tiles = rows_tiles * npc
+        chunk = min(self.tile_batch, n_tiles)
+        n_chunks = -(-n_tiles // chunk)
+        pad_tiles = n_chunks * chunk - n_tiles
+        n_ch, n_cls = hp.n_channels, hp.n_classes
+        mean, std = self.mean, self.std
+        compute_dtype = self.compute_dtype
+        variant = self.variant
+        band_grid = tiler.make_grid(rows_tiles * sub, plan.width, patch, margin)
+        canvas_w = grid.padded_width
+        arange_rows = np.arange(rows_tiles)
+
+        def forward(params, t):
+            return apply(params, t, hp, variant, compute_dtype=compute_dtype)
+
+        def run(params, raw_stripe, s0, lo, hi, win):
+            # raw_stripe: (in_rows, canvas_w, n_ch) raw dtype, already
+            # laid out in padded-canvas columns (margin offset, zero fill).
+            # s0: first tile row of this stripe minus 1 (may be -1).
+            x = raw_stripe.astype(jnp.float32)
+            if rescale:
+                # lo/hi arrive in raw units; the rescale formula is
+                # affine-invariant so this matches the [0,1]-unit host path
+                x = jnp.clip(x, lo, hi)
+                x = (x - lo) / jnp.maximum(hi - lo, 1e-12) * 0.983
+            else:
+                x = x * inv_scale  # im2double only (the v2-solo quirk)
+            norm = (x - mean) / std
+            tiles = tiler.unfold(norm, band_grid)  # (S+1, npc, P, P, C)
+            flat = tiles.reshape(n_tiles, patch, patch, n_ch)
+            if pad_tiles:
+                flat = jnp.pad(flat, ((0, pad_tiles), (0, 0), (0, 0), (0, 0)))
+            chunks = flat.reshape(n_chunks, chunk, patch, patch, n_ch)
+            probs = jax.lax.map(lambda t: forward(params, t), chunks)
+            probs = probs.reshape(-1, patch, patch, n_cls)[:n_tiles]
+            probs = probs.reshape(rows_tiles, npc, patch, patch, n_cls)
+            row_ids = s0 + arange_rows
+            mask = ((row_ids >= 0) & (row_ids < grid.npr)).astype(jnp.float32)
+            w = win[None, None, :, :, None] * mask[:, None, None, None, None]
+            strip = tiler.fold(probs * w, band_grid)
+            wcount = tiler.fold(
+                jnp.broadcast_to(
+                    w[..., 0], (rows_tiles, npc, patch, patch)
+                ),
+                band_grid,
+            )
+            # finished band = strip rows [sub, sub + S*sub)
+            band = strip[sub : sub + S * sub]
+            cband = wcount[sub : sub + S * sub]
+            pm = band / jnp.maximum(cband[..., None], 1e-12)
+            return (pm * 255.0).astype(jnp.uint8)
+
+        return jax.jit(run)
+
+    def _get(self, plan: _StripePlan, in_dtype, rescale: bool):
+        key = (plan.height, plan.width, plan.S, np.dtype(in_dtype), rescale)
+        if key not in self._compiled:
+            self._compiled[key] = self._build(plan, in_dtype, rescale)
+        return self._compiled[key]
+
+    # -- host-side stripe assembly ------------------------------------------
+
+    def _read_rows(self, source, r0: int, nrows: int) -> np.ndarray:
+        """Rows [r0, r0+nrows) of the raw slide, zero-padded outside."""
+        from unmicst_tpu.io.tiff import TiffFile
+
+        if isinstance(source, np.ndarray):
+            h, w = source.shape
+            out = np.zeros((nrows, w), source.dtype)
+            a, b = max(r0, 0), min(r0 + nrows, h)
+            if b > a:
+                out[a - r0 : b - r0] = source[a:b]
+            return out
+        tf, page = source
+        h, w = tf.pages[page].height, tf.pages[page].width
+        a, b = max(r0, 0), min(r0 + nrows, h)
+        out = np.zeros((nrows, w), tf.pages[page].dtype)
+        if b > a:
+            out[a - r0 : b - r0] = tf.read_region(page, a, 0, b - a, w)
+        return out
+
+    def _stripe_canvas(
+        self, source, plan: _StripePlan, s: int
+    ) -> np.ndarray:
+        grid = plan.grid
+        m = grid.margin
+        sub = grid.sub
+        # stripe computes tile rows sS-1 .. (s+1)S-1; first input padded row
+        # = (sS-1)*sub; raw row = padded row - margin.
+        raw_r0 = (s * plan.S - 1) * sub - m
+        rows = self._read_rows(source, raw_r0, plan.in_rows)
+        canvas = np.zeros(
+            (plan.in_rows, grid.padded_width, self.hp.n_channels), rows.dtype
+        )
+        canvas[:, m : m + plan.width, :] = rows[:, :, None]
+        return canvas
+
+    # -- public API ----------------------------------------------------------
+
+    def global_stats(
+        self, source, outlier: float = -1
+    ) -> Tuple[float, float]:
+        """Host pass for the rescale range (min, max|percentile)."""
+        if isinstance(source, np.ndarray):
+            arr = source
+        else:
+            tf, page = source
+            arr = tf.read_page(page)
+        lo = float(arr.min())
+        hi = (
+            float(np.percentile(arr, outlier))
+            if outlier != -1
+            else float(arr.max())
+        )
+        return lo, hi  # raw units (the device rescale is affine-invariant)
+
+    def infer(
+        self,
+        source: Union[np.ndarray, Tuple],
+        outlier: float = -1,
+        rescale: bool = True,
+        out: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Stream the slide; returns uint8 [K, H, W] (or fills ``out``)."""
+        if isinstance(source, np.ndarray):
+            height, width = source.shape
+        else:
+            tf, page = source
+            height, width = tf.pages[page].height, tf.pages[page].width
+        plan = self._plan(height, width)
+        in_dtype = (
+            source.dtype if isinstance(source, np.ndarray)
+            else source[0].pages[source[1]].dtype
+        )
+        jitted = self._get(plan, in_dtype, rescale)
+        if rescale:
+            lo, hi = self.global_stats(source, outlier)
+        else:
+            lo, hi = 0.0, 1.0
+        win = jnp.asarray(tiler.ramp_window(self.hp.im_size, self.hp.margin))
+        grid = plan.grid
+        m = grid.margin
+        if out is None:
+            out = np.empty((self.hp.n_classes, height, width), np.uint8)
+
+        # async pipeline: keep `in_flight` stripes dispatched ahead
+        pending = []
+        for s in range(plan.n_stripes):
+            canvas = self._stripe_canvas(source, plan, s)
+            dev = jitted(
+                self.params, jnp.asarray(canvas), jnp.int32(s * plan.S - 1),
+                jnp.float32(lo), jnp.float32(hi), win,
+            )
+            pending.append((s, dev))
+            if len(pending) >= self.in_flight:
+                self._drain(pending.pop(0), out, plan, m)
+        while pending:
+            self._drain(pending.pop(0), out, plan, m)
+        return out
+
+    def _drain(self, item, out, plan: _StripePlan, m: int) -> None:
+        s, dev = item
+        band = np.asarray(dev)  # (S*sub, W', K)
+        # padded band rows [s*S*sub, ...); valid output rows are
+        # padded rows [m, m+height)
+        p0 = s * plan.band_rows
+        a = max(p0, m)
+        b = min(p0 + plan.band_rows, m + plan.height)
+        if b <= a:
+            return
+        sl = band[a - p0 : b - p0, m : m + plan.width]
+        out[:, a - m : b - m, :] = np.moveaxis(sl, -1, 0)
