@@ -160,6 +160,60 @@ def run_sweep(
     return report
 
 
+def batch_main(argv=None) -> int:
+    """CLI for sweeps — the ``batchUnMicst.py`` surface, modernized.
+
+    ``unmicst-tpu-batch ROOT --model M [--TMA] [--channel N] ...``
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(prog="unmicst-tpu-batch")
+    p.add_argument("imagePath", help="root containing exemplar*/ sample dirs")
+    p.add_argument("--model", default="nucleiDAPI")
+    p.add_argument("--modelRoot")
+    p.add_argument("--outputPath", help="override per-sample prob_maps dirs")
+    p.add_argument("--TMA", action="store_true", help="dearray/*.tif layout")
+    p.add_argument("--channel", type=int, default=0, help="0-based channel")
+    p.add_argument("--scalingFactor", type=float, default=1)
+    p.add_argument("--outlier", type=float, default=-1)
+    p.add_argument("--mean", type=float, default=-1)
+    p.add_argument("--std", type=float, default=-1)
+    p.add_argument("--shardIndex", type=int, default=0)
+    p.add_argument("--numShards", type=int, default=1)
+    p.add_argument("--noResume", action="store_true")
+    p.add_argument("--precision", choices=["float32", "bfloat16"], default="float32")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from unmicst_tpu.cli import resolve_model_dir
+
+    slides = discover_slides(args.imagePath, tma=args.TMA)
+    if not slides:
+        print(f"no slides found under {args.imagePath}")
+        return 1
+    report = run_sweep(
+        slides,
+        resolve_model_dir(args.model, args.modelRoot),
+        args.outputPath,
+        channel=args.channel,
+        scaling_factor=args.scalingFactor,
+        outlier=args.outlier,
+        mean=args.mean,
+        std=args.std,
+        compute_dtype=jnp.bfloat16 if args.precision == "bfloat16" else None,
+        shard_index=args.shardIndex,
+        num_shards=args.numShards,
+        resume=not args.noResume,
+    )
+    print(
+        f"[sweep] done: {len(report.completed)} completed, "
+        f"{len(report.skipped)} skipped, {len(report.failed)} failed, "
+        f"{report.mpx_total:.1f} Mpx in {report.wall_s:.1f}s"
+    )
+    return 2 if report.failed else 0
+
+
 def deploy_folder(
     im_path: str,
     n_images: int,

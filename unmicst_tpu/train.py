@@ -288,6 +288,7 @@ class Trainer:
         self.eval_step = make_eval_step(hp, cfg)
         self.lowest_error = np.inf
         self.step = 0
+        self.restored = False
         self._metrics_file = None
         if log_path:
             os.makedirs(log_path, exist_ok=True)
@@ -333,6 +334,10 @@ class Trainer:
             )
             vmetrics = self.eval_step(self.params, self._maybe_shard(next(valid_iter)))
             e = float(vmetrics["mean_error"])
+            if i == 0 and self.restored:
+                # restoreVariables semantics: the first validation error of a
+                # resumed run seeds the best-so-far (UnMicst1-5.py:513-517)
+                self.lowest_error = e
             self._log(
                 {
                     "step": self.step,
@@ -375,3 +380,57 @@ class Trainer:
         save_pickle(
             self.cfg.dataset_std, os.path.join(self.model_path, "datasetStDev.data")
         )
+
+    def restore(self, path: Optional[str] = None) -> None:
+        """Resume from a native checkpoint (``restoreVariables`` semantics,
+        ``UnMicst1-5.py:445-447``)."""
+        from unmicst_tpu.core.checkpoint import load_native
+
+        path = path or os.path.join(self.model_path, "model.unmicst-tpu.msgpack")
+        params, hp, variant, _, _, meta = load_native(path)
+        if hp != self.hp or variant != self.cfg.variant:
+            raise ValueError("checkpoint hp/variant mismatch")
+        self.params = params
+        self.opt_state = self.tx.init(self.params)
+        self.step = int(meta.get("step", 0))
+        self.restored = True
+
+
+def render_test_montages(
+    params: Params,
+    hp: HParams,
+    cfg: TrainConfig,
+    corpus: Corpus,
+    pm_path: str,
+    classes: Optional[Dict[str, int]] = None,
+) -> None:
+    """Post-train test rendering (``UnMicst1-5.py:553-579``).
+
+    Writes per-augmentation montage PNGs ``I%05d_%d_{Nuc,Con}.png`` showing
+    ``[sqrt(normalized image) | probability map | ground truth]``.  Legacy
+    naming (`UnMicst.py:400-405`): pass ``classes={'': test_pm_index}``.
+    """
+    from PIL import Image
+
+    if classes is None:
+        classes = {"Nuc": 2, "Con": 1}
+    os.makedirs(pm_path, exist_ok=True)
+    fwd = jax.jit(lambda p, x: unet.apply(p, x, hp, cfg.variant))
+    n_aug = corpus.images.shape[3]
+    for a in range(n_aug):
+        x = corpus.images[:, :, :, a, :]  # (n, S, S, C)
+        probs = np.asarray(fwd(params, jnp.asarray(x)))
+        for i in range(corpus.n):
+            im = x[i, :, :, 0]
+            lo, hi = im.min(), im.max()
+            norm = np.sqrt((im - lo) / (hi - lo)) if hi > lo else im * 0
+            for suffix, cls in classes.items():
+                pm = probs[i, :, :, cls]
+                gt = corpus.labels[i, :, :, cls]
+                montage = np.concatenate([norm, pm, gt], axis=1)
+                name = (
+                    f"I{i + 1:05d}_{a}_{suffix}.png" if suffix else f"I{i + 1:05d}.png"
+                )
+                Image.fromarray(np.uint8(255 * np.clip(montage, 0, 1))).save(
+                    os.path.join(pm_path, name)
+                )
