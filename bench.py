@@ -33,6 +33,10 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 def main() -> None:
     import jax
 
+    from unmicst_tpu.utils.compcache import enable as enable_cache
+
+    enable_cache()
+
     from unmicst_tpu.core.checkpoint import load_params_for_bundle
     from unmicst_tpu.core.hp import load_model_dir
     from unmicst_tpu.infer import InferenceEngine

@@ -1,0 +1,138 @@
+"""CLI end-to-end for duo/cyto2/solo via synthetic native-format model dirs."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from unmicst_tpu import cli
+from unmicst_tpu.core import unet
+from unmicst_tpu.core.checkpoint import save_native
+from unmicst_tpu.core.hp import HParams, save_pickle
+from unmicst_tpu.io.tiff import TiffWriter, imread, num_pages
+
+
+def _make_model_dir(root, name, hp, variant):
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    params = unet.init_params(jax.random.PRNGKey(1), hp, variant)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    save_native(
+        os.path.join(d, "model.unmicst-tpu.msgpack"), params, hp, variant,
+        0.25, 0.18,
+    )
+    save_pickle(hp.to_ref_dict(), os.path.join(d, "hp.data"))
+    save_pickle(0.25, os.path.join(d, "datasetMean.data"))
+    save_pickle(0.18, os.path.join(d, "datasetStDev.data"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def zoo(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("zoo"))
+    _make_model_dir(
+        root, "duoTest",
+        HParams(im_size=32, n_channels=2, n_classes=3, n_out0=4, ks=3, n_layers=2),
+        "duo",
+    )
+    _make_model_dir(
+        root, "cytoTest",
+        HParams(im_size=32, n_channels=1, n_classes=2, n_out0=4, ks=3, n_layers=1),
+        "cyto2",
+    )
+    _make_model_dir(
+        root, "soloTest",
+        HParams(im_size=32, n_channels=1, n_classes=3, n_out0=4, ks=3, n_layers=2),
+        "v2",
+    )
+    return root
+
+
+def _write_stack(path, n_pages, rng, shape=(96, 80)):
+    with TiffWriter(path, bigtiff=False) as tw:
+        for _ in range(n_pages):
+            tw.write((rng.rand(*shape) * 60000).astype(np.uint16))
+
+
+def test_duo_two_channels(zoo, tmp_path, rng):
+    img = tmp_path / "s" / "registration" / "multi.ome.tif"
+    img.parent.mkdir(parents=True)
+    _write_stack(str(img), 3, rng)
+    out = tmp_path / "out"
+    rc = cli.main(
+        [str(img), "--tool", "unmicst-duo", "--model", "duoTest",
+         "--modelRoot", zoo, "--channel", "1", "3",
+         "--outputPath", str(out), "--stackOutput"]
+    )
+    assert rc == 0
+    # duo stem splits at the first dot -> "multi"
+    prob = out / "multi_Probabilities_1.tif"
+    assert num_pages(str(prob)) == 3
+    assert (out / "qc" / "multi_Preview_1.tif").exists()
+    # channel order must matter (distinct planes feed distinct net channels)
+    out2 = tmp_path / "out2"
+    cli.main(
+        [str(img), "--tool", "unmicst-duo", "--model", "duoTest",
+         "--modelRoot", zoo, "--channel", "3", "1",
+         "--outputPath", str(out2), "--stackOutput"]
+    )
+    a = imread(str(prob), 0)
+    # the filename suffix is the first channel given (1-based): 3 here
+    b = imread(str(out2 / "multi_Probabilities_3.tif"), 0)
+    assert not np.array_equal(a, b)
+
+
+def test_duo_single_channel_duplicates(zoo, tmp_path, rng):
+    img = tmp_path / "s" / "registration" / "x.tif"
+    img.parent.mkdir(parents=True)
+    _write_stack(str(img), 1, rng)
+    rc = cli.main(
+        [str(img), "--tool", "unmicst-duo", "--model", "duoTest",
+         "--modelRoot", zoo, "--outputPath", str(tmp_path / "o"),
+         "--stackOutput"]
+    )
+    assert rc == 0  # one channel given -> duplicated (UnMicst2.py:748-751)
+
+
+def test_cyto2_naming_contract(zoo, tmp_path, rng):
+    img = tmp_path / "s" / "registration" / "c.ome.tif"
+    img.parent.mkdir(parents=True)
+    _write_stack(str(img), 2, rng)
+    out = tmp_path / "out"
+    rc = cli.main(
+        [str(img), "--tool", "UnMicstCyto2", "--model", "cytoTest",
+         "--modelRoot", zoo, "--channel", "2", "--outputPath", str(out),
+         "--stackOutput"]
+    )
+    assert rc == 0
+    # cyto2: 0-based channel suffix (wrapper passes channel 2 -> internal 1),
+    # Preview NOT under qc/ (UnMicstCyto2.py output block)
+    assert num_pages(str(out / "c_Probabilities_1.tif")) == 2
+    assert (out / "c_Preview_1.tif").exists()
+    assert not (out / "qc").exists()
+
+
+def test_cyto2_nonstack_two_classes_errors(zoo, tmp_path, rng):
+    img = tmp_path / "s" / "registration" / "c.tif"
+    img.parent.mkdir(parents=True)
+    _write_stack(str(img), 1, rng)
+    with pytest.raises(SystemExit):
+        cli.main(
+            [str(img), "--tool", "UnMicstCyto2", "--model", "cytoTest",
+             "--modelRoot", zoo, "--outputPath", str(tmp_path / "o")]
+        )
+
+
+def test_solo_ome_stem_and_classorder(zoo, tmp_path, rng):
+    img = tmp_path / "s" / "registration" / "a.b.ome.tif"
+    img.parent.mkdir(parents=True)
+    _write_stack(str(img), 1, rng)
+    out = tmp_path / "out"
+    rc = cli.main(
+        [str(img), "--tool", "unmicst-solo", "--model", "soloTest",
+         "--modelRoot", zoo, "--outputPath", str(out), "--stackOutput",
+         "--classOrder", "1", "2", "3"]
+    )
+    assert rc == 0
+    assert num_pages(str(out / "a.b_Probabilities_1.tif")) == 3

@@ -88,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--tileBatch", type=int, default=128)
     p.add_argument("--stats", action="store_true", help="print stage timings + Mpx/s")
+    p.add_argument(
+        "--engine", choices=["auto", "whole", "streaming"], default="auto",
+        help="auto: stream slides > 64 Mpx (bounded memory); whole: "
+        "single device-resident pass",
+    )
     return p
 
 
@@ -148,6 +153,68 @@ def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
     )
 
 
+def _run_streaming(args, bundle, tool, dapi_channel, class_order, file_type,
+                   stem, out_path, cyto, t_start) -> int:
+    """Large-slide path: StreamingEngine, bounded memory, uint8 end-to-end."""
+    import jax.numpy as jnp
+
+    from unmicst_tpu.core.checkpoint import load_params_for_bundle
+    from unmicst_tpu.io import preprocess as pp
+    from unmicst_tpu.io.tiff import TiffFile, imwrite
+    from unmicst_tpu.runtime.pipeline import StreamingEngine
+
+    params = load_params_for_bundle(bundle)
+    compute_dtype = jnp.bfloat16 if args.precision == "bfloat16" else None
+    stream = StreamingEngine.from_bundle(
+        bundle, params, compute_dtype=compute_dtype, tile_batch=args.tileBatch
+    )
+    t0 = time.perf_counter()
+    with TiffFile(args.imagePath) as tf:
+        maps = stream.infer(
+            (tf, dapi_channel),
+            outlier=args.outlier,
+            rescale=tool != "unmicst-solo",  # the v2-solo quirk
+        )
+        raw = tf.read_page(dapi_channel)
+    t_infer = time.perf_counter()
+    raw_d = pp.im2double(raw)
+    raw_norm = raw_d / raw_d.max() if raw_d.max() > 0 else raw_d
+
+    chan_suffix = str(dapi_channel if cyto else dapi_channel + 1)
+    qc_dir = out_path if cyto else os.path.join(out_path, "qc")
+
+    def out_file(kind: str) -> str:
+        return os.path.join(out_path, f"{stem}_{kind}_{chan_suffix}.tif")
+
+    if args.stackOutput:
+        prob_file = out_file("Probabilities")
+        preview_file = os.path.join(qc_dir, f"{stem}_Preview_{chan_suffix}.tif")
+        for slice_idx, i_class in enumerate(class_order[::-1]):
+            imwrite(prob_file, maps[i_class], bigtiff=True, append=slice_idx > 0)
+            if slice_idx == 1:
+                imwrite(preview_file, maps[i_class], bigtiff=True, append=False)
+                imwrite(
+                    preview_file, np.uint8(255 * raw_norm), bigtiff=True, append=True
+                )
+    else:
+        if len(class_order) < 3:
+            raise SystemExit("non-stack output needs 3 classes; use --stackOutput")
+        f = out_file("ContoursPM")
+        imwrite(f, maps[class_order[1]], bigtiff=True, append=False)
+        imwrite(f, np.uint8(255 * raw_norm), bigtiff=True, append=True)
+        imwrite(out_file("NucleiPM"), maps[class_order[2]], bigtiff=True, append=False)
+    if args.stats or args.verbose:
+        h, w = raw.shape
+        infer_s = t_infer - t0
+        print(
+            f"[unmicst-tpu] streaming infer {infer_s:.2f}s "
+            f"({h * w / 1e6 / infer_s:.1f} Mpx/s) | total "
+            f"{time.perf_counter() - t_start:.2f}s",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     t_start = time.perf_counter()
@@ -159,6 +226,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     from unmicst_tpu.infer import InferenceEngine
     from unmicst_tpu.io import preprocess as pp
     from unmicst_tpu.io.tiff import imwrite
+    from unmicst_tpu.utils.compcache import enable as enable_cache
+
+    enable_cache()
 
     tool = args.tool
     model_name = args.model or TOOL_DEFAULT_MODEL[tool]
@@ -185,6 +255,29 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # ---- read + preprocess ------------------------------------------------
     t_read = time.perf_counter()
+    use_streaming = False
+    if tool != "unmicst-duo" and args.scalingFactor == 1:
+        from unmicst_tpu.io.tiff import TiffFile
+
+        try:
+            with TiffFile(args.imagePath) as tf_probe:
+                page = tf_probe.pages[dapi_channel]
+                slide_px = page.height * page.width
+            use_streaming = args.engine == "streaming" or (
+                args.engine == "auto" and slide_px > 64_000_000
+            )
+        except (ValueError, NotImplementedError, IndexError, OSError):
+            use_streaming = args.engine == "streaming"
+    elif args.engine == "streaming":
+        raise SystemExit(
+            "--engine streaming supports single-channel tools at "
+            "--scalingFactor 1"
+        )
+
+    if use_streaming:
+        return _run_streaming(args, bundle, tool, dapi_channel, class_order,
+                              file_type, stem, out_path, cyto, t_start)
+
     if tool == "unmicst-duo":
         chans = channels0 if len(channels0) == 2 else [dapi_channel, dapi_channel]
         planes, raw_norm, raw_shape = [], None, None

@@ -139,12 +139,21 @@ class InferenceEngine:
                 mask = (row_ids < grid.npr).astype(accum_dtype)
                 w = win_a[None, None, :, :, None] * mask[:, None, None, None, None]
                 strip = tiler.fold(probs.astype(accum_dtype) * w, stripe_grid)
-                return s + 1, strip
+                # blend-count folded per stripe too: a whole-grid count_map
+                # would materialize an (npr, npc, P, P) broadcast — ~3 GB at
+                # 20k x 20k — inside the graph
+                cstrip = tiler.fold(
+                    jnp.broadcast_to(w[..., 0], (R, npc, patch, patch)),
+                    stripe_grid,
+                )
+                return s + 1, (strip, cstrip)
 
-            _, strips = jax.lax.scan(stripe_step, jnp.int32(0), stripes)
+            _, (strips, cstrips) = jax.lax.scan(stripe_step, jnp.int32(0), stripes)
             # overlap-add the stripe strips (stripe stride = R*sub, overlap 2m)
             out = tiler._fold_axis(strips, R * sub, margin)
-            count = tiler.count_map(grid, win_a)
+            count = tiler._fold_axis(cstrips, R * sub, margin)[
+                : grid.padded_height
+            ]
             valid = out[: grid.padded_height] / count[..., None]
             m = margin
             return valid[m : m + height, m : m + width].astype(jnp.float32)

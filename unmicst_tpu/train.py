@@ -63,6 +63,7 @@ class TrainConfig:
     dataset_std: float = 0.25
     ckpt_every: int = 50  # UnMicst1-5.py:519
     seed: int = 0
+    remat: bool = False  # jax.checkpoint the forward (HBM <- -> FLOPs trade)
 
     @classmethod
     def for_variant(cls, variant: str, **overrides) -> "TrainConfig":
@@ -114,9 +115,14 @@ def loss_fn(
     rng: jax.Array,
 ) -> Tuple[jnp.ndarray, Tuple[Params, Dict[str, jnp.ndarray]]]:
     """Weighted softmax CE + kernel regularization (``UnMicst1-5.py:367-373``)."""
-    probs, new_params = unet.apply(
-        params, batch["image"], hp, cfg.variant, train=True, rng=rng
+    fwd = (
+        jax.checkpoint(
+            lambda p, x, r: unet.apply(p, x, hp, cfg.variant, train=True, rng=r)
+        )
+        if cfg.remat
+        else lambda p, x, r: unet.apply(p, x, hp, cfg.variant, train=True, rng=r)
     )
+    probs, new_params = fwd(params, batch["image"], rng)
     log_p = jnp.log(jnp.clip(probs, EPS, 1 - EPS))
     ce = batch["labels"] * log_p
     if cfg.use_weights:
