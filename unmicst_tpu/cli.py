@@ -123,34 +123,11 @@ def parse_stem(file_name: str, tool: str):
 
 
 def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
-    """Format dispatch (``UnMicst1-5.py:794-806``).  CZI/ND2 need optional
-    readers not bundled here; a clear error replaces the reference's silent
-    NameError on the nd2 path."""
-    from unmicst_tpu.io.tiff import imread
+    """Format dispatch (``UnMicst1-5.py:794-806``) — see
+    :mod:`unmicst_tpu.io.slides`."""
+    from unmicst_tpu.io.slides import read_channel as _read
 
-    if file_type in ("ome.tif", "ome.tiff", "btf", "tif", "tiff"):
-        return imread(image_path, channel)
-    if file_type == "czi":
-        try:
-            import czifile  # type: ignore
-        except ImportError as e:
-            raise NotImplementedError(
-                "czi input requires the optional 'czifile' package"
-            ) from e
-        with czifile.CziFile(image_path) as czi:
-            return czi.asarray()[0, 0, channel, 0, 0, :, :, 0]
-    if file_type == "nd2":
-        try:
-            from nd2reader import ND2Reader  # type: ignore
-        except ImportError as e:
-            raise NotImplementedError(
-                "nd2 input requires the optional 'nd2reader' package"
-            ) from e
-        with ND2Reader(image_path) as stack:
-            return np.asarray(stack[channel])
-    raise NotImplementedError(
-        f"Don't know how to read image with extension .{file_type}"
-    )
+    return _read(image_path, file_type, channel)
 
 
 def _run_streaming(args, bundle, tool, dapi_channel, class_order, file_type,

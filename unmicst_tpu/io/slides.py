@@ -1,0 +1,55 @@
+"""Slide IO facade: channel readers for the supported formats.
+
+Format dispatch parity with the CLI mains (``UnMicst1-5.py:794-806``):
+``ome.tif / ome.tiff / btf / tif`` via the native TIFF reader (page ==
+channel), ``czi`` / ``nd2`` via optional third-party readers.  The solo
+nd2 bug (undefined ``iChan`` NameError, ``UnMicst1-5.py:802-804``) is
+replaced by a working call or a clear ImportError.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from unmicst_tpu.io.tiff import TiffFile, imread, num_pages
+
+TIFF_LIKE = ("ome.tif", "ome.tiff", "btf", "tif", "tiff")
+
+
+def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
+    if file_type in TIFF_LIKE:
+        return imread(image_path, channel)
+    if file_type == "czi":
+        try:
+            import czifile  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "czi input requires the optional 'czifile' package"
+            ) from e
+        with czifile.CziFile(image_path) as czi:
+            return czi.asarray()[0, 0, channel, 0, 0, :, :, 0]
+    if file_type == "nd2":
+        try:
+            from nd2reader import ND2Reader  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "nd2 input requires the optional 'nd2reader' package"
+            ) from e
+        with ND2Reader(image_path) as stack:
+            return np.asarray(stack[channel])
+    raise NotImplementedError(
+        f"Don't know how to read image with extension .{file_type}"
+    )
+
+
+def slide_shape(image_path: str, channel: int = 0) -> Tuple[int, int]:
+    """(H, W) without decoding pixel data (TIFF-like only)."""
+    with TiffFile(image_path) as tf:
+        page = tf.pages[channel]
+        return page.height, page.width
+
+
+def n_channels(image_path: str) -> int:
+    return num_pages(image_path)
