@@ -1,0 +1,53 @@
+"""Two-process distributed training: cross-process gradient all-reduce.
+
+The reference has no collective backend at all (SURVEY #2.6); this pins the
+framework's multi-host path: ``jax.distributed.initialize`` + a DP train
+step whose psum crosses process boundaries (Gloo locally, DCN on pods).
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "mp_train_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_dp_train_step():
+    port = str(_free_port())
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # one device per process
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", WORKER, str(rank), port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    losses = [
+        float(m.group(1))
+        for out in outs
+        for m in [re.search(r"RANK\d_LOSS=([\d.]+)", out)]
+        if m
+    ]
+    assert len(losses) == 2, outs
+    # both processes see the identical all-reduced loss
+    assert abs(losses[0] - losses[1]) < 1e-6

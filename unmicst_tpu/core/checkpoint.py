@@ -155,6 +155,69 @@ def _find_ckpt_prefix(model_dir: str) -> Optional[str]:
     return None
 
 
+def save_tf1_params(
+    prefix: str, params: Params, hp: HParams, variant: str
+) -> None:
+    """Write params as a TF1 tensor bundle under the reference's variable
+    names — the inverse of :func:`load_tf1_params`.  A model trained in
+    this framework becomes restorable by the reference tool's
+    ``Saver.restore`` (optimizer slots omitted; TF recreates them)."""
+    from unmicst_tpu.core.tf1_ckpt import write_tf1_checkpoint
+
+    legacy = get_variant(variant).legacy
+    tensors: Dict[str, np.ndarray] = {}
+
+    def put_bn(scope: str, bn: Dict) -> None:
+        for k, ref in [
+            ("gamma", "gamma"), ("beta", "beta"),
+            ("moving_mean", "moving_mean"),
+            ("moving_variance", "moving_variance"),
+        ]:
+            tensors[f"{scope}/{ref}"] = np.asarray(bn[k], np.float32)
+
+    for i, layer in enumerate(params["down"]):
+        if legacy:
+            tensors[f"downsampling/ld{i}/kernel1"] = np.asarray(layer["kernel1"])
+            for j, ke in enumerate(layer["extra"]):
+                tensors[f"downsampling/ld{i}/kernelExtra{j}"] = np.asarray(ke)
+            tensors[f"downsampling/ld{i}/shortcutWeights"] = np.asarray(
+                layer["shortcut"]
+            )
+            put_bn("batch_normalization" + (f"_{i}" if i else ""), layer["bn"])
+        else:
+            tensors[f"downsampling/ld{i}/kernelD{i}"] = np.asarray(layer["kernel1"])
+            for j, ke in enumerate(layer["extra"]):
+                tensors[f"ld{i}/kernelExtra{j}"] = np.asarray(ke)
+            tensors[f"ld{i}/shortcutWeights"] = np.asarray(layer["shortcut"])
+            put_bn(f"ld{i}/batch_normalization", layer["bn"])
+
+    tensors["lb/kernel1"] = np.asarray(params["bottom"]["kernel1"])
+    if not legacy:
+        put_bn("conv", params["bottom"]["bn"])
+
+    for i, layer in enumerate(params["up"]):
+        if legacy:
+            tensors[f"upsampling/lu{i}/kernel1"] = np.asarray(layer["kernel1"])
+            tensors[f"upsampling/lu{i}/kernel2"] = np.asarray(layer["kernel2"])
+            for j, ke in enumerate(layer["extra"]):
+                tensors[f"upsampling/lu{i}/kernel2Extra{j}"] = np.asarray(ke)
+        else:
+            tensors[f"lu{i}/kernelU{i}"] = np.asarray(layer["kernel1"])
+            tensors[f"lu{i}/kernel2"] = np.asarray(layer["kernel2"])
+            for j, ke in enumerate(layer["extra"]):
+                tensors[f"lu{i}/kernel2Extra{j}"] = np.asarray(ke)
+            put_bn(f"lu{i}/conv2", layer["bn"])
+
+    tensors["lt/kernel"] = np.asarray(params["top"]["kernel"])
+    if not legacy:
+        put_bn("batch_normalization", params["top"]["bn"])
+
+    tensors["Variable"] = np.zeros((), np.int32)  # global step scalar
+    tensors = {k: v.astype(np.float32) if v.dtype != np.int32 else v
+               for k, v in tensors.items()}
+    write_tf1_checkpoint(prefix, tensors)
+
+
 # ---------------------------------------------------------------------------
 # native format
 # ---------------------------------------------------------------------------

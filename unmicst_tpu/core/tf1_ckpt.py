@@ -279,3 +279,178 @@ class TF1Checkpoint:
 
 def variable_names(prefix: str) -> list[str]:
     return TF1Checkpoint(prefix).keys()
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _write_varint(out: bytearray, value: int) -> None:
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _encode_tag(field: int, wire: int) -> bytes:
+    out = bytearray()
+    _write_varint(out, (field << 3) | wire)
+    return bytes(out)
+
+
+def _encode_entry_proto(e: "BundleEntry") -> bytes:
+    """Serialize a BundleEntryProto (dtype, shape, shard, offset, size)."""
+    out = bytearray()
+    out += _encode_tag(1, 0)
+    _write_varint(out, e.dtype)
+    # shape: TensorShapeProto{ repeated Dim dim = 2 { int64 size = 1 } }
+    shape_buf = bytearray()
+    for d in e.shape:
+        dim_buf = bytearray()
+        dim_buf += _encode_tag(1, 0)
+        _write_varint(dim_buf, d)
+        shape_buf += _encode_tag(2, 2)
+        _write_varint(shape_buf, len(dim_buf))
+        shape_buf += dim_buf
+    out += _encode_tag(2, 2)
+    _write_varint(out, len(shape_buf))
+    out += shape_buf
+    if e.shard_id:
+        out += _encode_tag(3, 0)
+        _write_varint(out, e.shard_id)
+    if e.offset:
+        out += _encode_tag(4, 0)
+        _write_varint(out, e.offset)
+    out += _encode_tag(5, 0)
+    _write_varint(out, e.size)
+    return bytes(out)
+
+
+def _encode_header_proto(num_shards: int = 1) -> bytes:
+    """BundleHeaderProto: num_shards=1, endianness=LITTLE(0), version{producer=1}."""
+    out = bytearray()
+    out += _encode_tag(1, 0)
+    _write_varint(out, num_shards)
+    version = bytearray()
+    version += _encode_tag(1, 0)
+    _write_varint(version, 1)
+    out += _encode_tag(3, 2)
+    _write_varint(out, len(version))
+    out += version
+    return bytes(out)
+
+
+class _TableBuilder:
+    """Minimal LevelDB-style table writer (single data block, no
+    compression, no prefix sharing) — readable by TF's table reader."""
+
+    def __init__(self):
+        self._blob = bytearray()
+
+    @staticmethod
+    def _crc32c(data: bytes) -> int:
+        # CRC32-C (Castagnoli), masked per LevelDB convention.
+        crc = _crc32c_compute(data)
+        return ((crc >> 15) | (crc << 17)) + 0xA282EAD8 & 0xFFFFFFFF
+
+    def _emit_block(self, entries) -> Tuple[int, int]:
+        """Append a block of (key, value) pairs; returns (offset, size)."""
+        block = bytearray()
+        restarts = []
+        for key, value in entries:
+            restarts.append(len(block))  # no prefix compression
+            _write_varint(block, 0)  # shared
+            _write_varint(block, len(key))
+            _write_varint(block, len(value))
+            block += key
+            block += value
+        for r in restarts:
+            block += struct.pack("<I", r)
+        block += struct.pack("<I", len(restarts))
+        offset = len(self._blob)
+        contents = bytes(block)
+        trailer = bytes([0]) + struct.pack(
+            "<I", self._crc32c(contents + b"\x00")
+        )
+        self._blob += contents + trailer
+        return offset, len(contents)
+
+    def build(self, entries) -> bytes:
+        """entries: sorted (key: bytes, value: bytes)."""
+        data_off, data_size = self._emit_block(entries)
+        meta_off, meta_size = self._emit_block([])  # empty metaindex
+        data_handle = bytearray()
+        _write_varint(data_handle, data_off)
+        _write_varint(data_handle, data_size)
+        last_key = entries[-1][0] if entries else b""
+        index_off, index_size = self._emit_block(
+            [(last_key + b"\x00", bytes(data_handle))]
+        )
+        footer = bytearray()
+        _write_varint(footer, meta_off)
+        _write_varint(footer, meta_size)
+        _write_varint(footer, index_off)
+        _write_varint(footer, index_size)
+        footer += b"\x00" * (40 - len(footer))
+        footer += struct.pack("<Q", _TABLE_MAGIC)
+        return bytes(self._blob) + bytes(footer)
+
+
+_CRC32C_TABLE = None
+
+
+def _crc32c_compute(data: bytes) -> int:
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
+            table.append(crc)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+_NP_TO_DT = {np.dtype(np.float32): 1, np.dtype(np.float64): 2,
+             np.dtype(np.int32): 3, np.dtype(np.int64): 9}
+
+
+def write_tf1_checkpoint(prefix: str, tensors: Dict[str, np.ndarray]) -> None:
+    """Write a ``tf.train.Saver``-compatible tensor bundle.
+
+    Produces ``<prefix>.index`` + ``<prefix>.data-00000-of-00001`` readable
+    by TF1 ``Saver.restore`` (and by :class:`TF1Checkpoint`).  Enables
+    round-tripping models trained in this framework back into the
+    reference tool.
+    """
+    items = sorted(tensors.items())
+    data = bytearray()
+    entries = [(b"", _encode_header_proto())]
+    for name, arr in items:
+        arr = np.ascontiguousarray(arr)
+        dt = _NP_TO_DT.get(arr.dtype)
+        if dt is None:
+            raise TypeError(f"{name}: unsupported dtype {arr.dtype}")
+        e = BundleEntry()
+        e.dtype = dt
+        e.shape = arr.shape
+        e.shard_id = 0
+        e.offset = len(data)
+        raw = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+        e.size = len(raw)
+        data += raw
+        entries.append((name.encode("utf-8"), _encode_entry_proto(e)))
+    blob = _TableBuilder().build(entries)
+    with open(prefix + ".index", "wb") as f:
+        f.write(blob)
+    with open(prefix + ".data-00000-of-00001", "wb") as f:
+        f.write(bytes(data))

@@ -64,6 +64,7 @@ class TrainConfig:
     ckpt_every: int = 50  # UnMicst1-5.py:519
     seed: int = 0
     remat: bool = False  # jax.checkpoint the forward (HBM <- -> FLOPs trade)
+    export_tf1: bool = True  # also write a Saver-compatible model.ckpt.*
 
     @classmethod
     def for_variant(cls, variant: str, **overrides) -> "TrainConfig":
@@ -386,6 +387,18 @@ class Trainer:
         save_pickle(
             self.cfg.dataset_std, os.path.join(self.model_path, "datasetStDev.data")
         )
+        if self.cfg.export_tf1:
+            # reference-restorable bundle + Saver state file, so the model
+            # dir is a drop-in for the upstream tool
+            from unmicst_tpu.core.checkpoint import save_tf1_params
+
+            save_tf1_params(
+                os.path.join(self.model_path, "model.ckpt"),
+                host_params, self.hp, self.cfg.variant,
+            )
+            with open(os.path.join(self.model_path, "checkpoint"), "w") as f:
+                f.write('model_checkpoint_path: "model.ckpt"\n')
+                f.write('all_model_checkpoint_paths: "model.ckpt"\n')
 
     def restore(self, path: Optional[str] = None) -> None:
         """Resume from a native checkpoint (``restoreVariables`` semantics,
