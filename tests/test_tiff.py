@@ -72,6 +72,19 @@ def test_compressed_read_deflate_lzw(tmp_path, rng):
         assert np.array_equal(got, x), codec
 
 
+def test_append_to_pil_written_file(tmp_path, rng):
+    """The CLI may append to files created by other writers."""
+    x1 = (rng.rand(60, 50) * 255).astype(np.uint8)
+    x2 = (rng.rand(60, 50) * 255).astype(np.uint8)
+    fn = str(tmp_path / "pil.tif")
+    Image.fromarray(x1).save(fn)
+    imwrite(fn, x2, append=True)
+    with TiffFile(fn) as tf:
+        assert len(tf.pages) == 2
+        assert np.array_equal(tf.read_page(0), x1)
+        assert np.array_equal(tf.read_page(1), x2)
+
+
 def test_big_endian_input(tmp_path, rng):
     x = (rng.rand(50, 60) * 65535).astype(">u2")
     fn = str(tmp_path / "be.tif")

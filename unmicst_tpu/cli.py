@@ -232,8 +232,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # ---- read + preprocess ------------------------------------------------
     t_read = time.perf_counter()
+    from unmicst_tpu.io.slides import TIFF_LIKE
+
     use_streaming = False
-    if tool != "unmicst-duo" and args.scalingFactor == 1:
+    if (
+        tool != "unmicst-duo"
+        and args.scalingFactor == 1
+        and file_type in TIFF_LIKE
+    ):
         from unmicst_tpu.io.tiff import TiffFile
 
         try:
