@@ -46,6 +46,25 @@ def test_halo_matches_single_device(model, rng, n_dev):
     np.testing.assert_allclose(got, single, atol=2e-5)
 
 
+def test_halo_under_jit(model, rng):
+    """The whole spatially-sharded path compiles as one program."""
+    hp, params = model
+    mesh = make_mesh(data=4, model=1)
+    image = rng.rand(150, 90).astype(np.float32)
+    single = InferenceEngine(hp, params, "legacy", 0.3, 0.2).infer(image)
+    canvas = halo.build_canvas(image, hp, 4)
+    jit_fn = jax.jit(
+        lambda p, c: halo.spatial_infer(
+            p, c, 150, 90, hp, "legacy", mesh, mean=0.3, std=0.2
+        )
+    )
+    with mesh:
+        probs = jit_fn(params, jnp.asarray(canvas))
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(probs), -1, 0), single, atol=2e-5
+    )
+
+
 def test_halo_fewer_tile_rows_than_devices(model, rng):
     """Image with 1 tile row on an 8-device mesh: phantom bands masked."""
     hp, params = model

@@ -1,0 +1,76 @@
+"""Inference server: live HTTP round trip on a random port."""
+
+import json
+import os
+import socket
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE, needs_reference
+from unmicst_tpu.io.tiff import TiffFile, imwrite
+from unmicst_tpu.serve import ModelServer, make_handler
+
+pytestmark = needs_reference
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    from http.server import ThreadingHTTPServer
+
+    srv = ModelServer(
+        model_root=os.path.join(REFERENCE, "models"), precision="float32"
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def test_healthz_and_models(server_url):
+    with urllib.request.urlopen(server_url + "/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["devices"]
+    with urllib.request.urlopen(server_url + "/models", timeout=30) as r:
+        models = json.loads(r.read())
+    assert models.get("nucleiDAPI") == "ready"
+
+
+def test_infer_roundtrip(server_url, tmp_path, rng):
+    raw = (rng.rand(100, 80) * 60000).astype(np.uint16)
+    src = str(tmp_path / "in.tif")
+    imwrite(src, raw, bigtiff=False)
+    req = urllib.request.Request(
+        server_url + "/infer?model=nucleiDAPI&channel=0",
+        data=open(src, "rb").read(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        body = r.read()
+        meta = json.loads(r.headers["X-UnMicst-Meta"])
+    assert meta["classes"] == 3 and meta["shape"] == [100, 80]
+    out = str(tmp_path / "out.tif")
+    open(out, "wb").write(body)
+    with TiffFile(out) as tf:
+        assert len(tf.pages) == 3
+        pages = [tf.read_page(k) for k in range(3)]
+    total = sum(p.astype(int) for p in pages)
+    assert np.abs(total - 255).max() <= 3  # probabilities sum to ~1
+
+
+def test_infer_unknown_model(server_url, tmp_path, rng):
+    raw = (rng.rand(40, 40) * 60000).astype(np.uint16)
+    src = str(tmp_path / "in.tif")
+    imwrite(src, raw, bigtiff=False)
+    req = urllib.request.Request(
+        server_url + "/infer?model=doesNotExist",
+        data=open(src, "rb").read(),
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 404

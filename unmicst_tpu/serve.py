@@ -1,0 +1,178 @@
+"""Inference service — persistent-model serving for pipeline integration.
+
+The reference is strictly batch CLI (model setup cost paid per invocation,
+``UnMicst.py:596``).  For production pipelines (MCMICRO at scale) this
+module keeps the model resident and serves slides over HTTP:
+
+* ``POST /infer?model=nucleiDAPI&channel=0&tool=unmicst-legacy`` with a
+  TIFF body -> multi-page TIFF response (the ``_Probabilities`` page stack,
+  reversed class order, uint8);
+* ``GET /models`` -> zoo availability;
+* ``GET /healthz`` -> liveness + device info.
+
+Engines are cached per (model, precision); repeated slides of one geometry
+hit the compiled program.  Stdlib ``http.server`` keeps the dependency
+surface at zero; front with a real proxy for multi-tenant deployments.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+class ModelServer:
+    def __init__(self, model_root: Optional[str] = None, precision: str = "bfloat16"):
+        self.model_root = model_root
+        self.precision = precision
+        self._engines: Dict[Tuple[str, str], object] = {}
+        self._lock = threading.Lock()
+
+    def engine(self, model: str):
+        key = (model, self.precision)
+        with self._lock:
+            if key not in self._engines:
+                import jax.numpy as jnp
+
+                from unmicst_tpu.cli import resolve_model_dir
+                from unmicst_tpu.core.checkpoint import load_params_for_bundle
+                from unmicst_tpu.core.hp import load_model_dir
+                from unmicst_tpu.infer import InferenceEngine
+
+                bundle = load_model_dir(resolve_model_dir(model, self.model_root))
+                params = load_params_for_bundle(bundle)
+                dtype = jnp.bfloat16 if self.precision == "bfloat16" else None
+                self._engines[key] = InferenceEngine.from_bundle(
+                    bundle, params, compute_dtype=dtype
+                )
+            return self._engines[key]
+
+    def infer_tiff(
+        self, body: bytes, model: str, channel: int, rescale: bool,
+        outlier: float,
+    ) -> Tuple[bytes, dict]:
+        from unmicst_tpu.io.tiff import TiffFile, TiffWriter
+
+        with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
+            tmp.write(body)
+            tmp.flush()
+            with TiffFile(tmp.name) as tf:
+                raw = tf.read_page(channel)
+        eng = self.engine(model)
+        t0 = time.perf_counter()
+        maps = eng.infer_slide(raw, outlier=outlier, rescale=rescale)
+        infer_s = time.perf_counter() - t0
+        buf = tempfile.NamedTemporaryFile(suffix=".tif", delete=False)
+        buf.close()
+        try:
+            with TiffWriter(buf.name, bigtiff=True) as tw:
+                for k in range(maps.shape[0] - 1, -1, -1):  # reversed order
+                    tw.write(maps[k])
+            with open(buf.name, "rb") as f:
+                out = f.read()
+        finally:
+            os.unlink(buf.name)
+        meta = {
+            "model": model,
+            "shape": list(raw.shape),
+            "classes": int(maps.shape[0]),
+            "infer_s": round(infer_s, 3),
+            "mpx_per_s": round(raw.size / 1e6 / infer_s, 2),
+        }
+        return out, meta
+
+
+def make_handler(server: ModelServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict):
+            blob = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/healthz":
+                import jax
+
+                self._json(200, {
+                    "status": "ok",
+                    "devices": [str(d) for d in jax.devices()],
+                })
+            elif url.path == "/models":
+                from unmicst_tpu.cli import DEFAULT_MODEL_ROOTS
+                from unmicst_tpu.models.zoo import available_models
+
+                root = server.model_root or next(
+                    (r for r in DEFAULT_MODEL_ROOTS if r and os.path.isdir(r)), ""
+                )
+                self._json(200, available_models(root) if root else {})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/infer":
+                self._json(404, {"error": "not found"})
+                return
+            q = parse_qs(url.query)
+            model = q.get("model", ["nucleiDAPI"])[0]
+            channel = int(q.get("channel", ["0"])[0])
+            rescale = q.get("rescale", ["1"])[0] != "0"
+            outlier = float(q.get("outlier", ["-1"])[0])
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            try:
+                out, meta = server.infer_tiff(body, model, channel, rescale, outlier)
+            except FileNotFoundError as e:
+                self._json(404, {"error": str(e)})
+                return
+            except Exception as e:  # surface, don't kill the server
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "image/tiff")
+            self.send_header("Content-Length", str(len(out)))
+            self.send_header("X-UnMicst-Meta", json.dumps(meta))
+            self.end_headers()
+            self.wfile.write(out)
+
+    return Handler
+
+
+def serve(host: str = "0.0.0.0", port: int = 8800, **kw) -> None:
+    server = ModelServer(**kw)
+    httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    print(f"unmicst-tpu serving on {host}:{port}")
+    httpd.serve_forever()
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="unmicst-tpu-serve")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8800)
+    p.add_argument("--modelRoot")
+    p.add_argument("--precision", choices=["float32", "bfloat16"], default="bfloat16")
+    args = p.parse_args(argv)
+    serve(args.host, args.port, model_root=args.modelRoot, precision=args.precision)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
