@@ -3,15 +3,20 @@
 # image and the same two v2 checkpoints are fetched for the zoo).
 FROM python:3.12-slim
 
+RUN apt-get update && apt-get install -y --no-install-recommends curl g++ \
+    && rm -rf /var/lib/apt/lists/*
+
 WORKDIR /app
-COPY pyproject.toml ./
+COPY pyproject.toml README.md ./
 COPY unmicst_tpu ./unmicst_tpu
-COPY models ./models
+COPY native ./native
 
 RUN pip install --no-cache-dir "jax[tpu]" flax optax numpy scipy pillow \
-    && pip install --no-cache-dir -e .
+    && pip install --no-cache-dir . \
+    && python native/build.py
 
-# Large v2 checkpoint blobs live on S3 upstream (reference Dockerfile:4-5);
+# Model zoo: hp/mean/std sidecars come from the upstream repo; the two
+# large v2 checkpoint blobs live on S3 (reference Dockerfile:4-5) —
 # fail fast if unavailable, exactly like the reference's `curl -f`.
 RUN mkdir -p models/nucleiDAPILAMIN models/nucleiDAPI1-5 \
     && curl -f -o models/nucleiDAPILAMIN/model.ckpt.data-00000-of-00001 \

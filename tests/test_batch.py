@@ -48,7 +48,8 @@ def test_sweep_resume_and_outputs(tmp_path):
     assert rep.completed == slides and not rep.failed
     for s in slides:
         out = os.path.join(os.path.dirname(os.path.dirname(s)), "prob_maps")
-        assert num_pages(os.path.join(out, "slide_ContoursPM_1.tif")) == 1
+        # 2 pages: [contours PM, normalized raw] (batchUnMicst.py:575-580)
+        assert num_pages(os.path.join(out, "slide_ContoursPM_1.tif")) == 2
         assert os.path.exists(os.path.join(out, "slide_NucleiPM_1.tif"))
     # resume: nothing re-runs
     rep2 = batch.run_sweep(slides, model_dir, verbose=False)

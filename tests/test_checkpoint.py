@@ -87,6 +87,22 @@ def test_native_roundtrip(tmp_path):
     assert isinstance(p2["down"], list) and isinstance(p2["down"][0]["extra"], list)
 
 
+def test_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from unmicst_tpu.core.checkpoint import load_orbax, save_orbax
+
+    hp = HParams(im_size=32, n_channels=1, n_classes=3, n_out0=4, ks=3, n_layers=1)
+    params = unet.init_params(jax.random.PRNGKey(0), hp, "v2")
+    path = str(tmp_path / "ckpt")
+    save_orbax(path, params, {"step": 7})
+    p2, meta = load_orbax(path)
+    assert meta == {"step": 7}
+    for a, b in zip(
+        jax.tree_util.tree_flatten(params)[0], jax.tree_util.tree_flatten(p2)[0]
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @needs_reference
 def test_sidecar_loading():
     bundle = load_model_dir(os.path.join(REFERENCE, "models/nucleiDAPI"))

@@ -27,11 +27,23 @@ def test_eight_devices_available():
     assert jax.device_count() >= 8
 
 
-@pytest.mark.parametrize("n_dev", [2, 4, 8])
-def test_halo_matches_single_device(model, rng, n_dev):
+@pytest.mark.parametrize(
+    "n_dev,shape",
+    [
+        (2, (150, 90)),
+        (4, (150, 90)),
+        (8, (150, 90)),
+        # H divisible by sub: the canvas tail holds real image rows — the
+        # last device's input halo must carry them (regression: zeroing the
+        # tail truncated the bottom margin of the image)
+        (2, (144, 90)),
+        (4, (168, 64)),
+    ],
+)
+def test_halo_matches_single_device(model, rng, n_dev, shape):
     hp, params = model
     mesh = make_mesh(data=n_dev, model=1)
-    image = rng.rand(150, 90).astype(np.float32)
+    image = rng.rand(*shape).astype(np.float32)
     mean, std = 0.3, 0.2
 
     single = InferenceEngine(hp, params, "legacy", mean, std).infer(image)
@@ -39,8 +51,8 @@ def test_halo_matches_single_device(model, rng, n_dev):
     canvas = halo.build_canvas(image, hp, n_dev)
     with mesh:
         probs = halo.spatial_infer(
-            params, jnp.asarray(canvas), 150, 90, hp, "legacy", mesh,
-            mean=mean, std=std,
+            params, jnp.asarray(canvas), shape[0], shape[1], hp, "legacy",
+            mesh, mean=mean, std=std,
         )
     got = np.moveaxis(np.asarray(probs), -1, 0)
     np.testing.assert_allclose(got, single, atol=2e-5)

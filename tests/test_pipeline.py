@@ -66,6 +66,37 @@ def test_stream_no_rescale_quirk(model, rng):
     assert np.abs(host_u8.astype(int) - got.astype(int)).max() <= 1
 
 
+def test_stream_float32_cast_quirk(model, rng):
+    """float32 slides truncate to uint16 first (UnMicst1-5.py:807-808) —
+    streaming must match the whole-image path (regression)."""
+    hp, params = model
+    raw_f32 = (rng.rand(100, 60) * 60000).astype(np.float32)
+    whole = InferenceEngine(hp, params, "legacy", 0.3, 0.2).infer_slide(
+        raw_f32.astype(np.uint16)
+    )
+    stream = StreamingEngine(
+        hp, params, "legacy", 0.3, 0.2, compute_dtype=None, stripe_tile_rows=2
+    )
+    got = stream.infer(raw_f32)
+    assert np.abs(whole.astype(int) - got.astype(int)).max() <= 1
+
+
+def test_stream_chunked_stats_match_numpy(model, rng, tmp_path):
+    """Histogram-based percentile over TIFF chunks == np.percentile."""
+    from unmicst_tpu.io.tiff import TiffFile, imwrite
+
+    hp, params = model
+    raw = (rng.rand(300, 200) * 60000).astype(np.uint16)
+    path = str(tmp_path / "s.tif")
+    imwrite(path, raw, bigtiff=False)
+    stream = StreamingEngine(hp, params, "legacy", 0.3, 0.2)
+    with TiffFile(path) as tf:
+        lo, hi = stream.global_stats((tf, 0), outlier=97.5)
+        lo2, hi2 = stream.global_stats((tf, 0), outlier=-1)
+    assert lo == raw.min() and lo2 == raw.min() and hi2 == raw.max()
+    np.testing.assert_allclose(hi, np.percentile(raw, 97.5), rtol=1e-12)
+
+
 def test_stream_outlier_percentile(model, rng):
     hp, params = model
     raw = (rng.rand(100, 60) * 60000).astype(np.uint16)

@@ -72,6 +72,49 @@ def test_compressed_read_deflate_lzw(tmp_path, rng):
         assert np.array_equal(got, x), codec
 
 
+def _write_predictor2_tiff(path, image):
+    """Hand-craft a deflate + predictor=2 TIFF (single strip)."""
+    import struct
+    import zlib
+
+    h, w = image.shape
+    diff = image.astype(np.int64).copy()
+    diff[:, 1:] -= image.astype(np.int64)[:, :-1]
+    raw = diff.astype(image.dtype).tobytes()
+    data = zlib.compress(raw)
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, image.dtype.itemsize * 8),
+        (259, 3, 1, 8),  # deflate
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, h),
+        (279, 4, 1, len(data)), (317, 3, 1, 2),  # predictor=2
+    ]
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, 8 + len(data) + (1 if len(data) % 2 else 0)))
+        f.write(data)
+        if len(data) % 2:
+            f.write(b"\0")
+        f.write(struct.pack("<H", len(entries)))
+        for tag, ftype, count, value in entries:
+            f.write(struct.pack("<HHII", tag, ftype, count, value))
+        f.write(struct.pack("<I", 0))
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_predictor2_decode(tmp_path, rng, dtype):
+    """Horizontal-differencing predictor undo runs along the width axis
+    (regression: cumsum over the samples axis silently no-op'd)."""
+    x = (rng.rand(20, 30) * np.iinfo(dtype).max).astype(dtype)
+    fn = str(tmp_path / "p2.tif")
+    _write_predictor2_tiff(fn, x)
+    got = imread(fn)
+    assert np.array_equal(got, x)
+    # PIL agrees on the same file
+    assert np.array_equal(np.asarray(Image.open(fn)), x)
+    # windowed read path too
+    with TiffFile(fn) as tf:
+        assert np.array_equal(tf.read_region(0, 3, 5, 10, 12), x[3:13, 5:17])
+
+
 def test_append_to_pil_written_file(tmp_path, rng):
     """The CLI may append to files created by other writers."""
     x1 = (rng.rand(60, 50) * 255).astype(np.uint8)

@@ -134,12 +134,12 @@ def run_sweep(
             t0 = time.perf_counter()
             probs = engine.infer(pc.net_input.astype(np.float32))
             dt = time.perf_counter() - t0
-            # batch walker output contract (batchUnMicst.py:570-587)
+            # batch walker output contract (batchUnMicst.py:570-587):
+            # ContoursPM is a 2-page stack [contours PM, normalized raw]
             contours = pp.postprocess_pm(probs[1], pc.raw_shape)
-            imwrite(
-                os.path.join(this_out, f"{stem}_ContoursPM_{channel + 1}.tif"),
-                contours,
-            )
+            cfile = os.path.join(this_out, f"{stem}_ContoursPM_{channel + 1}.tif")
+            imwrite(cfile, contours)
+            imwrite(cfile, np.uint8(255 * pc.raw_norm), append=True)
             nuclei = pp.postprocess_pm(probs[2], pc.raw_shape)
             imwrite(
                 os.path.join(this_out, f"{stem}_NucleiPM_{channel + 1}.tif"),

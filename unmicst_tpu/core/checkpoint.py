@@ -294,6 +294,33 @@ def _listify(tree):
     return jnp.asarray(tree)
 
 
+def save_orbax(path: str, params: Params, meta: Optional[dict] = None) -> None:
+    """Orbax checkpoint (the standard TPU-job format; sharding-aware,
+    async-capable) — alternative backend to the msgpack native format."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {"params": params}, force=True)
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta or {}, f)
+
+
+def load_orbax(path: str) -> Tuple[Params, dict]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    meta = {}
+    try:
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    except OSError:
+        pass
+    return tree["params"], meta
+
+
 def load_params_for_bundle(bundle: ModelBundle) -> Params:
     """Load params for a model dir: native file if present, else TF1 bundle."""
     if bundle.has_native_ckpt:

@@ -57,8 +57,11 @@ def make_grid3d(depth, height, width, patch, margin) -> TileGrid3D:
     return TileGrid3D(depth, height, width, patch, margin)
 
 
-def ramp_window3d(patch: int, margin: int, dtype=jnp.float32) -> jnp.ndarray:
-    """The PI3D cubic weight window, bit-for-bit (``:176-186``)."""
+def ramp_window3d(patch: int, margin: int, dtype=np.float32) -> np.ndarray:
+    """The PI3D cubic weight window, bit-for-bit (``:176-186``).
+
+    Returns numpy (repo convention: constants entering jitted code must
+    not be device arrays — see ``tiler.ramp_window``)."""
     w = np.ones((patch, patch, patch))
     w[[0, -1], :, :] = 0
     w[:, [0, -1], :] = 0
@@ -68,7 +71,7 @@ def ramp_window3d(patch: int, margin: int, dtype=jnp.float32) -> jnp.ndarray:
         w[[i, -i - 1], i:-i, i:-i] = v
         w[i:-i, [i, -i - 1], i:-i] = v
         w[i:-i, i:-i, [i, -i - 1]] = v
-    return jnp.asarray(w, dtype)
+    return np.asarray(w, dtype)
 
 
 def pad_canvas3d(volume: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:

@@ -166,8 +166,23 @@ def _decode(data: bytes, compression: int, max_out: int = 0) -> bytes:
 
 
 def _undo_predictor(arr: np.ndarray, predictor: int) -> np.ndarray:
-    if predictor == 2:  # horizontal differencing
-        np.cumsum(arr, axis=-1, dtype=arr.dtype, out=arr)
+    """Undo horizontal differencing in place.
+
+    ``arr``: (rows, width, samples) — the cumulative sum runs along the
+    width axis per sample (TIFF spec 14; summing the samples axis instead
+    silently corrupts predictor-2 files).
+    """
+    if predictor == 2:
+        if (
+            arr.shape[-1] == 1
+            and arr.flags["C_CONTIGUOUS"]
+            and arr.dtype.itemsize in (1, 2)
+        ):
+            from unmicst_tpu.io import _native
+
+            if _native.predictor_undo(arr.reshape(arr.shape[0], -1)) is not None:
+                return arr
+        np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
     return arr
 
 
@@ -388,14 +403,12 @@ class TiffFile:
             rps = page.rows_per_strip
             s0, s1 = r0 // rps, (min(r1, page.height) + rps - 1) // rps
             for s in range(s0, s1):
-                sr0_tmp = s * rps
-                srows_tmp = min(rps, page.height - sr0_tmp)
-                buf = self._decode_segment(
-                    int(page.strip_offsets[s]), int(page.strip_counts[s]),
-                    page, srows_tmp * page.width * page.samples * (page.bits // 8),
-                )
                 sr0 = s * rps
                 srows = min(rps, page.height - sr0)
+                buf = self._decode_segment(
+                    int(page.strip_offsets[s]), int(page.strip_counts[s]),
+                    page, srows * page.width * page.samples * (page.bits // 8),
+                )
                 arr = np.frombuffer(buf, dtype=dtype, count=srows * page.width * page.samples)
                 arr = arr.reshape(srows, page.width, page.samples).astype(page.dtype)
                 if page.predictor == 2:

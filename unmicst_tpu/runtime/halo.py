@@ -77,20 +77,24 @@ def spatial_infer(
         )
 
     body = canvas[: npr_pad * sub]  # row-shardable part
-    # global tail rows are zero padding by construction (npr_pad*sub >= H+m)
+    # The canvas tail (last 2m rows) can hold real image data whenever
+    # H + margin > npr_pad*sub (e.g. H a multiple of sub); it is passed
+    # replicated and becomes the LAST device's input halo.
+    global_tail = canvas[npr_pad * sub :]
 
     def forward(t):
         return unet.apply(params, t, hp, variant, compute_dtype=compute_dtype)
 
-    def band_fn(block):
+    def band_fn(block, tail):
         # block: (rows_per_dev, W', C) — this device's band
         d = jax.lax.axis_index(axis)
-        # --- input halo: first 2m rows of the next band (zeros past the end)
+        # --- input halo: first 2m rows of the next band; the last device
+        # takes the global canvas tail instead
         head = block[:two_m]
         halo = jax.lax.ppermute(
             head, axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
         )
-        halo = jnp.where(d == n_dev - 1, jnp.zeros_like(halo), halo)
+        halo = jnp.where(d == n_dev - 1, tail, halo)
         stripe = jnp.concatenate([block, halo], axis=0)
         stripe = (stripe - mean) / std
 
@@ -121,9 +125,9 @@ def spatial_infer(
     out_block, tails = shard_map(
         band_fn,
         mesh=mesh,
-        in_specs=(in_spec,),
+        in_specs=(in_spec, P()),
         out_specs=(in_spec, P(axis, None, None)),
-    )(body)
+    )(body, global_tail)
 
     # reassemble: sharded body + the genuine global tail (last device's)
     out = jnp.concatenate(

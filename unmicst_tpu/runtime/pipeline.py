@@ -180,11 +180,20 @@ class StreamingEngine:
 
     # -- host-side stripe assembly ------------------------------------------
 
+    @staticmethod
+    def _cast_raw(arr: np.ndarray) -> np.ndarray:
+        """float32 slides truncate to uint16 first — the reference parity
+        cast (``UnMicst1-5.py:807-808``), matching the whole-image path."""
+        if arr.dtype == np.float32:
+            return arr.astype(np.uint16)
+        return arr
+
     def _read_rows(self, source, r0: int, nrows: int) -> np.ndarray:
         """Rows [r0, r0+nrows) of the raw slide, zero-padded outside."""
         from unmicst_tpu.io.tiff import TiffFile
 
         if isinstance(source, np.ndarray):
+            source = self._cast_raw(source)
             h, w = source.shape
             out = np.zeros((nrows, w), source.dtype)
             a, b = max(r0, 0), min(r0 + nrows, h)
@@ -193,10 +202,13 @@ class StreamingEngine:
             return out
         tf, page = source
         h, w = tf.pages[page].height, tf.pages[page].width
+        dtype = np.uint16 if tf.pages[page].dtype == np.float32 else tf.pages[page].dtype
+        out = np.zeros((nrows, w), dtype)
         a, b = max(r0, 0), min(r0 + nrows, h)
-        out = np.zeros((nrows, w), tf.pages[page].dtype)
         if b > a:
-            out[a - r0 : b - r0] = tf.read_region(page, a, 0, b - a, w)
+            out[a - r0 : b - r0] = self._cast_raw(
+                tf.read_region(page, a, 0, b - a, w)
+            )
         return out
 
     def _stripe_canvas(
@@ -220,19 +232,44 @@ class StreamingEngine:
     def global_stats(
         self, source, outlier: float = -1
     ) -> Tuple[float, float]:
-        """Host pass for the rescale range (min, max|percentile)."""
+        """Host pass for the rescale range (min, max|percentile).
+
+        Streams TIFF sources in row chunks (a histogram gives the exact
+        ``np.percentile`` linear-interpolated value for integer pixels), so
+        the slide never fully materializes in host RAM.
+        """
         if isinstance(source, np.ndarray):
-            arr = source
-        else:
-            tf, page = source
-            arr = tf.read_page(page)
-        lo = float(arr.min())
-        hi = (
-            float(np.percentile(arr, outlier))
-            if outlier != -1
-            else float(arr.max())
-        )
-        return lo, hi  # raw units (the device rescale is affine-invariant)
+            arr = self._cast_raw(source)
+            lo = float(arr.min())
+            hi = (
+                float(np.percentile(arr, outlier))
+                if outlier != -1
+                else float(arr.max())
+            )
+            return lo, hi  # raw units (the device rescale is affine-invariant)
+
+        tf, page = source
+        h, w = tf.pages[page].height, tf.pages[page].width
+        hist = np.zeros(65536, np.int64)
+        chunk = max(1, (64 << 20) // max(1, w * 2))  # ~64 MB chunks
+        for r0 in range(0, h, chunk):
+            rows = self._cast_raw(
+                tf.read_region(page, r0, 0, min(chunk, h - r0), w)
+            ).astype(np.int64)
+            hist += np.bincount(rows.ravel(), minlength=65536)[:65536]
+        nz = np.nonzero(hist)[0]
+        lo = float(nz[0])
+        if outlier == -1:
+            return lo, float(nz[-1])
+        # np.percentile 'linear': value at fractional order-stat position
+        n = int(hist.sum())
+        pos = (n - 1) * outlier / 100.0
+        k = int(np.floor(pos))
+        frac = pos - k
+        cum = np.cumsum(hist)
+        v_k = float(np.searchsorted(cum, k + 1))
+        v_k1 = float(np.searchsorted(cum, k + 2)) if frac > 0 else v_k
+        return lo, v_k + frac * (v_k1 - v_k)
 
     def infer(
         self,
@@ -252,6 +289,8 @@ class StreamingEngine:
             source.dtype if isinstance(source, np.ndarray)
             else source[0].pages[source[1]].dtype
         )
+        if np.dtype(in_dtype) == np.float32:
+            in_dtype = np.uint16  # parity cast (see _cast_raw)
         jitted = self._get(plan, in_dtype, rescale)
         if rescale:
             lo, hi = self.global_stats(source, outlier)

@@ -297,11 +297,21 @@ class Trainer:
         self.step = 0
         self.restored = False
         self._metrics_file = None
+        self._tb_train = self._tb_valid = None
         if log_path:
             os.makedirs(log_path, exist_ok=True)
             self._metrics_file = open(
                 os.path.join(log_path, "metrics.jsonl"), "a"
             )
+            # TensorBoard scalar/image summaries with Train/Valid writers,
+            # mirroring the reference layout (UnMicst1-5.py:403-443)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb_train = SummaryWriter(os.path.join(log_path, "Train"))
+                self._tb_valid = SummaryWriter(os.path.join(log_path, "Valid"))
+            except ImportError:
+                pass
 
     def _log(self, record: dict) -> None:
         if self._metrics_file:
@@ -356,6 +366,15 @@ class Trainer:
                     "elapsed_s": time.time() - t0,
                 }
             )
+            if self._tb_train and self.step % 20 == 0:  # cadence: :490,507
+                self._tb_train.add_scalar(
+                    "avg_cross_entropy", float(metrics["loss"]), self.step
+                )
+                for k, err in enumerate(np.asarray(vmetrics["errors"])):
+                    self._tb_valid.add_scalar(
+                        f"avg_pixel_error_{k}", float(err), self.step
+                    )
+                self._tb_valid.add_scalar("mean_error", e, self.step)
             if verbose:
                 print(f"step {self.step:05d}, e: {e:f}")
             if self.step % cfg.ckpt_every == 0 and e < self.lowest_error:

@@ -257,6 +257,36 @@ def imfeatures(
     return out
 
 
+def localstats3(volume, radius, justfeatnames=False):
+    """3D local percentile stack (``:149-161``)."""
+    return localstats(volume, radius, justfeatnames)
+
+
+def imfeatures3(
+    volume=None, sigma_deriv=2, sigma_log=2, loc_stats_rad=0, justfeatnames=False
+):
+    """3D feature stack: derivatives3 + LoG + local stats (``:270-296``)."""
+    if not isinstance(sigma_deriv, list):
+        sigma_deriv = [sigma_deriv]
+    if not isinstance(sigma_log, list):
+        sigma_log = [sigma_log]
+    deriv_names = imderivatives3(None, sigma_deriv, justfeatnames=True)
+    loc_names = localstats3(None, loc_stats_rad, True) if loc_stats_rad > 1 else []
+    if justfeatnames:
+        return (
+            deriv_names + [f"logSigma{int(s)}" for s in sigma_log] + loc_names
+        )
+    n_deriv = len(deriv_names)
+    n_feats = n_deriv + len(sigma_log) + len(loc_names)
+    out = np.zeros(volume.shape + (n_feats,))
+    out[..., :n_deriv] = imderivatives3(volume, sigma_deriv)
+    for i, s in enumerate(sigma_log):
+        out[..., n_deriv + i] = imlogfilt(volume, s)
+    if loc_stats_rad > 1:
+        out[..., n_deriv + len(sigma_log) :] = localstats3(volume, loc_stats_rad)
+    return out
+
+
 def stack2list(stack: np.ndarray) -> List[np.ndarray]:
     return [stack[..., i] for i in range(stack.shape[-1])]
 
