@@ -67,6 +67,24 @@ def main() -> None:
         maps = engine.infer_slide(slide)
         best = min(best, time.perf_counter() - t0)
 
+    # device-resident figure: same program, inputs already in HBM — the
+    # compute ceiling once the host link is out of the picture
+    key = ("slide", SIZE, SIZE, np.dtype(slide.dtype), -1, True)
+    jitted = engine._compiled[key]
+    from unmicst_tpu.core import tiler
+
+    raw_dev = jnp.asarray(slide)
+    win_dev = jnp.asarray(
+        tiler.ramp_window(bundle.hp.im_size, bundle.hp.margin)
+    )
+    out = jitted(engine.params, raw_dev, win_dev)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        out = jitted(engine.params, raw_dev, win_dev)
+    out.block_until_ready()
+    device_s = (time.perf_counter() - t0) / REPEATS
+
     mpx_s = SIZE * SIZE / 1e6 / best
     result = {
         "metric": "tiled_unet_inference_throughput",
@@ -78,6 +96,7 @@ def main() -> None:
             "slide": f"{SIZE}x{SIZE}",
             "classes_per_pass": int(bundle.hp.n_classes),
             "wall_s": round(best, 3),
+            "device_resident_mpx_s": round(SIZE * SIZE / 1e6 / device_s, 1),
             "device": str(jax.devices()[0]),
             "precision": "bfloat16 compute, f32 accumulate",
             "baseline": "reference-style torch CPU executor "

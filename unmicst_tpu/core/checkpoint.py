@@ -30,6 +30,7 @@ normalization sidecars in one file.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Dict, Optional, Tuple
@@ -131,6 +132,49 @@ def _validate_shapes(params: Params, hp: HParams) -> None:
     tk = tuple(params["top"]["kernel"].shape)
     if tk != (1, 1, widths[1], hp.n_classes):
         raise ValueError(f"top.kernel shape {tk}")
+
+
+def hp_from_tf1(
+    prefix: str, variant: str, base: Optional[HParams] = None
+) -> HParams:
+    """Derive the architecture hyper-parameters from a checkpoint's shapes.
+
+    Used when a model dir's ``hp.data`` disagrees with the only restorable
+    bundle (e.g. ``mousenucleiDAPI``: sidecar says nOut0=20 but the shipped
+    ``nuclei20x2bin1chan`` bundle is a 16-wide net).  ``im_size`` and
+    ``batch_size`` are not recoverable from shapes and come from ``base``.
+    """
+    ck = TF1Checkpoint(prefix)
+    legacy = get_variant(variant).legacy
+    k1 = "downsampling/ld0/kernel1" if legacy else "downsampling/ld0/kernelD0"
+    ks, _, n_channels, n_out0 = ck.get_shape(k1)
+    n_layers = 0
+    while ck.has_tensor(
+        f"downsampling/ld{n_layers}/kernel1" if legacy
+        else f"downsampling/ld{n_layers}/kernelD{n_layers}"
+    ):
+        n_layers += 1
+    n_extra = 0
+    extra_fmt = (
+        "downsampling/ld0/kernelExtra{}" if legacy else "ld0/kernelExtra{}"
+    )
+    while ck.has_tensor(extra_fmt.format(n_extra)):
+        n_extra += 1
+    n_classes = ck.get_shape("lt/kernel")[-1]
+    feat_fact = ck.get_shape("lb/kernel1")[-1] // ck.get_shape("lb/kernel1")[-2]
+    base = base or HParams(
+        im_size=128, n_channels=n_channels, n_classes=n_classes, n_out0=n_out0
+    )
+    return dataclasses.replace(
+        base,
+        n_channels=int(n_channels),
+        n_classes=int(n_classes),
+        n_out0=int(n_out0),
+        ks=int(ks),
+        n_layers=int(n_layers),
+        n_extra_convs=int(n_extra),
+        feat_maps_fact=int(feat_fact),
+    )
 
 
 def _find_ckpt_prefix(model_dir: str) -> Optional[str]:
@@ -334,4 +378,11 @@ def load_params_for_bundle(bundle: ModelBundle) -> Params:
             f"no restorable checkpoint in {bundle.model_dir} (the upstream "
             "repo fetches large blobs from S3 at Docker build, Dockerfile:4-5)"
         )
-    return load_tf1_params(prefix, bundle.hp, bundle.variant)
+    hp = bundle.hp
+    if not prefix.endswith("model.ckpt"):
+        # alternate bundle: trust its shapes over the (possibly stale)
+        # hp.data sidecar — e.g. mousenucleiDAPI's nuclei20x2bin1chan
+        derived = hp_from_tf1(prefix, bundle.variant, base=hp)
+        if derived != hp:
+            bundle.hp = hp = derived
+    return load_tf1_params(prefix, hp, bundle.variant)
