@@ -97,6 +97,47 @@ def test_stream_chunked_stats_match_numpy(model, rng, tmp_path):
     np.testing.assert_allclose(hi, np.percentile(raw, 97.5), rtol=1e-12)
 
 
+def test_stream_duo_stack(rng, tmp_path):
+    """Multi-channel streaming == whole-image duo path (per-channel rescale)."""
+    hp = HParams(
+        im_size=32, n_channels=2, n_classes=3, n_out0=6, ks=3, n_layers=1,
+        std_dev0=0.5,
+    )
+    params = unet.init_params(jax.random.PRNGKey(5), hp, "duo")
+    ch0 = (rng.rand(110, 70) * 60000).astype(np.uint16)
+    ch1 = (rng.rand(110, 70) * 30000).astype(np.uint16)
+
+    # whole path: host per-channel rescale then stack (UnMicst2.py:784-788)
+    from unmicst_tpu.io import preprocess as pp
+
+    planes = [
+        pp.preprocess_channel(c, 1.0, -1).net_input.astype(np.float32)
+        for c in (ch0, ch1)
+    ]
+    eng = InferenceEngine(hp, params, "duo", 0.18, 0.17)
+    whole = (eng.infer(np.stack(planes), channel_mode="stack") * 255).astype(
+        np.uint8
+    )
+
+    stream = StreamingEngine(
+        hp, params, "duo", 0.18, 0.17, compute_dtype=None, stripe_tile_rows=2
+    )
+    got = stream.infer_stack([ch0, ch1])
+    assert np.abs(whole.astype(int) - got.astype(int)).max() <= 1
+    # from-file sources identical
+    from unmicst_tpu.io.tiff import TiffFile, imwrite
+
+    p0, p1 = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+    imwrite(p0, ch0, bigtiff=False)
+    imwrite(p1, ch1, bigtiff=False)
+    with TiffFile(p0) as t0, TiffFile(p1) as t1:
+        got2 = stream.infer_stack([(t0, 0), (t1, 0)])
+    np.testing.assert_array_equal(got, got2)
+    # channel-count mismatch errors
+    with pytest.raises(ValueError):
+        stream.infer_stack([ch0])
+
+
 def test_stream_outlier_percentile(model, rng):
     hp, params = model
     raw = (rng.rand(100, 60) * 60000).astype(np.uint16)

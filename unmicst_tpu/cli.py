@@ -130,8 +130,8 @@ def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
     return _read(image_path, file_type, channel)
 
 
-def _run_streaming(args, bundle, tool, dapi_channel, class_order, file_type,
-                   stem, out_path, cyto, t_start) -> int:
+def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
+                   file_type, stem, out_path, cyto, t_start) -> int:
     """Large-slide path: StreamingEngine, bounded memory, uint8 end-to-end."""
     import jax.numpy as jnp
 
@@ -147,12 +147,22 @@ def _run_streaming(args, bundle, tool, dapi_channel, class_order, file_type,
     )
     t0 = time.perf_counter()
     with TiffFile(args.imagePath) as tf:
-        maps = stream.infer(
-            (tf, dapi_channel),
-            outlier=args.outlier,
-            rescale=tool != "unmicst-solo",  # the v2-solo quirk
-        )
-        raw = tf.read_page(dapi_channel)
+        if tool == "unmicst-duo":
+            chans = (
+                channels0 if len(channels0) == 2
+                else [dapi_channel, dapi_channel]
+            )
+            maps = stream.infer_stack(
+                [(tf, c) for c in chans], outlier=args.outlier
+            )
+            raw = tf.read_page(chans[-1])  # duo preview = last channel
+        else:
+            maps = stream.infer(
+                (tf, dapi_channel),
+                outlier=args.outlier,
+                rescale=tool != "unmicst-solo",  # the v2-solo quirk
+            )
+            raw = tf.read_page(dapi_channel)
     t_infer = time.perf_counter()
     raw_d = pp.im2double(raw)
     raw_norm = raw_d / raw_d.max() if raw_d.max() > 0 else raw_d
@@ -235,11 +245,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from unmicst_tpu.io.slides import TIFF_LIKE
 
     use_streaming = False
-    if (
-        tool != "unmicst-duo"
-        and args.scalingFactor == 1
-        and file_type in TIFF_LIKE
-    ):
+    if args.scalingFactor == 1 and file_type in TIFF_LIKE:
         from unmicst_tpu.io.tiff import TiffFile
 
         try:
@@ -253,13 +259,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             use_streaming = args.engine == "streaming"
     elif args.engine == "streaming":
         raise SystemExit(
-            "--engine streaming supports single-channel tools at "
-            "--scalingFactor 1"
+            "--engine streaming supports TIFF inputs at --scalingFactor 1"
         )
 
     if use_streaming:
-        return _run_streaming(args, bundle, tool, dapi_channel, class_order,
-                              file_type, stem, out_path, cyto, t_start)
+        return _run_streaming(args, bundle, tool, dapi_channel, channels0,
+                              class_order, file_type, stem, out_path, cyto,
+                              t_start)
 
     if tool == "unmicst-duo":
         chans = channels0 if len(channels0) == 2 else [dapi_channel, dapi_channel]

@@ -317,6 +317,78 @@ class StreamingEngine:
             self._drain(pending.pop(0), out, plan, m)
         return out
 
+    def infer_stack(
+        self,
+        sources,
+        outlier: float = -1,
+        rescale: bool = True,
+        out: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Multi-channel (duo) streaming: one source per net channel.
+
+        Each channel is intensity-rescaled with its own global range, the
+        duo contract (``UnMicst2.py:784-788``).  ``sources``: list of numpy
+        arrays or ``(TiffFile, page)`` pairs, length ``hp.n_channels``.
+        """
+        if len(sources) != self.hp.n_channels:
+            raise ValueError(
+                f"model expects {self.hp.n_channels} channels, got "
+                f"{len(sources)}"
+            )
+
+        def dims(src):
+            if isinstance(src, np.ndarray):
+                return src.shape
+            tf, page = src
+            return tf.pages[page].height, tf.pages[page].width
+
+        height, width = dims(sources[0])
+        for s in sources[1:]:
+            if dims(s) != (height, width):
+                raise ValueError("channel sources must share dimensions")
+        plan = self._plan(height, width)
+        jitted = self._get(plan, np.uint16, rescale)
+        if not rescale:
+            for s in sources:
+                dt = s.dtype if isinstance(s, np.ndarray) else s[0].pages[s[1]].dtype
+                if np.dtype(dt) not in (np.dtype(np.uint16), np.dtype(np.float32)):
+                    raise ValueError(
+                        "infer_stack(rescale=False) requires uint16 sources"
+                    )
+        if rescale:
+            stats = [self.global_stats(s, outlier) for s in sources]
+            lo = np.asarray([a for a, _ in stats], np.float32)
+            hi = np.asarray([b for _, b in stats], np.float32)
+        else:
+            lo = np.zeros(len(sources), np.float32)
+            hi = np.ones(len(sources), np.float32)
+        win = jnp.asarray(tiler.ramp_window(self.hp.im_size, self.hp.margin))
+        grid = plan.grid
+        m = grid.margin
+        if out is None:
+            out = np.empty((self.hp.n_classes, height, width), np.uint8)
+        pending = []
+        for s in range(plan.n_stripes):
+            canvas = np.zeros(
+                (plan.in_rows, grid.padded_width, self.hp.n_channels),
+                np.uint16,
+            )
+            raw_r0 = (s * plan.S - 1) * grid.sub - m
+            for c, src in enumerate(sources):
+                canvas[:, m : m + width, c] = self._read_rows(
+                    src, raw_r0, plan.in_rows
+                )
+            dev = jitted(
+                self.params, jnp.asarray(canvas), jnp.int32(s * plan.S - 1),
+                jnp.asarray(lo), jnp.asarray(hi), win,
+            )
+            pending.append((s, dev))
+            if len(pending) >= self.in_flight:
+                self._drain(pending.pop(0), out, plan, m)
+        while pending:
+            self._drain(pending.pop(0), out, plan, m)
+        return out
+
     def _drain(self, item, out, plan: _StripePlan, m: int) -> None:
         s, dev = item
         band = np.asarray(dev)  # (S*sub, W', K)
