@@ -15,14 +15,19 @@ RUN pip install --no-cache-dir "jax[tpu]" flax optax numpy scipy pillow \
     && pip install --no-cache-dir . \
     && python native/build.py
 
-# Model zoo: hp/mean/std sidecars come from the upstream repo; the two
-# large v2 checkpoint blobs live on S3 (reference Dockerfile:4-5) —
-# fail fast if unavailable, exactly like the reference's `curl -f`.
-RUN mkdir -p models/nucleiDAPILAMIN models/nucleiDAPI1-5 \
-    && curl -f -o models/nucleiDAPILAMIN/model.ckpt.data-00000-of-00001 \
-       https://mcmicro.s3.amazonaws.com/models/nucleiDAPILAMIN/model.ckpt.data-00000-of-00001 \
-    && curl -f -o models/nucleiDAPI1-5/model.ckpt.data-00000-of-00001 \
-       https://mcmicro.s3.amazonaws.com/models/nucleiDAPI1-5/model.ckpt.data-00000-of-00001
+# Model zoo: sidecars + checkpoint indexes come from the upstream repo,
+# the two large v2 data blobs from S3 (reference Dockerfile:4-5) — fail
+# fast if unavailable, exactly like the reference's `curl -f`.
+ARG UPSTREAM=https://raw.githubusercontent.com/HMS-IDAC/UnMicst/master/models
+RUN set -e; \
+    for m in nucleiDAPILAMIN nucleiDAPI1-5; do \
+        mkdir -p models/$m; \
+        for f in hp.data datasetMean.data datasetStDev.data model.ckpt.index; do \
+            curl -f -o "models/$m/$f" "$UPSTREAM/$m/$f"; \
+        done; \
+        curl -f -o models/$m/model.ckpt.data-00000-of-00001 \
+            https://mcmicro.s3.amazonaws.com/models/$m/model.ckpt.data-00000-of-00001; \
+    done
 
 ENV UNMICST_TPU_MODEL_ROOT=/app/models
 ENTRYPOINT ["unmicst-tpu"]

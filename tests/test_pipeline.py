@@ -83,8 +83,6 @@ def test_stream_float32_cast_quirk(model, rng):
 
 def test_stream_chunked_stats_match_numpy(model, rng, tmp_path):
     """Histogram-based percentile over TIFF chunks == np.percentile."""
-    from unmicst_tpu.io.tiff import TiffFile, imwrite
-
     hp, params = model
     raw = (rng.rand(300, 200) * 60000).astype(np.uint16)
     path = str(tmp_path / "s.tif")
@@ -95,6 +93,21 @@ def test_stream_chunked_stats_match_numpy(model, rng, tmp_path):
         lo2, hi2 = stream.global_stats((tf, 0), outlier=-1)
     assert lo == raw.min() and lo2 == raw.min() and hi2 == raw.max()
     np.testing.assert_allclose(hi, np.percentile(raw, 97.5), rtol=1e-12)
+
+
+def test_stream_stats_int16(model, rng, tmp_path):
+    """Signed 16-bit TIFFs use the offset histogram (regression: bincount
+    raised on negatives)."""
+    hp, params = model
+    raw = (rng.rand(100, 80) * 20000 - 10000).astype(np.int16)
+    path = str(tmp_path / "i16.tif")
+    imwrite(path, raw, bigtiff=False)
+    stream = StreamingEngine(hp, params, "legacy", 0.3, 0.2)
+    with TiffFile(path) as tf:
+        lo, hi = stream.global_stats((tf, 0), outlier=-1)
+        lo2, hi2 = stream.global_stats((tf, 0), outlier=90.0)
+    assert lo == raw.min() and hi == raw.max()
+    np.testing.assert_allclose(hi2, np.percentile(raw, 90.0), rtol=1e-9)
 
 
 def test_stream_duo_stack(rng, tmp_path):

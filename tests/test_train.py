@@ -49,6 +49,24 @@ def test_corpus_loads_reference_layout(tmp_path, rng):
     np.testing.assert_allclose(corpus.weights[0, :, :, 0], tr.BG_WEIGHT)
 
 
+def test_corpus_multichannel_single_aug(tmp_path, rng):
+    """n_aug=1 with 2 channels must read distinct pages per channel
+    (regression: the page formula special-cased A==1 to page 0)."""
+    hp2 = HParams(
+        im_size=32, n_channels=2, n_classes=3, n_out0=4, ks=3, n_layers=1
+    )
+    cfg = tr.TrainConfig.for_variant("duo", n_aug=1)
+    _write_corpus(str(tmp_path), 2, 1, rng, n_channels=2)
+    corpus = tr.Corpus(str(tmp_path), 2, hp2, cfg)
+    ch0 = corpus.images[0, :, :, 0, 0]
+    ch1 = corpus.images[0, :, :, 0, 1]
+    assert not np.allclose(ch0, ch1)
+    # cross-check channel 1 against the file's page 1
+    page1 = imread(str(tmp_path / "I00000_Img.tif"), 1)
+    expect = (page1 / 65535.0 - cfg.dataset_mean) / cfg.dataset_std
+    np.testing.assert_allclose(ch1, expect, atol=1e-6)
+
+
 def test_corpus_batches_augment(tmp_path, rng):
     cfg = tr.TrainConfig.for_variant("v2", n_aug=2)
     _write_corpus(str(tmp_path), 5, 2, rng)

@@ -65,23 +65,33 @@ def discover_slides(
     return slides
 
 
-def _cursor_path(out_dir: str) -> str:
-    return os.path.join(out_dir, ".unmicst-tpu-cursor.json")
+def _cursor_path(out_dir: str, shard_index: int = 0) -> str:
+    # per-shard cursor files: concurrent shards sweeping into one output
+    # dir never rewrite each other's completion records
+    suffix = f".{shard_index}" if shard_index else ""
+    return os.path.join(out_dir, f".unmicst-tpu-cursor{suffix}.json")
 
 
-def _load_cursor(out_dir: str) -> dict:
-    try:
-        with open(_cursor_path(out_dir)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {"done": []}
+def _load_done(out_dir: str) -> set:
+    """Union of every shard's completion records in this output dir."""
+    import glob as _glob
+
+    done = set()
+    for path in _glob.glob(os.path.join(out_dir, ".unmicst-tpu-cursor*.json")):
+        try:
+            with open(path) as f:
+                done.update(json.load(f).get("done", []))
+        except (OSError, ValueError):
+            pass
+    return done
 
 
-def _save_cursor(out_dir: str, cursor: dict) -> None:
-    tmp = _cursor_path(out_dir) + ".tmp"
+def _save_cursor(out_dir: str, cursor: dict, shard_index: int = 0) -> None:
+    path = _cursor_path(out_dir, shard_index)
+    tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(cursor, f)
-    os.replace(tmp, _cursor_path(out_dir))
+    os.replace(tmp, path)
 
 
 def run_sweep(
@@ -118,13 +128,14 @@ def run_sweep(
 
     report = BatchReport()
     t_start = time.perf_counter()
+    my_done: dict = {}
     my_slides = slides[shard_index::num_shards]
     for slide in my_slides:
         slide_dir = os.path.dirname(slide)
         this_out = out_dir or os.path.join(os.path.dirname(slide_dir), "prob_maps")
         os.makedirs(this_out, exist_ok=True)
-        cursor = _load_cursor(this_out) if resume else {"done": []}
-        if slide in cursor["done"]:
+        done = _load_done(this_out) if resume else set()
+        if slide in done:
             report.skipped.append(slide)
             continue
         stem = os.path.basename(slide).split(os.extsep, 1)[0]
@@ -148,8 +159,16 @@ def run_sweep(
             mpx = raw.shape[0] * raw.shape[1] / 1e6
             report.mpx_total += mpx
             report.completed.append(slide)
-            cursor["done"].append(slide)
-            _save_cursor(this_out, cursor)
+            if this_out not in my_done:
+                # seed with this shard's prior records so a resumed run
+                # doesn't truncate its own cursor file
+                try:
+                    with open(_cursor_path(this_out, shard_index)) as f:
+                        my_done[this_out] = list(json.load(f).get("done", []))
+                except (OSError, ValueError):
+                    my_done[this_out] = []
+            my_done[this_out].append(slide)
+            _save_cursor(this_out, {"done": my_done[this_out]}, shard_index)
             if verbose:
                 print(f"[sweep] {slide}: {mpx:.1f} Mpx in {dt:.2f}s")
         except Exception:

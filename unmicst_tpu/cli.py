@@ -136,7 +136,6 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
     import jax.numpy as jnp
 
     from unmicst_tpu.core.checkpoint import load_params_for_bundle
-    from unmicst_tpu.io import preprocess as pp
     from unmicst_tpu.io.tiff import TiffFile, imwrite
     from unmicst_tpu.runtime.pipeline import StreamingEngine
 
@@ -145,6 +144,24 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
     stream = StreamingEngine.from_bundle(
         bundle, params, compute_dtype=compute_dtype, tile_batch=args.tileBatch
     )
+    def preview_u8(tf: "TiffFile", page: int) -> np.ndarray:
+        """uint8(255 * im2double(raw)/max) built chunk-wise — the preview
+        is the one full-resolution host artifact, kept at 1 B/px instead
+        of materializing float64 copies of the slide."""
+        h, w = tf.pages[page].height, tf.pages[page].width
+        chunk = max(1, (64 << 20) // max(1, w * 2))
+        vmax = 0.0
+        for r0 in range(0, h, chunk):
+            rows = tf.read_region(page, r0, 0, min(chunk, h - r0), w)
+            vmax = max(vmax, float(rows.max()))
+        out = np.empty((h, w), np.uint8)
+        for r0 in range(0, h, chunk):
+            rows = tf.read_region(page, r0, 0, min(chunk, h - r0), w)
+            out[r0 : r0 + rows.shape[0]] = np.uint8(
+                255 * (rows.astype(np.float32) / max(vmax, 1e-12))
+            )
+        return out
+
     t0 = time.perf_counter()
     with TiffFile(args.imagePath) as tf:
         if tool == "unmicst-duo":
@@ -155,17 +172,17 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
             maps = stream.infer_stack(
                 [(tf, c) for c in chans], outlier=args.outlier
             )
-            raw = tf.read_page(chans[-1])  # duo preview = last channel
+            raw_page = chans[-1]  # duo preview = last channel
         else:
             maps = stream.infer(
                 (tf, dapi_channel),
                 outlier=args.outlier,
                 rescale=tool != "unmicst-solo",  # the v2-solo quirk
             )
-            raw = tf.read_page(dapi_channel)
-    t_infer = time.perf_counter()
-    raw_d = pp.im2double(raw)
-    raw_norm = raw_d / raw_d.max() if raw_d.max() > 0 else raw_d
+            raw_page = dapi_channel
+        t_infer = time.perf_counter()
+        raw_shape = (tf.pages[raw_page].height, tf.pages[raw_page].width)
+        raw_u8 = preview_u8(tf, raw_page)
 
     chan_suffix = str(dapi_channel if cyto else dapi_channel + 1)
     qc_dir = out_path if cyto else os.path.join(out_path, "qc")
@@ -180,18 +197,16 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
             imwrite(prob_file, maps[i_class], bigtiff=True, append=slice_idx > 0)
             if slice_idx == 1:
                 imwrite(preview_file, maps[i_class], bigtiff=True, append=False)
-                imwrite(
-                    preview_file, np.uint8(255 * raw_norm), bigtiff=True, append=True
-                )
+                imwrite(preview_file, raw_u8, bigtiff=True, append=True)
     else:
         if len(class_order) < 3:
             raise SystemExit("non-stack output needs 3 classes; use --stackOutput")
         f = out_file("ContoursPM")
         imwrite(f, maps[class_order[1]], bigtiff=True, append=False)
-        imwrite(f, np.uint8(255 * raw_norm), bigtiff=True, append=True)
+        imwrite(f, raw_u8, bigtiff=True, append=True)
         imwrite(out_file("NucleiPM"), maps[class_order[2]], bigtiff=True, append=False)
     if args.stats or args.verbose:
-        h, w = raw.shape
+        h, w = raw_shape
         infer_s = t_infer - t0
         print(
             f"[unmicst-tpu] streaming infer {infer_s:.2f}s "

@@ -85,8 +85,10 @@ def pad_canvas3d(volume: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:
     return jnp.pad(volume, pads)
 
 
-def _idx(n: int, sub: int, patch: int) -> jnp.ndarray:
-    return jnp.asarray(np.arange(n)[:, None] * sub + np.arange(patch)[None, :])
+def _idx(n: int, sub: int, patch: int) -> np.ndarray:
+    # numpy by convention: device-array constants in jitted callers cost a
+    # device->host fetch at lowering on tunneled runtimes (see tiler)
+    return np.arange(n)[:, None] * sub + np.arange(patch)[None, :]
 
 
 def unfold3d(padded: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:
@@ -101,14 +103,9 @@ def unfold3d(padded: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:
 
 
 def _fold_axis(tiles: jnp.ndarray, sub: int) -> jnp.ndarray:
-    n, patch = tiles.shape[0], tiles.shape[1]
-    two_m = patch - sub
-    main = tiles[:, :sub]
-    tail = tiles[:, sub:]
-    pad_spec = [(1, 0), (0, sub - two_m)] + [(0, 0)] * (tiles.ndim - 2)
-    add = jnp.pad(tail[:-1], pad_spec)
-    chunks = (main + add).reshape((n * sub,) + tiles.shape[2:])
-    return jnp.concatenate([chunks, tail[-1]], axis=0)
+    from unmicst_tpu.core.tiler import _fold_axis as _fold2d
+
+    return _fold2d(tiles, sub, 0)  # margin arg unused by the 2D impl
 
 
 def fold3d(tiles: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:

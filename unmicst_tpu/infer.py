@@ -25,7 +25,9 @@ Parity note: the reference accumulates in float16 (``PartitionOfImage.py:
 
 from __future__ import annotations
 
+import collections
 import functools
+import threading
 from typing import Optional
 
 import jax
@@ -71,7 +73,12 @@ class InferenceEngine:
         self.compute_dtype = compute_dtype
         self.tile_batch = int(tile_batch)
         self.accum_dtype = accum_dtype
-        self._compiled = {}
+        # bounded, thread-safe program cache: long-running services see
+        # many slide geometries; each compiled program holds host+HBM
+        # memory, so evict FIFO beyond max_cached_programs
+        self.max_cached_programs = 16
+        self._compiled = collections.OrderedDict()
+        self._cache_lock = threading.Lock()
 
     @classmethod
     def from_bundle(cls, bundle: ModelBundle, params: Params, **kw):
@@ -161,11 +168,20 @@ class InferenceEngine:
         jitted = jax.jit(run)
         return jitted, grid, canvas_h, canvas_w
 
+    def _cache_put(self, key, value):
+        with self._cache_lock:
+            self._compiled[key] = value
+            while len(self._compiled) > self.max_cached_programs:
+                self._compiled.popitem(last=False)
+        return value
+
     def _get(self, height: int, width: int):
         key = (height, width)
-        if key not in self._compiled:
-            self._compiled[key] = self._build(height, width)
-        return self._compiled[key]
+        with self._cache_lock:
+            hit = self._compiled.get(key)
+        if hit is None:
+            hit = self._cache_put(key, self._build(height, width))
+        return hit
 
     # -- public API ----------------------------------------------------------
 
@@ -263,13 +279,16 @@ class InferenceEngine:
         ``scalingFactor == 1`` (float32 instead of float64 intermediate;
         observed output difference <= 1 uint8 level).
         """
+        if raw.dtype == np.float32:
+            raw = raw.astype(np.uint16)  # parity cast (UnMicst1-5.py:807-808)
         height, width = raw.shape
         key = ("slide", height, width, np.dtype(raw.dtype), outlier, rescale)
-        if key not in self._compiled:
-            self._compiled[key] = self._build_slide(
-                height, width, raw.dtype, outlier, rescale
+        with self._cache_lock:
+            jitted = self._compiled.get(key)
+        if jitted is None:
+            jitted = self._cache_put(
+                key, self._build_slide(height, width, raw.dtype, outlier, rescale)
             )
-        jitted = self._compiled[key]
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
         out = jitted(self.params, jnp.asarray(raw), jnp.asarray(window))
         return np.moveaxis(np.asarray(out), -1, 0)

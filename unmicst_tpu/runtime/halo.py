@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # public API since jax 0.8; experimental path removed later
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from unmicst_tpu.core import tiler, unet
 from unmicst_tpu.core.hp import HParams
@@ -161,13 +165,6 @@ def build_canvas(
     return canvas
 
 
-def spatial_infer_jit(hp: HParams, variant: str, mesh: Mesh, **kw):
-    """Jitted closure for repeated same-geometry calls."""
-
-    def fn(params, canvas, height, width, mean, std):
-        return spatial_infer(
-            params, canvas, height, width, hp, variant, mesh,
-            mean=mean, std=std, **kw,
-        )
-
-    return fn
+# For repeated same-geometry calls, wrap spatial_infer in jax.jit at the
+# call site with geometry baked into the closure (see
+# tests/test_parallel.py::test_halo_under_jit).

@@ -250,17 +250,29 @@ class StreamingEngine:
 
         tf, page = source
         h, w = tf.pages[page].height, tf.pages[page].width
+        # signed 16-bit offsets into the 64k bins; wider integer types
+        # would silently alias, so reject them explicitly
+        page_dtype = np.dtype(tf.pages[page].dtype)
+        if page_dtype == np.int16:
+            offset = 32768
+        elif page_dtype in (np.dtype(np.uint8), np.dtype(np.uint16),
+                            np.dtype(np.float32)):
+            offset = 0  # float32 is parity-cast to uint16 by _cast_raw
+        else:
+            raise NotImplementedError(
+                f"streaming stats for dtype {page_dtype} not supported"
+            )
         hist = np.zeros(65536, np.int64)
         chunk = max(1, (64 << 20) // max(1, w * 2))  # ~64 MB chunks
         for r0 in range(0, h, chunk):
             rows = self._cast_raw(
                 tf.read_region(page, r0, 0, min(chunk, h - r0), w)
-            ).astype(np.int64)
+            ).astype(np.int64) + offset
             hist += np.bincount(rows.ravel(), minlength=65536)[:65536]
         nz = np.nonzero(hist)[0]
-        lo = float(nz[0])
+        lo = float(nz[0]) - offset
         if outlier == -1:
-            return lo, float(nz[-1])
+            return lo, float(nz[-1]) - offset
         # np.percentile 'linear': value at fractional order-stat position
         n = int(hist.sum())
         pos = (n - 1) * outlier / 100.0
@@ -269,7 +281,7 @@ class StreamingEngine:
         cum = np.cumsum(hist)
         v_k = float(np.searchsorted(cum, k + 1))
         v_k1 = float(np.searchsorted(cum, k + 2)) if frac > 0 else v_k
-        return lo, v_k + frac * (v_k1 - v_k)
+        return lo, v_k + frac * (v_k1 - v_k) - offset
 
     def infer(
         self,

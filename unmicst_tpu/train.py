@@ -205,8 +205,9 @@ class Corpus:
             img_path = os.path.join(path, f"I{idx:05d}_Img.tif")
             for c in range(C):
                 for a in range(A):
-                    page = a + A * c if A > 1 else 0
-                    im = pp.im2double(imread(img_path, page))
+                    # page = iAug + nAug*iChan (UnMicst1-5.py:299); for the
+                    # legacy single-page corpus this is page 0
+                    im = pp.im2double(imread(img_path, a + A * c))
                     self.images[row, :, :, a, c] = (
                         im - cfg.dataset_mean
                     ) / cfg.dataset_std
