@@ -16,7 +16,6 @@ import pytest
 pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WORKER = os.path.join(REPO, "tests", "mp_train_worker.py")
 
 
 def _free_port() -> int:
@@ -25,13 +24,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_train_step():
+def _run_two(worker: str):
     port = str(_free_port())
     env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # one device per process
     procs = [
         subprocess.Popen(
-            [sys.executable, "-u", WORKER, str(rank), port],
+            [sys.executable, "-u", os.path.join(REPO, "tests", worker),
+             str(rank), port],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True,
         )
@@ -42,6 +42,11 @@ def test_two_process_dp_train_step():
         out, _ = p.communicate(timeout=240)
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
+    return outs
+
+
+def test_two_process_dp_train_step():
+    outs = _run_two("mp_train_worker.py")
     losses = [
         float(m.group(1))
         for out in outs
@@ -51,3 +56,10 @@ def test_two_process_dp_train_step():
     assert len(losses) == 2, outs
     # both processes see the identical all-reduced loss
     assert abs(losses[0] - losses[1]) < 1e-6
+
+
+def test_two_process_spatial_halo():
+    """ppermute halo exchange across process boundaries equals the
+    single-device blend (the DCN stand-in for pod-scale CP)."""
+    outs = _run_two("mp_halo_worker.py")
+    assert all("HALO_OK" in out for out in outs), outs

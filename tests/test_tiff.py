@@ -128,6 +128,33 @@ def test_append_to_pil_written_file(tmp_path, rng):
         assert np.array_equal(tf.read_page(1), x2)
 
 
+def test_truncation_and_corruption_fail_cleanly(tmp_path, rng):
+    """Damaged files raise exceptions (never hang or segfault)."""
+    x = (rng.rand(64, 64) * 65535).astype(np.uint16)
+    fn = str(tmp_path / "ok.tif")
+    imwrite(fn, x, bigtiff=False)
+    blob = open(fn, "rb").read()
+    for cut in [3, 7, 16, len(blob) // 2, len(blob) - 5]:
+        bad = str(tmp_path / f"cut{cut}.tif")
+        open(bad, "wb").write(blob[:cut])
+        with pytest.raises(Exception):
+            with TiffFile(bad) as tf:
+                tf.read_page(0)
+    # random byte flips in the header/IFD region
+    for seed in range(5):
+        r = np.random.RandomState(seed)
+        mutated = bytearray(blob)
+        for _ in range(8):
+            mutated[r.randint(0, min(256, len(blob)))] = r.randint(0, 256)
+        bad = str(tmp_path / f"flip{seed}.tif")
+        open(bad, "wb").write(bytes(mutated))
+        try:
+            with TiffFile(bad) as tf:
+                tf.read_page(0)  # may succeed or raise; must return
+        except Exception:
+            pass
+
+
 def test_big_endian_input(tmp_path, rng):
     x = (rng.rand(50, 60) * 65535).astype(">u2")
     fn = str(tmp_path / "be.tif")
