@@ -74,7 +74,7 @@ def main() -> None:
 
     # device-resident figure: same program, inputs already in HBM — the
     # compute ceiling once the host link is out of the picture
-    key = ("slide", SIZE, SIZE, np.dtype(slide.dtype), -1, True)
+    key = ("slide", SIZE, SIZE, np.dtype(slide.dtype), -1, True, None)
     jitted = engine._compiled[key]
     from unmicst_tpu.core import tiler
 

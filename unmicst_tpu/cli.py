@@ -162,6 +162,12 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
             )
         return out
 
+    # non-stack output needs only the contour+nuclei planes; fetching just
+    # those cuts a third of the device->host traffic
+    classes = (
+        None if args.stackOutput or len(class_order) < 3
+        else (class_order[1], class_order[2])
+    )
     t0 = time.perf_counter()
     with TiffFile(args.imagePath) as tf:
         if tool == "unmicst-duo":
@@ -178,6 +184,7 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
                 (tf, dapi_channel),
                 outlier=args.outlier,
                 rescale=tool != "unmicst-solo",  # the v2-solo quirk
+                classes=classes,
             )
             raw_page = dapi_channel
         t_infer = time.perf_counter()
@@ -201,10 +208,14 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
     else:
         if len(class_order) < 3:
             raise SystemExit("non-stack output needs 3 classes; use --stackOutput")
+        contours_i, nuclei_i = (
+            (0, 1) if classes is not None
+            else (class_order[1], class_order[2])
+        )
         f = out_file("ContoursPM")
-        imwrite(f, maps[class_order[1]], bigtiff=True, append=False)
+        imwrite(f, maps[contours_i], bigtiff=True, append=False)
         imwrite(f, raw_u8, bigtiff=True, append=True)
-        imwrite(out_file("NucleiPM"), maps[class_order[2]], bigtiff=True, append=False)
+        imwrite(out_file("NucleiPM"), maps[nuclei_i], bigtiff=True, append=False)
     if args.stats or args.verbose:
         h, w = raw_shape
         infer_s = t_infer - t0

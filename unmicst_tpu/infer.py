@@ -230,7 +230,7 @@ class InferenceEngine:
     # -- device-side end-to-end slide path -----------------------------------
 
     def _build_slide(self, height: int, width: int, in_dtype, outlier: float,
-                     rescale: bool):
+                     rescale: bool, classes=None):
         """Jitted raw-slide pipeline: uint16 in, uint8 maps out.
 
         Fuses the host preprocessing (``UnMicst1-5.py:817-821``:
@@ -263,6 +263,10 @@ class InferenceEngine:
                 (m, m, 0),
             )
             probs = core(params, canvas, win)  # (H, W, K) f32 — inlined jit
+            if classes is not None:
+                # only the requested planes ride the link back (non-stack
+                # mode needs 2 of 3 — a third less D2H)
+                probs = probs[..., list(classes)]
             return (probs * 255.0).astype(jnp.uint8)
 
         return jax.jit(run)
@@ -272,22 +276,30 @@ class InferenceEngine:
         raw: np.ndarray,
         outlier: float = -1,
         rescale: bool = True,
+        classes=None,
     ) -> np.ndarray:
         """Raw single-channel slide -> uint8 [K, H, W] probability maps.
 
         Device-side preprocessing parity with the reference CLI at
         ``scalingFactor == 1`` (float32 instead of float64 intermediate;
-        observed output difference <= 1 uint8 level).
+        observed output difference <= 1 uint8 level).  ``classes``: optional
+        tuple of class indexes to return (in that order).
         """
         if raw.dtype == np.float32:
             raw = raw.astype(np.uint16)  # parity cast (UnMicst1-5.py:807-808)
+        if classes is not None:
+            classes = tuple(int(c) for c in classes)
         height, width = raw.shape
-        key = ("slide", height, width, np.dtype(raw.dtype), outlier, rescale)
+        key = ("slide", height, width, np.dtype(raw.dtype), outlier, rescale,
+               classes)
         with self._cache_lock:
             jitted = self._compiled.get(key)
         if jitted is None:
             jitted = self._cache_put(
-                key, self._build_slide(height, width, raw.dtype, outlier, rescale)
+                key,
+                self._build_slide(
+                    height, width, raw.dtype, outlier, rescale, classes
+                ),
             )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
         out = jitted(self.params, jnp.asarray(raw), jnp.asarray(window))

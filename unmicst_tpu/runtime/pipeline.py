@@ -107,7 +107,7 @@ class StreamingEngine:
 
     # -- per-stripe jit ------------------------------------------------------
 
-    def _build(self, plan: _StripePlan, in_dtype, rescale: bool):
+    def _build(self, plan: _StripePlan, in_dtype, rescale: bool, classes=None):
         hp = self.hp
         inv_scale = 1.0 / {
             np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0
@@ -168,14 +168,19 @@ class StreamingEngine:
             band = strip[sub : sub + S * sub]
             cband = wcount[sub : sub + S * sub]
             pm = band / jnp.maximum(cband[..., None], 1e-12)
+            if classes is not None:
+                pm = pm[..., list(classes)]
             return (pm * 255.0).astype(jnp.uint8)
 
         return jax.jit(run)
 
-    def _get(self, plan: _StripePlan, in_dtype, rescale: bool):
-        key = (plan.height, plan.width, plan.S, np.dtype(in_dtype), rescale)
+    def _get(self, plan: _StripePlan, in_dtype, rescale: bool, classes=None):
+        if classes is not None:
+            classes = tuple(int(c) for c in classes)
+        key = (plan.height, plan.width, plan.S, np.dtype(in_dtype), rescale,
+               classes)
         if key not in self._compiled:
-            self._compiled[key] = self._build(plan, in_dtype, rescale)
+            self._compiled[key] = self._build(plan, in_dtype, rescale, classes)
         return self._compiled[key]
 
     # -- host-side stripe assembly ------------------------------------------
@@ -289,8 +294,12 @@ class StreamingEngine:
         outlier: float = -1,
         rescale: bool = True,
         out: Optional[np.ndarray] = None,
+        classes=None,
     ) -> np.ndarray:
-        """Stream the slide; returns uint8 [K, H, W] (or fills ``out``)."""
+        """Stream the slide; returns uint8 [K, H, W] (or fills ``out``).
+
+        ``classes``: optional tuple of class indexes to emit (that order).
+        """
         if isinstance(source, np.ndarray):
             height, width = source.shape
         else:
@@ -303,7 +312,7 @@ class StreamingEngine:
         )
         if np.dtype(in_dtype) == np.float32:
             in_dtype = np.uint16  # parity cast (see _cast_raw)
-        jitted = self._get(plan, in_dtype, rescale)
+        jitted = self._get(plan, in_dtype, rescale, classes)
         if rescale:
             lo, hi = self.global_stats(source, outlier)
         else:
@@ -311,8 +320,9 @@ class StreamingEngine:
         win = jnp.asarray(tiler.ramp_window(self.hp.im_size, self.hp.margin))
         grid = plan.grid
         m = grid.margin
+        n_out = len(classes) if classes is not None else self.hp.n_classes
         if out is None:
-            out = np.empty((self.hp.n_classes, height, width), np.uint8)
+            out = np.empty((n_out, height, width), np.uint8)
 
         # async pipeline: keep `in_flight` stripes dispatched ahead
         pending = []
