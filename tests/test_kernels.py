@@ -9,6 +9,22 @@ from unmicst_tpu.core import tiler
 from unmicst_tpu.kernels.blend import blend_fold_pallas
 
 
+@pytest.mark.parametrize("t,k,p", [(6, 3, 128), (4, 2, 128)])
+def test_fused_tail_matches_xla(rng, t, k, p):
+    from unmicst_tpu.kernels.fused_tail import softmax_blend_weights
+
+    logits = jnp.asarray(rng.randn(t, k, p, p).astype(np.float32))
+    win = tiler.ramp_window(p, p // 8)
+    mask = jnp.asarray((rng.rand(t) > 0.3).astype(np.float32))
+    ref = np.asarray(
+        jax.nn.softmax(logits, axis=1)
+        * jnp.asarray(win)[None, None]
+        * mask[:, None, None, None]
+    )
+    got = np.asarray(softmax_blend_weights(logits, win, mask, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
 @pytest.mark.parametrize(
     "shape,patch,margin,k",
     [((100, 120), 64, 8, 3), ((60, 60), 32, 4, 1), ((200, 90), 64, 8, 2)],

@@ -62,6 +62,30 @@ def test_infer_roundtrip(server_url, tmp_path, rng):
     assert np.abs(total - 255).max() <= 3  # probabilities sum to ~1
 
 
+def test_concurrent_requests(server_url, tmp_path, rng):
+    """Two simultaneous inferences share one engine safely (cache lock)."""
+    import concurrent.futures
+
+    def one(seed):
+        r = np.random.RandomState(seed)
+        raw = (r.rand(64 + seed, 80) * 60000).astype(np.uint16)
+        src = str(tmp_path / f"in{seed}.tif")
+        imwrite(src, raw, bigtiff=False)
+        req = urllib.request.Request(
+            server_url + "/infer?model=nucleiDAPI&channel=0",
+            data=open(src, "rb").read(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            meta = json.loads(resp.headers["X-UnMicst-Meta"])
+            resp.read()
+        return meta["shape"]
+
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        shapes = list(ex.map(one, [1, 2]))
+    assert shapes == [[65, 80], [66, 80]]
+
+
 def test_infer_unknown_model(server_url, tmp_path, rng):
     raw = (rng.rand(40, 40) * 60000).astype(np.uint16)
     src = str(tmp_path / "in.tif")

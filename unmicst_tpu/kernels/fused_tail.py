@@ -1,0 +1,74 @@
+"""Pallas TPU kernel: fused per-tile softmax -> blend-window weighting.
+
+The inference tail turns per-tile logits into window-weighted class
+probabilities (softmax over classes, multiply by the PI2D ramp window and
+the phantom-tile mask) before the overlap-add fold.  This kernel fuses
+those into one VMEM pass per tile.
+
+Layout lesson encoded here (cf. ``kernels/blend.py``'s negative result):
+with NHWC the class axis lands in the 128-lane dimension where K=2..3
+wastes >97% of each lane tile, and overlap windows break 128-alignment.
+Putting classes in a *leading* (batch) axis — ``[T, K, P, P]`` — leaves the
+aligned ``(P, P) = (128, 128)`` spatial plane in the (sublane, lane) dims,
+and the per-tile phantom mask rides in as a scalar-prefetch operand
+(``PrefetchScalarGridSpec``), so the kernel compiles cleanly on Mosaic and
+interprets on CPU.
+
+Measured on v5e (512 tiles x 3 classes x 128^2, f32): bit-exact vs the XLA
+composition, 2.52 ms vs 2.30 ms — XLA's automatic fusion already saturates
+this memory-bound chain, so it remains the default path; the kernel stands
+as the validated template for layouts Mosaic accepts (class-leading batch
+axis + scalar prefetch).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _tail_kernel(mask_ref, logits_ref, win_ref, out_ref):
+    i = pl.program_id(0)
+    x = logits_ref[0]  # (K, P, P)
+    m = jnp.max(x, axis=0, keepdims=True)
+    e = jnp.exp(x - m)
+    probs = e / jnp.sum(e, axis=0, keepdims=True)
+    w = win_ref[...] * mask_ref[i]  # per-tile scalar mask (prefetched)
+    out_ref[0] = probs * w[None]
+
+
+def softmax_blend_weights(
+    logits: jnp.ndarray,
+    window: np.ndarray,
+    mask: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``[T, K, P, P] logits x [P, P] window x [T] mask -> [T, K, P, P]``.
+
+    Equivalent to ``softmax(logits, axis=1) * window * mask[:, None, None,
+    None]`` — the pre-fold tail of tiled inference.
+    """
+    t, k, p, _ = logits.shape
+    win = jnp.asarray(window, logits.dtype)
+    mask = mask.astype(logits.dtype).reshape(t)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, k, p, p), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((p, p), lambda i, *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k, p, p), lambda i, *_: (i, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        _tail_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(logits.shape, logits.dtype),
+        interpret=interpret,
+    )(mask, logits, win)
