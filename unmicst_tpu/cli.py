@@ -93,6 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="auto: stream slides > 64 Mpx (bounded memory); whole: "
         "single device-resident pass",
     )
+    p.add_argument(
+        "--trace", metavar="DIR",
+        help="capture a jax.profiler trace of the inference into DIR",
+    )
+    p.add_argument(
+        "--check-numerics", action="store_true",
+        help="scan params and probability maps for NaN/Inf",
+    )
     return p
 
 
@@ -322,7 +330,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         bundle, params, compute_dtype=compute_dtype, tile_batch=args.tileBatch
     )
     t_load = time.perf_counter()
-    probs = engine.infer(net_image, channel_mode)
+    if args.trace:
+        from unmicst_tpu.utils.profiling import trace as profiler_trace
+
+        with profiler_trace(args.trace):
+            probs = engine.infer(net_image, channel_mode)
+    else:
+        probs = engine.infer(net_image, channel_mode)
+    if args.check_numerics:
+        from unmicst_tpu.utils.profiling import check_numerics
+
+        check_numerics(params, "params")
+        check_numerics(probs, "probability maps")
     t_infer = time.perf_counter()
 
     # ---- outputs ----------------------------------------------------------
