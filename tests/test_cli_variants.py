@@ -124,6 +124,25 @@ def test_cyto2_nonstack_two_classes_errors(zoo, tmp_path, rng):
         )
 
 
+def test_duo_streaming_nonstack_planes(zoo, tmp_path, rng):
+    """Regression: duo streaming non-stack must write the contour/nuclei
+    planes, not the first two fetched indexes."""
+    img = tmp_path / "s" / "registration" / "d.ome.tif"
+    img.parent.mkdir(parents=True)
+    _write_stack(str(img), 2, rng, shape=(128, 96))
+    out_whole, out_stream = tmp_path / "w", tmp_path / "st"
+    base = [str(img), "--tool", "unmicst-duo", "--model", "duoTest",
+            "--modelRoot", zoo, "--channel", "1", "2"]
+    assert cli.main(base + ["--outputPath", str(out_whole),
+                            "--engine", "whole"]) == 0
+    assert cli.main(base + ["--outputPath", str(out_stream),
+                            "--engine", "streaming"]) == 0
+    for kind in ["ContoursPM", "NucleiPM"]:
+        a = imread(str(out_whole / f"d_{kind}_1.tif"), 0).astype(int)
+        b = imread(str(out_stream / f"d_{kind}_1.tif"), 0).astype(int)
+        assert np.abs(a - b).max() <= 1, kind
+
+
 def test_solo_ome_stem_and_classorder(zoo, tmp_path, rng):
     img = tmp_path / "s" / "registration" / "a.b.ome.tif"
     img.parent.mkdir(parents=True)

@@ -129,12 +129,18 @@ def run_sweep(
     report = BatchReport()
     t_start = time.perf_counter()
     my_done: dict = {}
+    done_cache: dict = {}  # other shards' records matter only at startup
     my_slides = slides[shard_index::num_shards]
     for slide in my_slides:
         slide_dir = os.path.dirname(slide)
         this_out = out_dir or os.path.join(os.path.dirname(slide_dir), "prob_maps")
         os.makedirs(this_out, exist_ok=True)
-        done = _load_done(this_out) if resume else set()
+        if resume:
+            if this_out not in done_cache:
+                done_cache[this_out] = _load_done(this_out)
+            done = done_cache[this_out]
+        else:
+            done = set()
         if slide in done:
             report.skipped.append(slide)
             continue
@@ -168,6 +174,7 @@ def run_sweep(
                 except (OSError, ValueError):
                     my_done[this_out] = []
             my_done[this_out].append(slide)
+            done_cache.setdefault(this_out, set()).add(slide)
             _save_cursor(this_out, {"done": my_done[this_out]}, shard_index)
             if verbose:
                 print(f"[sweep] {slide}: {mpx:.1f} Mpx in {dt:.2f}s")

@@ -138,6 +138,46 @@ def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
     return _read(image_path, file_type, channel)
 
 
+def _write_outputs(args, stem, out_path, cyto, dapi_channel, class_order,
+                   get_page, raw_preview_u8) -> None:
+    """The output-file contract, shared by both engines.
+
+    ``get_page(i_class) -> uint8 [H, W]``; ``raw_preview_u8``: the
+    normalized raw page for previews.
+    """
+    from unmicst_tpu.io.tiff import imwrite
+
+    chan_suffix = str(dapi_channel if cyto else dapi_channel + 1)
+    qc_dir = out_path if cyto else os.path.join(out_path, "qc")
+
+    def out_file(kind: str) -> str:
+        return os.path.join(out_path, f"{stem}_{kind}_{chan_suffix}.tif")
+
+    if args.stackOutput:
+        prob_file = out_file("Probabilities")
+        preview_file = os.path.join(qc_dir, f"{stem}_Preview_{chan_suffix}.tif")
+        for slice_idx, i_class in enumerate(class_order[::-1]):
+            pm = get_page(i_class)
+            imwrite(prob_file, pm, bigtiff=True, append=slice_idx > 0)
+            if slice_idx == 1:
+                imwrite(preview_file, pm, bigtiff=True, append=False)
+                imwrite(preview_file, raw_preview_u8, bigtiff=True, append=True)
+    else:
+        if len(class_order) < 3:
+            raise SystemExit(
+                "non-stack output needs 3 classes (contours+nuclei); this "
+                "model has fewer — use --stackOutput (the reference tool "
+                "crashes with an IndexError here)"
+            )
+        f = out_file("ContoursPM")
+        imwrite(f, get_page(class_order[1]), bigtiff=True, append=False)
+        imwrite(f, raw_preview_u8, bigtiff=True, append=True)
+        imwrite(
+            out_file("NucleiPM"), get_page(class_order[2]), bigtiff=True,
+            append=False,
+        )
+
+
 def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
                    file_type, stem, out_path, cyto, t_start) -> int:
     """Large-slide path: StreamingEngine, bounded memory, uint8 end-to-end."""
@@ -176,15 +216,24 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
         None if args.stackOutput or len(class_order) < 3
         else (class_order[1], class_order[2])
     )
+    import contextlib
+
+    if args.trace:
+        from unmicst_tpu.utils.profiling import trace as profiler_trace
+
+        trace_ctx = profiler_trace(args.trace)
+    else:
+        trace_ctx = contextlib.nullcontext()
     t0 = time.perf_counter()
-    with TiffFile(args.imagePath) as tf:
+    with TiffFile(args.imagePath) as tf, trace_ctx:
         if tool == "unmicst-duo":
             chans = (
                 channels0 if len(channels0) == 2
                 else [dapi_channel, dapi_channel]
             )
             maps = stream.infer_stack(
-                [(tf, c) for c in chans], outlier=args.outlier
+                [(tf, c) for c in chans], outlier=args.outlier,
+                classes=classes,
             )
             raw_page = chans[-1]  # duo preview = last channel
         else:
@@ -198,32 +247,19 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
         t_infer = time.perf_counter()
         raw_shape = (tf.pages[raw_page].height, tf.pages[raw_page].width)
         raw_u8 = preview_u8(tf, raw_page)
+    if args.check_numerics:
+        from unmicst_tpu.utils.profiling import check_numerics
 
-    chan_suffix = str(dapi_channel if cyto else dapi_channel + 1)
-    qc_dir = out_path if cyto else os.path.join(out_path, "qc")
+        check_numerics(params, "params")
 
-    def out_file(kind: str) -> str:
-        return os.path.join(out_path, f"{stem}_{kind}_{chan_suffix}.tif")
-
-    if args.stackOutput:
-        prob_file = out_file("Probabilities")
-        preview_file = os.path.join(qc_dir, f"{stem}_Preview_{chan_suffix}.tif")
-        for slice_idx, i_class in enumerate(class_order[::-1]):
-            imwrite(prob_file, maps[i_class], bigtiff=True, append=slice_idx > 0)
-            if slice_idx == 1:
-                imwrite(preview_file, maps[i_class], bigtiff=True, append=False)
-                imwrite(preview_file, raw_u8, bigtiff=True, append=True)
-    else:
-        if len(class_order) < 3:
-            raise SystemExit("non-stack output needs 3 classes; use --stackOutput")
-        contours_i, nuclei_i = (
-            (0, 1) if classes is not None
-            else (class_order[1], class_order[2])
-        )
-        f = out_file("ContoursPM")
-        imwrite(f, maps[contours_i], bigtiff=True, append=False)
-        imwrite(f, raw_u8, bigtiff=True, append=True)
-        imwrite(out_file("NucleiPM"), maps[nuclei_i], bigtiff=True, append=False)
+    idx = (
+        {c: i for i, c in enumerate(classes)} if classes is not None
+        else {c: c for c in class_order}
+    )
+    _write_outputs(
+        args, stem, out_path, cyto, dapi_channel, class_order,
+        lambda c: maps[idx[c]], raw_u8,
+    )
     if args.stats or args.verbose:
         h, w = raw_shape
         infer_s = t_infer - t0
@@ -345,36 +381,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     t_infer = time.perf_counter()
 
     # ---- outputs ----------------------------------------------------------
-    chan_suffix = str(dapi_channel if cyto else dapi_channel + 1)
-    qc_dir = out_path if cyto else os.path.join(out_path, "qc")
-
-    def out_file(kind: str) -> str:
-        return os.path.join(out_path, f"{stem}_{kind}_{chan_suffix}.tif")
-
-    if args.stackOutput:
-        prob_file = out_file("Probabilities")
-        preview_file = os.path.join(qc_dir, f"{stem}_Preview_{chan_suffix}.tif")
-        for slice_idx, i_class in enumerate(class_order[::-1]):
-            pm = pp.postprocess_pm(probs[i_class], raw_shape)
-            imwrite(prob_file, pm, bigtiff=True, append=slice_idx > 0)
-            if slice_idx == 1:
-                imwrite(preview_file, pm, bigtiff=True, append=False)
-                imwrite(
-                    preview_file, np.uint8(255 * raw_norm), bigtiff=True, append=True
-                )
-    else:
-        if len(class_order) < 3:
-            raise SystemExit(
-                "non-stack output needs 3 classes (contours+nuclei); this "
-                "model has fewer — use --stackOutput (the reference tool "
-                "crashes with an IndexError here)"
-            )
-        contours = pp.postprocess_pm(probs[class_order[1]], raw_shape)
-        f = out_file("ContoursPM")
-        imwrite(f, contours, bigtiff=True, append=False)
-        imwrite(f, np.uint8(255 * raw_norm), bigtiff=True, append=True)
-        nuclei = pp.postprocess_pm(probs[class_order[2]], raw_shape)
-        imwrite(out_file("NucleiPM"), nuclei, bigtiff=True, append=False)
+    _write_outputs(
+        args, stem, out_path, cyto, dapi_channel, class_order,
+        lambda c: pp.postprocess_pm(probs[c], raw_shape),
+        np.uint8(255 * raw_norm),
+    )
     t_write = time.perf_counter()
 
     if args.stats or args.verbose:

@@ -150,17 +150,24 @@ def _decode(data: bytes, compression: int, max_out: int = 0) -> bytes:
         if max_out:
             from unmicst_tpu.io import _native
 
-            out = _native.lzw_decode(data, max_out)
-            if out is not None:
-                return out
+            try:
+                out = _native.lzw_decode(data, max_out)
+                if out is not None:
+                    return out
+            except ValueError:
+                pass  # e.g. writer padded the final strip beyond max_out:
+                # the Python path decodes fully and the caller truncates
         return _unpack_lzw(data)
     if compression == COMPRESSION_PACKBITS:
         if max_out:
             from unmicst_tpu.io import _native
 
-            out = _native.packbits_decode(data, max_out)
-            if out is not None:
-                return out
+            try:
+                out = _native.packbits_decode(data, max_out)
+                if out is not None:
+                    return out
+            except ValueError:
+                pass
         return _unpack_packbits(data)
     raise NotImplementedError(f"TIFF compression {compression} not supported")
 

@@ -345,6 +345,7 @@ class StreamingEngine:
         outlier: float = -1,
         rescale: bool = True,
         out: Optional[np.ndarray] = None,
+        classes=None,
     ) -> np.ndarray:
         """Multi-channel (duo) streaming: one source per net channel.
 
@@ -369,7 +370,7 @@ class StreamingEngine:
             if dims(s) != (height, width):
                 raise ValueError("channel sources must share dimensions")
         plan = self._plan(height, width)
-        jitted = self._get(plan, np.uint16, rescale)
+        jitted = self._get(plan, np.uint16, rescale, classes)
         if not rescale:
             for s in sources:
                 dt = s.dtype if isinstance(s, np.ndarray) else s[0].pages[s[1]].dtype
@@ -387,8 +388,9 @@ class StreamingEngine:
         win = jnp.asarray(tiler.ramp_window(self.hp.im_size, self.hp.margin))
         grid = plan.grid
         m = grid.margin
+        n_out = len(classes) if classes is not None else self.hp.n_classes
         if out is None:
-            out = np.empty((self.hp.n_classes, height, width), np.uint8)
+            out = np.empty((n_out, height, width), np.uint8)
         pending = []
         for s in range(plan.n_stripes):
             canvas = np.zeros(
