@@ -10,6 +10,7 @@ WORKDIR /app
 COPY pyproject.toml README.md ./
 COPY unmicst_tpu ./unmicst_tpu
 COPY native ./native
+COPY models ./models
 
 RUN pip install --no-cache-dir "jax[tpu]" flax optax numpy scipy pillow \
     && pip install --no-cache-dir . \
