@@ -61,7 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="unmicst-tpu",
         description="TPU-native UnMICST: probability maps for cell segmentation",
     )
-    p.add_argument("imagePath", help="path to the image (.tif/.ome.tif/.btf)")
+    p.add_argument(
+        "imagePath", nargs="?", help="path to the image (.tif/.ome.tif/.btf)"
+    )
     p.add_argument("--tool", default="unmicst-solo", choices=list(TOOL_DEFAULT_MODEL))
     p.add_argument("--model", help="model directory name (or absolute path)")
     p.add_argument("--outputPath", help="output path of probability map")
@@ -100,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--check-numerics", action="store_true",
         help="scan params and probability maps for NaN/Inf",
+    )
+    p.add_argument(
+        "--listModels", action="store_true",
+        help="print model zoo availability and exit",
     )
     return p
 
@@ -275,6 +281,20 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     t_start = time.perf_counter()
+
+    if args.listModels:
+        from unmicst_tpu.models.zoo import available_models
+
+        roots = [args.modelRoot] if args.modelRoot else [
+            r for r in DEFAULT_MODEL_ROOTS if r and os.path.isdir(r)
+        ]
+        for root in roots:
+            print(f"{root}:")
+            for name, status in sorted(available_models(root).items()):
+                print(f"  {name}: {status}")
+        return 0
+    if not args.imagePath:
+        raise SystemExit("imagePath is required (or use --listModels)")
 
     import jax.numpy as jnp
 

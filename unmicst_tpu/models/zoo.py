@@ -66,17 +66,29 @@ def available_models(model_root: str) -> dict:
     """Which zoo entries are actually loadable under ``model_root``."""
     from unmicst_tpu.core.checkpoint import _find_ckpt_prefix
 
+    def _ready(d: str) -> bool:
+        return bool(
+            _find_ckpt_prefix(d)
+            or os.path.exists(os.path.join(d, "model.unmicst-tpu.msgpack"))
+        )
+
     out = {}
     for name, entry in ZOO.items():
         d = os.path.join(model_root, name)
         if not os.path.isdir(d):
             out[name] = "absent"
-        elif _find_ckpt_prefix(d) or os.path.exists(
-            os.path.join(d, "model.unmicst-tpu.msgpack")
-        ):
+        elif _ready(d):
             out[name] = "ready"
         else:
             out[name] = "needs-blob" + (
                 f" ({entry.ckpt_url})" if entry.ckpt_url else ""
             )
+    # locally-trained model dirs outside the upstream registry
+    if os.path.isdir(model_root):
+        for name in sorted(os.listdir(model_root)):
+            d = os.path.join(model_root, name)
+            if name not in ZOO and os.path.isdir(d) and os.path.exists(
+                os.path.join(d, "hp.data")
+            ):
+                out[name] = "ready (local)" if _ready(d) else "needs-blob"
     return out
