@@ -10,11 +10,13 @@ WORKDIR /app
 COPY pyproject.toml README.md ./
 COPY unmicst_tpu ./unmicst_tpu
 COPY native ./native
-COPY models ./models
 
 RUN pip install --no-cache-dir "jax[tpu]" flax optax numpy scipy pillow \
     && pip install --no-cache-dir . \
     && python native/build.py
+
+# model files churn; copy after the expensive layers to keep them cached
+COPY models ./models
 
 # Model zoo: sidecars + checkpoint indexes come from the upstream repo,
 # the two large v2 data blobs from S3 (reference Dockerfile:4-5) — fail

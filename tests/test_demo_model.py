@@ -42,8 +42,8 @@ def test_demo_model_loads_both_formats():
     assert bundle.hp.n_classes == 3
 
 
-def test_demo_model_segments_blobs(tmp_path, rng):
-    img = _blob_slide(rng)
+def test_demo_model_segments_blobs(tmp_path):
+    img = _blob_slide(np.random.RandomState(42))
     src = tmp_path / "s" / "registration" / "blobs.tif"
     src.parent.mkdir(parents=True)
     with TiffWriter(str(src), bigtiff=False) as tw:

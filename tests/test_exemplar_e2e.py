@@ -15,7 +15,8 @@ from unmicst_tpu.io.tiff import TiffWriter, imread, num_pages
 pytestmark = [needs_reference, pytest.mark.slow]
 
 
-def test_eight_channel_exemplar_style(tmp_path, rng):
+def test_eight_channel_exemplar_style(tmp_path):
+    rng = np.random.RandomState(6)  # fixed: thresholds depend on the draw
     # synthetic 8-channel CyCIF-like slide; channel 0 carries DNA-like blobs
     h, w = 700, 600
     img_dir = tmp_path / "exemplar-001" / "registration"

@@ -288,6 +288,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         roots = [args.modelRoot] if args.modelRoot else [
             r for r in DEFAULT_MODEL_ROOTS if r and os.path.isdir(r)
         ]
+        bad = [r for r in roots if not os.path.isdir(r)]
+        if bad or not roots:
+            raise SystemExit(
+                f"no such model root: {bad or DEFAULT_MODEL_ROOTS}"
+            )
         for root in roots:
             print(f"{root}:")
             for name, status in sorted(available_models(root).items()):
