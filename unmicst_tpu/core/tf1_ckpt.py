@@ -169,7 +169,7 @@ def _parse_shape(buf: bytes) -> Tuple[int, ...]:
 
 
 class BundleEntry:
-    __slots__ = ("dtype", "shape", "shard_id", "offset", "size")
+    __slots__ = ("dtype", "shape", "shard_id", "offset", "size", "crc32c")
 
     def __init__(self):
         self.dtype = 0
@@ -177,6 +177,7 @@ class BundleEntry:
         self.shard_id = 0
         self.offset = 0
         self.size = 0
+        self.crc32c = 0  # masked CRC32C of the tensor bytes (proto field 6)
 
     @classmethod
     def parse(cls, buf: bytes) -> "BundleEntry":
@@ -197,6 +198,9 @@ class BundleEntry:
                 e.offset, pos = _varint(buf, pos)
             elif field == 5 and wire == 0:
                 e.size, pos = _varint(buf, pos)
+            elif field == 6 and wire == 5:
+                e.crc32c = struct.unpack_from("<I", buf, pos)[0]
+                pos += 4
             elif wire == 0:
                 _, pos = _varint(buf, pos)
             elif wire == 2:
@@ -272,8 +276,13 @@ class TF1Checkpoint:
     def get_tensor(self, name: str) -> np.ndarray:
         e = self.entries[name]
         dtype = np.dtype(_DTYPES[e.dtype])
-        raw = self._shard(e.shard_id)[e.offset : e.offset + e.size]
-        arr = np.frombuffer(raw.tobytes(), dtype=dtype.newbyteorder("<"))
+        raw = self._shard(e.shard_id)[e.offset : e.offset + e.size].tobytes()
+        if e.crc32c and _masked_crc32c(raw) != e.crc32c:
+            raise ValueError(
+                f"{self.prefix}: tensor {name!r} fails its stored CRC32C "
+                "(corrupt data shard)"
+            )
+        arr = np.frombuffer(raw, dtype=dtype.newbyteorder("<"))
         return arr.reshape(e.shape).astype(dtype)
 
 
@@ -328,6 +337,10 @@ def _encode_entry_proto(e: "BundleEntry") -> bytes:
         _write_varint(out, e.offset)
     out += _encode_tag(5, 0)
     _write_varint(out, e.size)
+    # fixed32 crc32c = 6 — TF's Saver.restore verifies this against the
+    # tensor bytes (DataLossError on mismatch), so it is mandatory.
+    out += _encode_tag(6, 5)
+    out += struct.pack("<I", e.crc32c)
     return bytes(out)
 
 
@@ -354,9 +367,7 @@ class _TableBuilder:
 
     @staticmethod
     def _crc32c(data: bytes) -> int:
-        # CRC32-C (Castagnoli), masked per LevelDB convention.
-        crc = _crc32c_compute(data)
-        return ((crc >> 15) | (crc << 17)) + 0xA282EAD8 & 0xFFFFFFFF
+        return _masked_crc32c(data)
 
     def _emit_block(self, entries) -> Tuple[int, int]:
         """Append a block of (key, value) pairs; returns (offset, size)."""
@@ -404,6 +415,14 @@ class _TableBuilder:
 _CRC32C_TABLE = None
 
 
+def _masked_crc32c(data: bytes) -> int:
+    """CRC32-C (Castagnoli), masked per the LevelDB/TF convention —
+    ``((crc >> 15) | (crc << 17)) + 0xa282ead8`` — used by both the table
+    block trailers and BundleEntryProto.crc32c."""
+    crc = _crc32c_compute(data)
+    return ((crc >> 15) | (crc << 17)) + 0xA282EAD8 & 0xFFFFFFFF
+
+
 def _crc32c_compute(data: bytes) -> int:
     global _CRC32C_TABLE
     if _CRC32C_TABLE is None:
@@ -447,6 +466,7 @@ def write_tf1_checkpoint(prefix: str, tensors: Dict[str, np.ndarray]) -> None:
         e.offset = len(data)
         raw = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
         e.size = len(raw)
+        e.crc32c = _masked_crc32c(raw)
         data += raw
         entries.append((name.encode("utf-8"), _encode_entry_proto(e)))
     blob = _TableBuilder().build(entries)
