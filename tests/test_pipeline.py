@@ -162,3 +162,115 @@ def test_stream_outlier_percentile(model, rng):
     )
     got = stream.infer(raw, outlier=99.0)
     assert np.abs(whole.astype(int) - got.astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# --scalingFactor streaming (virtual resized source)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape,out", [((150, 90), (75, 45)),
+                                       ((101, 67), (50, 33)),
+                                       ((60, 40), (90, 60)),
+                                       ((128, 96), (47, 35))])
+def test_resize_rows_blockwise_exact(rng, shape, out):
+    """resize_rows blocks reassemble bit-identically to the whole resize
+    (anti-alias support + interp footprint included per block)."""
+    from unmicst_tpu.io import preprocess as pp
+
+    img = (rng.rand(*shape) * 60000).astype(np.uint16)
+    whole = pp.resize(img, out)
+    for block in (1, 7, 32):
+        parts = [
+            pp.resize_rows(lambda a, b: img[a:b], shape, out, r0,
+                           min(block, out[0] - r0))
+            for r0 in range(0, out[0], block)
+        ]
+        np.testing.assert_array_equal(np.concatenate(parts), whole)
+
+
+def test_resampled_source_stats_exact_percentile(rng, tmp_path):
+    from unmicst_tpu.io import preprocess as pp
+
+    img = (rng.rand(140, 80) * 60000).astype(np.uint16)
+    src = pp.ResampledSource(img, 0.5)
+    resized = pp.resize(img, (70, 40))
+    lo, hi = src.stats(-1)
+    assert lo == resized.min() and hi == resized.max()
+    lo, hi = src.stats(99.2)
+    assert abs(hi - np.percentile(resized, 99.2)) < 1e-12
+
+
+@pytest.mark.parametrize("sf", [0.5, 0.37])
+def test_stream_scaled_matches_whole_image_path(model, rng, sf):
+    """Streaming with ResampledSource == whole-image preprocess+infer at
+    --scalingFactor (VERDICT r1 missing #5)."""
+    from unmicst_tpu.io import preprocess as pp
+
+    hp, params = model
+    raw = (rng.rand(150, 90) * 60000).astype(np.uint16)
+    pc = pp.preprocess_channel(raw, sf, -1)
+    whole = InferenceEngine(hp, params, "legacy", 0.3, 0.2).infer(
+        pc.net_input.astype(np.float32)
+    )
+    whole_u8 = (whole * 255).astype(np.uint8)
+    stream = StreamingEngine(
+        hp, params, "legacy", 0.3, 0.2, compute_dtype=None, stripe_tile_rows=2
+    )
+    got = stream.infer(pp.ResampledSource(raw, sf))
+    assert got.shape == whole_u8.shape
+    diff = np.abs(whole_u8.astype(int) - got.astype(int))
+    assert diff.max() <= 1
+    # and from a TIFF file source, identically
+    path = str(__import__("tempfile").mkdtemp()) + "/s.tif"
+    imwrite(path, raw, bigtiff=False)
+    with TiffFile(path) as tf:
+        from_file = stream.infer(pp.ResampledSource((tf, 0), sf))
+    np.testing.assert_array_equal(got, from_file)
+
+
+def test_stream_scaled_duo_stack(model, rng):
+    """infer_stack accepts virtual sources (per-channel global ranges)."""
+    from unmicst_tpu.io import preprocess as pp
+
+    hp, params = model
+    hp2 = HParams(**{**hp.__dict__, "n_channels": 2}) if hasattr(hp, "__dict__") else hp
+    import dataclasses as dc
+
+    hp2 = dc.replace(hp, n_channels=2)
+    params2 = unet.init_params(jax.random.PRNGKey(5), hp2, "legacy")
+    a = (rng.rand(120, 70) * 60000).astype(np.uint16)
+    b = (rng.rand(120, 70) * 30000).astype(np.uint16)
+    sf = 0.5
+    pa = pp.preprocess_channel(a, sf, -1)
+    pb = pp.preprocess_channel(b, sf, -1)
+    net = np.stack([pa.net_input, pb.net_input]).astype(np.float32)
+    whole = InferenceEngine(hp2, params2, "legacy", 0.3, 0.2).infer(
+        net, channel_mode="stack"
+    )
+    whole_u8 = (whole * 255).astype(np.uint8)
+    stream = StreamingEngine(
+        hp2, params2, "legacy", 0.3, 0.2, compute_dtype=None,
+        stripe_tile_rows=2,
+    )
+    got = stream.infer_stack(
+        [pp.ResampledSource(a, sf), pp.ResampledSource(b, sf)]
+    )
+    assert np.abs(whole_u8.astype(int) - got.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("height", [155, 90])
+def test_stream_tail_margin_coverage(model, rng, height):
+    """height mod sub > sub - margin: the last margin output rows come from
+    the final tile-row's window tail past npr*sub — the stripe plan must
+    still cover them (r2 regression: they were never drained)."""
+    hp, params = model
+    raw = (rng.rand(height, 70) * 60000).astype(np.uint16)
+    whole = InferenceEngine(hp, params, "legacy", 0.3, 0.2).infer_slide(raw)
+    for stripe_rows in (2, 16):
+        stream = StreamingEngine(
+            hp, params, "legacy", 0.3, 0.2, compute_dtype=None,
+            stripe_tile_rows=stripe_rows,
+        )
+        got = stream.infer(raw)
+        assert np.abs(whole.astype(int) - got.astype(int)).max() <= 1

@@ -79,7 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--std", type=float, default=-1)
     p.add_argument("--scalingFactor", type=float, default=1)
     p.add_argument("--stackOutput", action="store_true")
-    p.add_argument("--GPU", type=int, default=0, help="accepted for wrapper compatibility; device selection is automatic on TPU")
+    p.add_argument(
+        "--GPU", type=int, default=-1,
+        help="device index; -1 auto-picks the accelerator with the most "
+        "free memory (UnMicst.py:577-595 fallback chain)",
+    )
     p.add_argument("--outlier", type=float, default=-1)
     p.add_argument("--verbose", action="store_true")
     # framework additions
@@ -190,6 +194,7 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
     import jax.numpy as jnp
 
     from unmicst_tpu.core.checkpoint import load_params_for_bundle
+    from unmicst_tpu.io import preprocess as pp
     from unmicst_tpu.io.tiff import TiffFile, imwrite
     from unmicst_tpu.runtime.pipeline import StreamingEngine
 
@@ -231,20 +236,28 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
     else:
         trace_ctx = contextlib.nullcontext()
     t0 = time.perf_counter()
+    sf = args.scalingFactor
     with TiffFile(args.imagePath) as tf, trace_ctx:
+        # --scalingFactor != 1: stream against a virtual resized slide
+        # (row-exact resize_rows blocks, UnMicst1-5.py:813-815 semantics)
+        # and upscale the finished maps back to raw resolution below.
+        wrap = (
+            (lambda src: pp.ResampledSource(src, sf)) if sf != 1
+            else (lambda src: src)
+        )
         if tool == "unmicst-duo":
             chans = (
                 channels0 if len(channels0) == 2
                 else [dapi_channel, dapi_channel]
             )
             maps = stream.infer_stack(
-                [(tf, c) for c in chans], outlier=args.outlier,
+                [wrap((tf, c)) for c in chans], outlier=args.outlier,
                 classes=classes,
             )
             raw_page = chans[-1]  # duo preview = last channel
         else:
             maps = stream.infer(
-                (tf, dapi_channel),
+                wrap((tf, dapi_channel)),
                 outlier=args.outlier,
                 rescale=tool != "unmicst-solo",  # the v2-solo quirk
                 classes=classes,
@@ -262,9 +275,13 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
         {c: i for i, c in enumerate(classes)} if classes is not None
         else {c: c for c in class_order}
     )
+    fetch = (
+        (lambda c: pp.upscale_pm(maps[idx[c]], raw_shape)) if sf != 1
+        else (lambda c: maps[idx[c]])
+    )
     _write_outputs(
         args, stem, out_path, cyto, dapi_channel, class_order,
-        lambda c: maps[idx[c]], raw_u8,
+        fetch, raw_u8,
     )
     if args.stats or args.verbose:
         h, w = raw_shape
@@ -312,6 +329,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     enable_cache()
 
+    # --GPU: explicit index or auto-pick (most free memory), the
+    # GPUselect.py:4-22 / UnMicst.py:577-595 semantics.  Pinning the JAX
+    # default device scopes every array creation and compile below.
+    import jax
+
+    from unmicst_tpu.runtime.devices import select_device
+
+    device = select_device(args.GPU)
+    jax.config.update("jax_default_device", device)
+    print(f"Using device {device}")
+
     tool = args.tool
     model_name = args.model or TOOL_DEFAULT_MODEL[tool]
     model_dir = resolve_model_dir(model_name, args.modelRoot)
@@ -340,7 +368,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from unmicst_tpu.io.slides import TIFF_LIKE
 
     use_streaming = False
-    if args.scalingFactor == 1 and file_type in TIFF_LIKE:
+    if file_type in TIFF_LIKE:
         from unmicst_tpu.io.tiff import TiffFile
 
         try:
@@ -353,9 +381,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         except (ValueError, NotImplementedError, IndexError, OSError):
             use_streaming = args.engine == "streaming"
     elif args.engine == "streaming":
-        raise SystemExit(
-            "--engine streaming supports TIFF inputs at --scalingFactor 1"
-        )
+        raise SystemExit("--engine streaming supports TIFF inputs")
 
     if use_streaming:
         return _run_streaming(args, bundle, tool, dapi_channel, channels0,

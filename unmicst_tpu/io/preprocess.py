@@ -81,6 +81,163 @@ def resize(image: np.ndarray, output_shape: Tuple[int, int]) -> np.ndarray:
     return ndi.map_coordinates(img, grid, order=1, mode="mirror")
 
 
+def resize_rows(
+    read_fn,
+    in_shape: Tuple[int, int],
+    out_shape: Tuple[int, int],
+    r0: int,
+    nrows: int,
+) -> np.ndarray:
+    """Rows ``[r0, r0+nrows)`` of ``resize(image, out_shape)``, exactly.
+
+    ``read_fn(a, b)`` returns raw source rows ``[a, b)`` at full width.
+    The block read includes the gaussian anti-alias support plus the linear
+    interpolation footprint, so interior rows are bit-identical to the
+    whole-image :func:`resize`; at the image top/bottom the block edge
+    coincides with the true image edge, where the mirror boundary matches
+    the whole-image call by construction.  This is what lets the streaming
+    engine honor ``--scalingFactor`` (``UnMicst1-5.py:813-815``) without
+    materializing the resized slide.
+    """
+    in_h, in_w = in_shape
+    out_h, out_w = out_shape
+    if nrows <= 0:
+        return np.zeros((0, out_w), np.float64)
+    fr, fc = in_h / out_h, in_w / out_w
+    sr, sc = max(0.0, (fr - 1.0) / 2.0), max(0.0, (fc - 1.0) / 2.0)
+    radius = int(4.0 * sr + 0.5) if sr > 0 else 0  # scipy truncate=4.0
+    ys = (np.arange(r0, r0 + nrows) + 0.5) * fr - 0.5
+    # fold out-of-range coords through the mirror boundary: the true sample
+    # footprint of y < 0 is at -y (and symmetrically at the bottom), so the
+    # block must cover the reflected positions too
+    ys_fold = np.abs(ys)
+    ys_fold = np.where(ys_fold > in_h - 1, 2 * (in_h - 1) - ys_fold, ys_fold)
+    lo = max(int(np.floor(ys_fold.min())) - radius, 0)
+    hi = min(int(np.floor(ys_fold.max())) + 1 + radius, in_h - 1)
+    block = img_as_float(read_fn(lo, hi + 1))
+    if sr > 0 or sc > 0:
+        block = ndi.gaussian_filter(block, (sr, sc), mode="mirror")
+    cols = (np.arange(out_w) + 0.5) * fc - 0.5
+    grid = np.meshgrid(ys - lo, cols, indexing="ij")
+    return ndi.map_coordinates(block, grid, order=1, mode="mirror")
+
+
+class ResampledSource:
+    """Virtual resized slide for the streaming engine (``--scalingFactor``).
+
+    Presents ``height/width/dtype/read_rows/stats`` over
+    ``resize(raw, (H*sf, W*sf))`` computed row-block-exactly on demand, so
+    off-scale mega-slides stream with bounded memory while matching the
+    whole-image preprocess (``UnMicst1-5.py:813-815``).  Applies the
+    float32->uint16 parity cast before resizing, like
+    :func:`preprocess_channel`.
+
+    ``source``: 2-D numpy array or ``(TiffFile, page)``.
+    """
+
+    def __init__(self, source, scaling_factor: float):
+        if isinstance(source, np.ndarray):
+            raw = (
+                source.astype(np.uint16)
+                if source.dtype == np.float32 else source
+            )
+            in_h, in_w = raw.shape
+            self._read = lambda a, b: raw[a:b]
+        else:
+            tf, page = source
+            in_h, in_w = tf.pages[page].height, tf.pages[page].width
+            cast = np.dtype(tf.pages[page].dtype) == np.float32
+
+            def _read(a, b, _tf=tf, _page=page, _w=in_w, _cast=cast):
+                rows = _tf.read_region(_page, a, 0, b - a, _w)
+                return rows.astype(np.uint16) if _cast else rows
+
+            self._read = _read
+        self.raw_shape = (in_h, in_w)
+        self.height = int(float(in_h) * float(scaling_factor))
+        self.width = int(float(in_w) * float(scaling_factor))
+        self.dtype = np.dtype(np.float32)
+
+    def read_rows(self, r0: int, nrows: int) -> np.ndarray:
+        """Resized rows ``[r0, r0+nrows)`` (float32 in [0,1]; zero-padded
+        outside the virtual image, matching the engine's edge fill)."""
+        out = np.zeros((nrows, self.width), np.float32)
+        a, b = max(r0, 0), min(r0 + nrows, self.height)
+        if b > a:
+            out[a - r0 : b - r0] = resize_rows(
+                self._read, self.raw_shape, (self.height, self.width),
+                a, b - a,
+            )
+        return out
+
+    def _blocks(self, block: int = 1024):
+        # float64 (pre-cast) rows: the stats must match the whole-image
+        # host path, which computes min/max/percentile before any float32
+        # narrowing
+        for r0 in range(0, self.height, block):
+            yield resize_rows(
+                self._read, self.raw_shape, (self.height, self.width),
+                r0, min(block, self.height - r0),
+            )
+
+    def stats(self, outlier: float = -1) -> Tuple[float, float]:
+        """(min, max | exact percentile) over the virtual resized image.
+
+        The percentile streams in three passes: min/max, a 64k-bin
+        histogram to locate the order statistics, then a value-collection
+        pass over just the covering bins — yielding np.percentile's exact
+        linear-interpolated result without holding the image.
+        """
+        vmin, vmax = np.inf, -np.inf
+        for rows in self._blocks():
+            vmin = min(vmin, float(rows.min()))
+            vmax = max(vmax, float(rows.max()))
+        if outlier == -1 or vmax <= vmin:
+            return vmin, vmax
+        n = self.height * self.width
+        pos = (n - 1) * outlier / 100.0
+        k, frac = int(np.floor(pos)), pos - int(np.floor(pos))
+        nbins = 65536
+        scale = nbins / (vmax - vmin)
+        hist = np.zeros(nbins, np.int64)
+        for rows in self._blocks():
+            idx = np.clip(((rows - vmin) * scale).astype(np.int64), 0, nbins - 1)
+            hist += np.bincount(idx.ravel(), minlength=nbins)
+        cum = np.cumsum(hist)
+        b_lo = int(np.searchsorted(cum, k + 1))
+        b_hi = int(np.searchsorted(cum, k + 2)) if frac > 0 else b_lo
+        below = int(cum[b_lo - 1]) if b_lo > 0 else 0
+        picked = []
+        for rows in self._blocks():
+            idx = np.clip(((rows - vmin) * scale).astype(np.int64), 0, nbins - 1)
+            sel = rows[(idx >= b_lo) & (idx <= b_hi)]
+            if sel.size:
+                picked.append(np.asarray(sel, np.float64))
+        vals = np.sort(np.concatenate(picked))
+        v_k = vals[k - below]
+        v_k1 = vals[k + 1 - below] if frac > 0 else v_k
+        return vmin, float(v_k + frac * (v_k1 - v_k))
+
+
+def upscale_pm(pm_u8: np.ndarray, raw_shape: Tuple[int, int],
+               block: int = 2048) -> np.ndarray:
+    """Scaled uint8 probability map -> raw-resolution uint8 page, streamed.
+
+    The blocked equivalent of :func:`postprocess_pm`'s resize-back
+    (``UnMicst1-5.py:848-854``) — avoids the full-slide float64
+    intermediate that ``map_coordinates`` would otherwise materialize.
+    """
+    out_h, out_w = raw_shape
+    out = np.empty((out_h, out_w), np.uint8)
+    for r0 in range(0, out_h, block):
+        n = min(block, out_h - r0)
+        rows = resize_rows(
+            lambda a, b: pm_u8[a:b], pm_u8.shape, raw_shape, r0, n
+        )
+        out[r0 : r0 + n] = np.uint8(255 * rows)
+    return out
+
+
 def rescale_intensity(
     image: np.ndarray,
     in_range: Tuple[float, float],

@@ -96,7 +96,11 @@ class StreamingEngine:
             # aim for >= tile_batch tiles and >= ~1024 rows per stripe
             S = max(1, self.tile_batch // max(1, grid.npc), -(-1024 // sub))
         S = min(S, grid.npr)
-        n_stripes = -(-grid.npr // S)
+        # stripes must cover every VALID padded row [margin, margin+height):
+        # the last tile-row's window tail extends margin rows past npr*sub,
+        # so ceil(npr/S) under-covers whenever height mod sub > sub - margin
+        # (regression: the final margin rows of output were never drained).
+        n_stripes = -(-(grid.margin + height) // (S * sub))
         # stripe s finishes output band rows [s*S*sub, (s+1)*S*sub) of the
         # padded canvas, computing tile rows s*S-1 .. (s+1)*S-1 inclusive.
         in_rows = (S + 1) * sub + 2 * grid.margin
@@ -197,6 +201,8 @@ class StreamingEngine:
         """Rows [r0, r0+nrows) of the raw slide, zero-padded outside."""
         from unmicst_tpu.io.tiff import TiffFile
 
+        if hasattr(source, "read_rows"):  # virtual source (ResampledSource)
+            return source.read_rows(r0, nrows)
         if isinstance(source, np.ndarray):
             source = self._cast_raw(source)
             h, w = source.shape
@@ -243,6 +249,8 @@ class StreamingEngine:
         ``np.percentile`` linear-interpolated value for integer pixels), so
         the slide never fully materializes in host RAM.
         """
+        if hasattr(source, "stats"):  # virtual source computes its own
+            return source.stats(outlier)
         if isinstance(source, np.ndarray):
             arr = self._cast_raw(source)
             lo = float(arr.min())
@@ -300,17 +308,18 @@ class StreamingEngine:
 
         ``classes``: optional tuple of class indexes to emit (that order).
         """
-        if isinstance(source, np.ndarray):
+        if hasattr(source, "read_rows"):
+            height, width = source.height, source.width
+            in_dtype = source.dtype  # float32 in [0,1]; inv_scale 1
+        elif isinstance(source, np.ndarray):
             height, width = source.shape
+            in_dtype = source.dtype
         else:
             tf, page = source
             height, width = tf.pages[page].height, tf.pages[page].width
+            in_dtype = tf.pages[page].dtype
         plan = self._plan(height, width)
-        in_dtype = (
-            source.dtype if isinstance(source, np.ndarray)
-            else source[0].pages[source[1]].dtype
-        )
-        if np.dtype(in_dtype) == np.float32:
+        if not hasattr(source, "read_rows") and np.dtype(in_dtype) == np.float32:
             in_dtype = np.uint16  # parity cast (see _cast_raw)
         jitted = self._get(plan, in_dtype, rescale, classes)
         if rescale:
@@ -360,6 +369,8 @@ class StreamingEngine:
             )
 
         def dims(src):
+            if hasattr(src, "read_rows"):
+                return src.height, src.width
             if isinstance(src, np.ndarray):
                 return src.shape
             tf, page = src
@@ -370,8 +381,12 @@ class StreamingEngine:
             if dims(s) != (height, width):
                 raise ValueError("channel sources must share dimensions")
         plan = self._plan(height, width)
-        jitted = self._get(plan, np.uint16, rescale, classes)
-        if not rescale:
+        virtual = any(hasattr(s, "read_rows") for s in sources)
+        if virtual and not all(hasattr(s, "read_rows") for s in sources):
+            raise ValueError("mixing virtual and raw channel sources")
+        canvas_dtype = np.float32 if virtual else np.uint16
+        jitted = self._get(plan, canvas_dtype, rescale, classes)
+        if not rescale and not virtual:
             for s in sources:
                 dt = s.dtype if isinstance(s, np.ndarray) else s[0].pages[s[1]].dtype
                 if np.dtype(dt) not in (np.dtype(np.uint16), np.dtype(np.float32)):
@@ -395,7 +410,7 @@ class StreamingEngine:
         for s in range(plan.n_stripes):
             canvas = np.zeros(
                 (plan.in_rows, grid.padded_width, self.hp.n_channels),
-                np.uint16,
+                canvas_dtype,
             )
             raw_r0 = (s * plan.S - 1) * grid.sub - m
             for c, src in enumerate(sources):
