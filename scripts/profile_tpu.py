@@ -1,0 +1,187 @@
+"""On-chip profiling: precision-mode drift + device-resident stage timing.
+
+Answers VERDICT r1 "what's weak" #1/#2:
+  * how far each precision mode drifts from the reference golden outputs
+    (105.tif, legacy nucleiDAPI) — HIGHEST (3-pass f32 emulation on the
+    MXU), f32-DEFAULT (single bf16 pass, f32 elsewhere), bf16 (activations
+    rounded at every conv input);
+  * device-resident throughput/MFU per mode at 4096^2, a tile-forward-only
+    split isolating the unfold/fold/quantize tail, and a tile-batch sweep.
+
+Run on the real chip:  python - < scripts/profile_tpu.py
+(plain `python file.py` misses the axon plugin on this host).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from unmicst_tpu.core import tiler
+from unmicst_tpu.core.checkpoint import load_params_for_bundle
+from unmicst_tpu.core.hp import load_model_dir
+from unmicst_tpu.core.unet import apply
+from unmicst_tpu.infer import InferenceEngine
+from unmicst_tpu.io import preprocess as pp
+from unmicst_tpu.io.tiff import imread
+from unmicst_tpu.utils.compcache import enable as enable_cache
+from unmicst_tpu.utils.flops import slide_flops, unet_flops_per_tile
+
+enable_cache()
+
+MODES = {
+    "f32_highest": None,          # parity mode (current default)
+    "f32_default": jnp.float32,   # single-pass bf16 MXU, f32 activations
+    "bf16": jnp.bfloat16,         # bf16-rounded conv inputs
+}
+SIZE = 4096
+REPEATS = 3
+PEAK_BF16 = 197e12  # v5e MXU peak, bf16 pass
+
+print("device:", jax.devices()[0])
+bundle = load_model_dir("/root/reference/models/nucleiDAPI")
+params = load_params_for_bundle(bundle)
+hp = bundle.hp
+report = {"model": "nucleiDAPI(legacy)", "hp_flops_per_tile":
+          unet_flops_per_tile(hp, "legacy")}
+
+# ---------------------------------------------------------------- drift --
+img = imread("/root/reference/UNet sample data/registration/105.tif")
+pc = pp.preprocess_channel(img, 1.0, -1)
+net_in = pc.net_input.astype(np.float32)
+golden = {
+    name: imread(
+        f"/root/reference/UNet sample data/prob_maps/105_{name}_1.tif"
+    )
+    for name in ("ContoursPM", "NucleiPM")
+}
+drift = {}
+maps_by_mode = {}
+for mode, dtype in MODES.items():
+    eng = InferenceEngine.from_bundle(bundle, params, compute_dtype=dtype)
+    t0 = time.perf_counter()
+    probs = eng.infer(net_in)
+    dt = time.perf_counter() - t0
+    out = {
+        "ContoursPM": pp.postprocess_pm(probs[1], pc.raw_shape),
+        "NucleiPM": pp.postprocess_pm(probs[2], pc.raw_shape),
+    }
+    maps_by_mode[mode] = out
+    d = {}
+    for name in golden:
+        diff = np.abs(out[name].astype(int) - golden[name].astype(int))
+        d[f"{name}_vs_golden_max"] = int(diff.max())
+        d[f"{name}_vs_golden_p999"] = int(np.percentile(diff, 99.9))
+    if mode != "f32_highest":
+        ref = maps_by_mode["f32_highest"]
+        d["vs_highest_max"] = int(
+            max(
+                np.abs(out[n].astype(int) - ref[n].astype(int)).max()
+                for n in golden
+            )
+        )
+    d["compile_plus_run_s"] = round(dt, 1)
+    drift[mode] = d
+    print("drift", mode, d)
+report["drift"] = drift
+
+# ------------------------------------------------- resident throughput --
+rng = np.random.RandomState(0)
+slide = (rng.rand(SIZE, SIZE) * 60000).astype(np.uint16)
+raw_dev = jnp.asarray(slide)
+win = tiler.ramp_window(hp.im_size, hp.margin)
+win_dev = jnp.asarray(win)
+fl = slide_flops(hp, SIZE, SIZE, "legacy")
+report["slide_tflop"] = round(fl / 1e12, 3)
+
+throughput = {}
+for mode, dtype in MODES.items():
+    eng = InferenceEngine.from_bundle(
+        bundle, params, compute_dtype=dtype, tile_batch=256
+    )
+    jitted = eng._build_slide(SIZE, SIZE, np.uint16, -1, True, None)
+    out = jitted(eng.params, raw_dev, win_dev)
+    out.block_until_ready()
+    best = np.inf
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = jitted(eng.params, raw_dev, win_dev)
+        out.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    tput = {
+        "mpx_s": round(SIZE * SIZE / 1e6 / best, 1),
+        "wall_s": round(best, 4),
+        "tflop_s": round(fl / best / 1e12, 1),
+        "mfu_bf16_basis": round(fl / best / PEAK_BF16, 3),
+    }
+    throughput[mode] = tput
+    print("resident", mode, tput)
+report["resident_4096"] = throughput
+
+# --------------------------------------------- forward-only tile split --
+grid = tiler.make_grid(SIZE, SIZE, hp.im_size, hp.margin)
+n_tiles = grid.num_tiles
+P = hp.im_size
+tiles_host = rng.rand(n_tiles, P, P, hp.n_channels).astype(np.float32)
+tiles_dev = jnp.asarray(tiles_host)
+fwd_split = {}
+for mode, dtype in MODES.items():
+    chunk = 256
+    n_chunks = -(-n_tiles // chunk)
+    padded = n_chunks * chunk
+
+    def fwd(params, t):
+        t = jnp.pad(t, ((0, padded - n_tiles), (0, 0), (0, 0), (0, 0)))
+        c = t.reshape(n_chunks, chunk, P, P, hp.n_channels)
+        pr = jax.lax.map(
+            lambda u: apply(params, u, hp, "legacy", compute_dtype=dtype), c
+        )
+        return pr.reshape(-1, P, P, hp.n_classes)[:n_tiles]
+
+    j = jax.jit(fwd)
+    o = j(params, tiles_dev)
+    o.block_until_ready()
+    best = np.inf
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        o = j(params, tiles_dev)
+        o.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    fwd_split[mode] = {
+        "wall_s": round(best, 4),
+        "tflop_s": round(fl / best / 1e12, 1),
+        "mfu_bf16_basis": round(fl / best / PEAK_BF16, 3),
+    }
+    print("forward-only", mode, fwd_split[mode])
+report["forward_only_4096_tiles"] = fwd_split
+
+# ------------------------------------------------------ batch sweep -----
+best_mode = min(throughput, key=lambda m: throughput[m]["wall_s"])
+sweep = {}
+for tb in (128, 256, 512):
+    eng = InferenceEngine.from_bundle(
+        bundle, params, compute_dtype=MODES[best_mode], tile_batch=tb
+    )
+    jitted = eng._build_slide(SIZE, SIZE, np.uint16, -1, True, None)
+    out = jitted(eng.params, raw_dev, win_dev)
+    out.block_until_ready()
+    best = np.inf
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = jitted(eng.params, raw_dev, win_dev)
+        out.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    sweep[tb] = round(SIZE * SIZE / 1e6 / best, 1)
+    print("sweep", best_mode, tb, sweep[tb], "Mpx/s")
+report["tile_batch_sweep"] = {"mode": best_mode, "mpx_s": sweep}
+
+with open("/root/repo/scripts/profile_tpu_report.json", "w") as f:
+    json.dump(report, f, indent=1)
+print(json.dumps(report))

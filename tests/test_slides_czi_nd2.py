@@ -1,0 +1,246 @@
+"""Native CZI/ND2 readers against hand-built container fixtures.
+
+The fixtures are constructed byte-by-byte from the public container specs
+(ZISRAW segments; ND2 chunk map) — the same layouts ``czifile`` and
+``nd2reader`` parse — so these tests pin the dispatch path the reference
+exercises at ``UnMicst1-5.py:798-804`` without third-party readers.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from unmicst_tpu.io.czi import CziFile, read_czi_channel
+from unmicst_tpu.io.nd2 import Nd2File, read_nd2_channel
+from unmicst_tpu.io.slides import read_channel
+
+# ---------------------------------------------------------------------------
+# CZI fixture writer (ZISRAW segments)
+# ---------------------------------------------------------------------------
+
+
+def _segment(sid: bytes, payload: bytes, alloc: int = None) -> bytes:
+    alloc = alloc if alloc is not None else -(-len(payload) // 32) * 32
+    head = struct.pack("<16sqq", sid, alloc, len(payload))
+    return head + payload + b"\x00" * (alloc - len(payload))
+
+
+def _dir_entry(pixel_type, file_pos, compression, dims) -> bytes:
+    out = b"DV" + struct.pack("<iqii", pixel_type, file_pos, 0, compression)
+    out += b"\x00" * 6  # pyramid type + reserved
+    out += struct.pack("<i", len(dims))
+    for name, (start, size) in dims.items():
+        out += struct.pack(
+            "<4siifi", name.encode(), start, size, float(start), size
+        )
+    return out
+
+
+def write_czi(path, planes, pixel_type=1, compression=0, tile_split=None):
+    """planes: list of 2-D arrays, one per channel (single scene/time).
+
+    ``tile_split``: optional column index — splits each plane into two
+    mosaic sub-blocks to exercise mosaic assembly.
+    """
+    blocks = []  # (entry_dims, pixel bytes)
+    for c, plane in enumerate(planes):
+        h, w = plane.shape
+        pieces = (
+            [(0, plane)] if tile_split is None
+            else [(0, plane[:, :tile_split]), (tile_split, plane[:, tile_split:])]
+        )
+        for x0, piece in pieces:
+            dims = {
+                "X": (x0, piece.shape[1]),
+                "Y": (0, piece.shape[0]),
+                "C": (c, 1),
+            }
+            blocks.append((dims, piece.astype("<u2").tobytes()))
+
+    file_header = struct.pack(
+        "<ii8x16s16si", 1, 0, b"\x00" * 16, b"\x00" * 16, 0
+    )
+    # positions are filled after layout below
+    out = bytearray()
+    out += _segment(b"ZISRAWFILE", file_header + struct.pack("<qqiq", 0, 0, 0, 0))
+    sub_positions = []
+    for dims, pix in blocks:
+        sub_positions.append(len(out))
+        entry = _dir_entry(pixel_type, 0, compression, dims)
+        sb_head = struct.pack("<iiq", 0, 0, len(pix)) + entry
+        payload = sb_head + b"\x00" * (max(256, len(entry) + 16) - len(sb_head)) + pix
+        out += _segment(b"ZISRAWSUBBLOCK", payload)
+    dir_pos = len(out)
+    dir_payload = struct.pack("<i", len(blocks)) + b"\x00" * 124
+    for (dims, _), pos in zip(blocks, sub_positions):
+        dir_payload += _dir_entry(pixel_type, pos, compression, dims)
+    out += _segment(b"ZISRAWDIRECTORY", dir_payload)
+    # back-patch the directory position into the file header (payload
+    # offset 52; +32 skips the segment header)
+    struct.pack_into("<q", out, 32 + 52, dir_pos)
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+# ---------------------------------------------------------------------------
+# ND2 fixture writer (chunk map container)
+# ---------------------------------------------------------------------------
+
+
+def _nd2_chunk(name: bytes, data: bytes) -> bytes:
+    return struct.pack("<IIQ", 0x0ABECEDA, len(name), len(data)) + name + data
+
+
+def _lv_uint(name: str, value: int) -> bytes:
+    # type 3 (u32), name length in UTF-16 chars, name, value
+    enc = name.encode("utf-16-le")
+    return struct.pack("<BB", 3, len(name)) + enc + struct.pack("<I", value)
+
+
+def write_nd2(path, frames):
+    """frames: list of [H, W, C] uint16 arrays (component-interleaved)."""
+    h, w, comp = frames[0].shape
+    attrs = (
+        _lv_uint("uiWidth", w) + _lv_uint("uiHeight", h)
+        + _lv_uint("uiComp", comp) + _lv_uint("uiBpcInMemory", 16)
+    )
+    out = bytearray()
+    offsets = {}
+    name = b"ImageAttributesLV!"
+    offsets[name] = len(out)
+    out += _nd2_chunk(name, attrs)
+    for i, fr in enumerate(frames):
+        name = f"ImageDataSeq|{i}!".encode()
+        offsets[name] = len(out)
+        data = struct.pack("<d", 0.0) + fr.astype("<u2").tobytes()
+        out += _nd2_chunk(name, data)
+    map_data = b"".join(
+        nm + struct.pack("<QQ", off, 0) for nm, off in offsets.items()
+    ) + b"ND2 CHUNK MAP SIGNATURE 0000001!" + struct.pack("<QQ", 0, 0)
+    map_pos = len(out)
+    out += _nd2_chunk(b"ND2 CHUNK MAP SIGNATURE 0000001!", map_data)
+    out += b"ND2 CHUNK MAP SIGNATURE 0000001!" + struct.pack("<Q", map_pos)
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+def test_czi_two_channels(tmp_path, rng):
+    planes = [(rng.rand(40, 60) * 60000).astype(np.uint16) for _ in range(2)]
+    path = str(tmp_path / "x.czi")
+    write_czi(path, planes)
+    with CziFile(path) as czi:
+        assert czi.channels() == 2
+    for c in range(2):
+        np.testing.assert_array_equal(read_czi_channel(path, c), planes[c])
+    # the CLI dispatch path (UnMicst1-5.py:798-801 equivalence)
+    np.testing.assert_array_equal(read_channel(path, "czi", 1), planes[1])
+
+
+def test_czi_mosaic_assembly(tmp_path, rng):
+    plane = (rng.rand(32, 50) * 60000).astype(np.uint16)
+    path = str(tmp_path / "m.czi")
+    write_czi(path, [plane], tile_split=20)
+    np.testing.assert_array_equal(read_czi_channel(path, 0), plane)
+
+
+def test_czi_compressed_rejected(tmp_path, rng):
+    plane = (rng.rand(8, 8) * 100).astype(np.uint16)
+    path = str(tmp_path / "z.czi")
+    write_czi(path, [plane], compression=4)  # JPEG-XR
+    with pytest.raises(NotImplementedError, match="compression=4"):
+        read_czi_channel(path, 0)
+
+
+def test_czi_missing_channel(tmp_path, rng):
+    plane = (rng.rand(8, 8) * 100).astype(np.uint16)
+    path = str(tmp_path / "c.czi")
+    write_czi(path, [plane])
+    with pytest.raises(IndexError):
+        read_czi_channel(path, 3)
+
+
+def test_nd2_multicomponent(tmp_path, rng):
+    frame = (rng.rand(30, 44, 3) * 60000).astype(np.uint16)
+    path = str(tmp_path / "x.nd2")
+    write_nd2(path, [frame])
+    with Nd2File(path) as nd2:
+        assert (nd2.height, nd2.width, nd2.components) == (30, 44, 3)
+    for c in range(3):
+        np.testing.assert_array_equal(
+            read_nd2_channel(path, c), frame[:, :, c]
+        )
+    np.testing.assert_array_equal(
+        read_channel(path, "nd2", 2), frame[:, :, 2]
+    )
+
+
+def test_nd2_single_component_frames(tmp_path, rng):
+    frames = [
+        (rng.rand(20, 25, 1) * 60000).astype(np.uint16) for _ in range(3)
+    ]
+    path = str(tmp_path / "f.nd2")
+    write_nd2(path, frames)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            read_nd2_channel(path, i), frames[i][:, :, 0]
+        )
+    with pytest.raises(IndexError):
+        read_nd2_channel(path, 5)
+
+
+def test_nd2_bad_signature(tmp_path):
+    path = str(tmp_path / "bad.nd2")
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 64)
+    with pytest.raises(ValueError, match="signature"):
+        Nd2File(path)
+
+
+def test_cli_solo_czi_end_to_end(tmp_path, rng):
+    """--tool unmicst-solo on a .czi input runs the full pipeline (the
+    reference needs third-party czifile; here the native reader serves it)."""
+    import os
+
+    from unmicst_tpu import cli
+    from unmicst_tpu.io.tiff import num_pages
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    plane = (rng.rand(96, 120) * 60000).astype(np.uint16)
+    src = tmp_path / "s" / "registration" / "img.czi"
+    src.parent.mkdir(parents=True)
+    write_czi(str(src), [plane])
+    out = tmp_path / "out"
+    rc = cli.main(
+        [str(src), "--tool", "unmicst-solo", "--model", "blobDemo",
+         "--modelRoot", os.path.join(repo, "models"),
+         "--outputPath", str(out), "--stackOutput"]
+    )
+    assert rc == 0
+    assert num_pages(str(out / "img_Probabilities_1.tif")) == 3
+
+
+def test_cli_solo_nd2_end_to_end(tmp_path, rng):
+    import os
+
+    from unmicst_tpu import cli
+    from unmicst_tpu.io.tiff import num_pages
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    frame = (rng.rand(90, 110, 2) * 60000).astype(np.uint16)
+    src = tmp_path / "s" / "registration" / "img.nd2"
+    src.parent.mkdir(parents=True)
+    write_nd2(str(src), [frame])
+    out = tmp_path / "out"
+    rc = cli.main(
+        [str(src), "--tool", "unmicst-solo", "--model", "blobDemo",
+         "--modelRoot", os.path.join(repo, "models"),
+         "--outputPath", str(out), "--channel", "2", "--stackOutput"]
+    )
+    assert rc == 0
+    assert num_pages(str(out / "img_Probabilities_2.tif")) == 3

@@ -149,3 +149,28 @@ def test_bf16_close_to_f32():
     y32 = np.asarray(unet.apply(params, x, hp, "legacy"))
     y16 = np.asarray(unet.apply(params, x, hp, "legacy", compute_dtype=jnp.bfloat16))
     assert np.abs(y32 - y16).max() < 0.05
+
+
+def test_precision_modes_accepted():
+    """precision strings thread through apply/engines (CPU executes all
+    Precision levels identically in f32 — equality is exact here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unmicst_tpu.core import unet
+    from unmicst_tpu.core.hp import HParams
+
+    hp = HParams(im_size=32, n_channels=1, n_classes=3, n_out0=4, ks=3,
+                 n_extra_convs=0, n_layers=2, batch_size=2)
+    params = unet.init_params(jax.random.PRNGKey(0), hp, "legacy")
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 1), jnp.float32)
+    base = unet.apply(params, x, hp, "legacy")
+    for prec in ("default", "high", "highest"):
+        out = unet.apply(params, x, hp, "legacy", precision=prec)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=1e-6)
+    from unmicst_tpu.cli import precision_mode
+
+    assert precision_mode("float32") == (None, "high")
+    assert precision_mode("highest") == (None, "highest")
+    assert precision_mode("bfloat16")[0] == jnp.bfloat16

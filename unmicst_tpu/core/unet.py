@@ -113,15 +113,26 @@ def get_variant(name: str) -> VariantConfig:
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _precision(compute_dtype):
-    # In f32 parity mode force true-f32 MXU passes (TPU defaults to bf16
-    # inputs otherwise); in explicit bf16 mode the default is already right.
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,  # 1 bf16 MXU pass
+    "high": jax.lax.Precision.HIGH,  # 3 passes (~bf16x3 f32 emulation)
+    "highest": jax.lax.Precision.HIGHEST,  # 6 passes (full f32)
+}
+
+
+def _precision(compute_dtype, precision=None):
+    # Explicit override wins; otherwise f32 mode defaults to full-f32 MXU
+    # passes (TPU would silently round to bf16), bf16 mode to DEFAULT.
+    if precision is not None:
+        return _PRECISIONS[precision] if isinstance(precision, str) else precision
     return jax.lax.Precision.HIGHEST if compute_dtype is None else None
 
 
-def conv(x: jnp.ndarray, kernel: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+def conv(
+    x: jnp.ndarray, kernel: jnp.ndarray, compute_dtype=None, precision=None
+) -> jnp.ndarray:
     """SAME conv, stride 1, NHWC/HWIO — MXU-friendly with f32 accumulation."""
-    precision = _precision(compute_dtype)
+    precision = _precision(compute_dtype, precision)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
@@ -132,7 +143,8 @@ def conv(x: jnp.ndarray, kernel: jnp.ndarray, compute_dtype=None) -> jnp.ndarray
 
 
 def conv_transpose(
-    x: jnp.ndarray, kernel: jnp.ndarray, stride: int, compute_dtype=None
+    x: jnp.ndarray, kernel: jnp.ndarray, stride: int, compute_dtype=None,
+    precision=None,
 ) -> jnp.ndarray:
     """``tf.nn.conv2d_transpose`` parity (``UnMicst.py:153-155``).
 
@@ -142,7 +154,7 @@ def conv_transpose(
     gradient-of-conv semantics TF uses, with SAME producing
     ``out = in * stride``.
     """
-    precision = _precision(compute_dtype)
+    precision = _precision(compute_dtype, precision)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
@@ -305,6 +317,7 @@ def apply(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     compute_dtype=None,
+    precision=None,
     return_logits: bool = False,
 ) -> jnp.ndarray | Tuple[jnp.ndarray, Params]:
     """Forward pass.  ``x``: [B, S, S, C] float.  Returns softmax [B, S, S, K].
@@ -315,9 +328,15 @@ def apply(
 
     ``compute_dtype=jnp.bfloat16`` runs convolutions in bf16 with f32
     accumulation (the TPU fast path); BN/softmax stay f32.
+    ``precision``: 'default' | 'high' | 'highest' (or a jax.lax.Precision)
+    overriding the per-dtype MXU pass count — 'high' (3 bf16 passes) is the
+    measured sweet spot for f32 parity at ~3x the DEFAULT cost instead of
+    HIGHEST's 6x.
     """
     cfg = get_variant(variant)
     act = cfg.act
+    conv_p = partial(conv, precision=precision)
+    conv_transpose_p = partial(conv_transpose, precision=precision)
     dsf = hp.down_samp_fact
     new_params = jax.tree_util.tree_map(lambda a: a, params) if train else None
     rngs = iter(jax.random.split(rng, 2 * hp.n_layers + 4)) if rng is not None else None
@@ -334,10 +353,10 @@ def apply(
     h = x
     for i, layer in enumerate(params["down"]):
         skips.append(h)
-        c = conv(h, layer["kernel1"], compute_dtype)
+        c = conv_p(h, layer["kernel1"], compute_dtype)
         for ke in layer["extra"]:
-            c = conv(act(c), ke, compute_dtype)
-        short = conv(h, layer["shortcut"], compute_dtype)
+            c = conv_p(act(c), ke, compute_dtype)
+        short = conv_p(h, layer["shortcut"], compute_dtype)
         pre = c + short
 
         def set_down_bn(nb, i=i):
@@ -350,7 +369,7 @@ def apply(
             y = _dropout(y, cfg.dropout_down_per_layer * i, next_rng(), train)
         h = max_pool(y, dsf)
 
-    b = conv(h, params["bottom"]["kernel1"], compute_dtype)
+    b = conv_p(h, params["bottom"]["kernel1"], compute_dtype)
     if cfg.legacy:
         b = act(b)  # UnMicst.py:113-114
     else:
@@ -365,9 +384,9 @@ def apply(
     for step in range(hp.n_layers):
         i = hp.n_layers - 1 - step  # reference lu index (UnMicst.py:181-182)
         layer = params["up"][i]
-        u = act(conv_transpose(h, layer["kernel1"], dsf, compute_dtype))
+        u = act(conv_transpose_p(h, layer["kernel1"], dsf, compute_dtype))
         cc = jnp.concatenate([skips[i].astype(u.dtype), u], axis=-1)
-        cv = conv(cc, layer["kernel2"], compute_dtype)
+        cv = conv_p(cc, layer["kernel2"], compute_dtype)
 
         def set_up_bn(nb, i=i):
             new_params["up"][i]["bn"] = nb
@@ -377,7 +396,7 @@ def apply(
         else:
             cv = act(run_bn(cv, layer["bn"], set_up_bn))
         for ke in layer["extra"]:
-            cv = act(conv(cv, ke, compute_dtype))
+            cv = act(conv_p(cv, ke, compute_dtype))
         if not cfg.legacy and cfg.dropout_up_base > 0:
             cv = _dropout(
                 cv, cfg.dropout_up_base - cfg.dropout_up_per_layer * i,
@@ -385,7 +404,7 @@ def apply(
             )
         h = cv
 
-    t = conv(h, params["top"]["kernel"], compute_dtype)
+    t = conv_p(h, params["top"]["kernel"], compute_dtype)
     if not cfg.legacy:
 
         def set_top_bn(nb):

@@ -62,6 +62,7 @@ class InferenceEngine:
         std: float,
         *,
         compute_dtype=None,
+        precision=None,
         tile_batch: int = 128,
         accum_dtype=jnp.float32,
     ):
@@ -71,6 +72,7 @@ class InferenceEngine:
         self.mean = float(mean)
         self.std = float(std)
         self.compute_dtype = compute_dtype
+        self.precision = precision
         self.tile_batch = int(tile_batch)
         self.accum_dtype = accum_dtype
         # bounded, thread-safe program cache: long-running services see
@@ -108,12 +110,14 @@ class InferenceEngine:
         n_ch, n_cls = hp.n_channels, hp.n_classes
         mean, std = self.mean, self.std
         compute_dtype = self.compute_dtype
+        precision = self.precision
         variant = self.variant
         accum_dtype = self.accum_dtype
 
         def forward(params, t):
             return apply(
-                params, t, hp, variant, compute_dtype=compute_dtype
+                params, t, hp, variant, compute_dtype=compute_dtype,
+                precision=precision,
             )
 
         stripe_rows = R * sub + 2 * margin

@@ -1,0 +1,171 @@
+"""Minimal native CZI (Zeiss ZISRAW) reader — uncompressed sub-blocks.
+
+Removes the reference's third-party ``czifile`` dependency for the CLI's
+``.czi`` input path (``UnMicst1-5.py:798-801``: the reference reads
+``czi.asarray()[0, 0, channel, 0, 0, :, :, 0]`` — i.e. one channel plane of
+the first scene/time/Z).  This reader parses the segment stream directly
+and assembles exactly that plane, mosaics included.
+
+ZISRAW container layout (public Zeiss spec):
+
+* the file is a sequence of 32-byte-aligned segments, each headed by a
+  16-byte ASCII id, int64 allocated size and int64 used size;
+* ``ZISRAWFILE`` (first segment) carries the sub-block directory offset at
+  payload offset 52 (after major/minor, 8 reserved, two GUIDs, file part);
+* ``ZISRAWDIRECTORY`` holds ``DirectoryEntryDV`` records: pixel type,
+  file position, compression, and per-dimension (X/Y/C/Z/T/S/M...)
+  start/size entries;
+* each ``ZISRAWSUBBLOCK`` repeats its directory entry, followed by XML
+  metadata and the pixel payload at offset ``max(256, entry_size + 16)``.
+
+Only uncompressed (compression == 0) gray sub-blocks are supported; that is
+what the upstream microscope exports in the UnMicst workflows.  Compressed
+blocks raise ``NotImplementedError`` with the compression id.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+_SEG_HEADER = struct.Struct("<16sqq")
+_PIXEL_DTYPES = {
+    0: np.dtype(np.uint8),  # Gray8
+    1: np.dtype(np.uint16),  # Gray16
+    12: np.dtype(np.float32),  # Gray32Float
+}
+
+
+@dataclasses.dataclass
+class SubBlockEntry:
+    pixel_type: int
+    file_position: int
+    compression: int
+    dims: Dict[str, Tuple[int, int]]  # dim -> (start, stored size)
+
+    def dim(self, name: str, default: int = 0) -> int:
+        return self.dims.get(name, (default, 1))[0]
+
+
+def _parse_directory_entry(buf: bytes, pos: int) -> Tuple[SubBlockEntry, int]:
+    schema = buf[pos : pos + 2]
+    if schema != b"DV":
+        raise ValueError(f"unsupported CZI directory entry schema {schema!r}")
+    pixel_type, = struct.unpack_from("<i", buf, pos + 2)
+    file_position, = struct.unpack_from("<q", buf, pos + 6)
+    # FilePart int32 at +14
+    compression, = struct.unpack_from("<i", buf, pos + 18)
+    # PyramidType u8 + 5 reserved at +22
+    dim_count, = struct.unpack_from("<i", buf, pos + 28)
+    dims: Dict[str, Tuple[int, int]] = {}
+    p = pos + 32
+    for _ in range(dim_count):
+        name = buf[p : p + 4].rstrip(b"\x00").decode("ascii")
+        start, size = struct.unpack_from("<ii", buf, p + 4)
+        # +12 StartCoordinate float32, +16 StoredSize int32
+        stored, = struct.unpack_from("<i", buf, p + 16)
+        dims[name] = (start, stored or size)
+        p += 20
+    return SubBlockEntry(pixel_type, file_position, compression, dims), p
+
+
+class CziFile:
+    """Windowless plane reader over the sub-block directory."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "rb")
+        sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
+        if not sid.startswith(b"ZISRAWFILE"):
+            raise ValueError(f"{path}: not a CZI file")
+        header = self._f.read(used)
+        dir_pos, = struct.unpack_from("<q", header, 52)
+        self.entries = self._read_directory(dir_pos)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _read_directory(self, dir_pos: int) -> List[SubBlockEntry]:
+        self._f.seek(dir_pos)
+        sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
+        if not sid.startswith(b"ZISRAWDIRECTORY"):
+            raise ValueError("CZI sub-block directory segment not found")
+        buf = self._f.read(used)
+        count, = struct.unpack_from("<i", buf, 0)
+        entries = []
+        pos = 128  # 4-byte count + 124 reserved
+        for _ in range(count):
+            entry, pos = _parse_directory_entry(buf, pos)
+            entries.append(entry)
+        return entries
+
+    def channels(self) -> int:
+        return 1 + max(e.dim("C") for e in self.entries)
+
+    def _read_subblock(self, entry: SubBlockEntry) -> np.ndarray:
+        if entry.compression != 0:
+            raise NotImplementedError(
+                f"compressed CZI sub-blocks (compression="
+                f"{entry.compression}) are not supported"
+            )
+        dtype = _PIXEL_DTYPES.get(entry.pixel_type)
+        if dtype is None:
+            raise NotImplementedError(
+                f"CZI pixel type {entry.pixel_type} not supported"
+            )
+        self._f.seek(entry.file_position)
+        sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
+        if not sid.startswith(b"ZISRAWSUBBLOCK"):
+            raise ValueError("directory entry does not point at a sub-block")
+        buf = self._f.read(used)
+        meta_size, _attach, data_size = struct.unpack_from("<iiq", buf, 0)
+        _, entry_end = _parse_directory_entry(buf, 16)
+        data_off = max(256, entry_end) + meta_size
+        h = entry.dims["Y"][1]
+        w = entry.dims["X"][1]
+        raw = buf[data_off : data_off + data_size]
+        return np.frombuffer(
+            raw, dtype.newbyteorder("<"), count=h * w
+        ).reshape(h, w).astype(dtype)
+
+    def read_channel(self, channel: int) -> np.ndarray:
+        """One channel plane of the first scene/time/Z — the
+        ``asarray()[0, 0, c, 0, 0, :, :, 0]`` plane the reference extracts.
+
+        Mosaic sub-blocks (M dimension) are placed at their X/Y starts.
+        """
+        picks = [e for e in self.entries if e.dim("C") == channel]
+        if not picks:
+            raise IndexError(
+                f"channel {channel} not present (file has "
+                f"{self.channels()} channels)"
+            )
+        # first scene/time/Z only, all mosaic tiles of it
+        for axis in ("S", "T", "Z", "B"):
+            first = min(e.dim(axis) for e in picks)
+            picks = [e for e in picks if e.dim(axis) == first]
+        x0 = min(e.dim("X") for e in picks)
+        y0 = min(e.dim("Y") for e in picks)
+        h = max(e.dim("Y") + e.dims["Y"][1] for e in picks) - y0
+        w = max(e.dim("X") + e.dims["X"][1] for e in picks) - x0
+        dtype = _PIXEL_DTYPES.get(picks[0].pixel_type, np.dtype(np.uint16))
+        plane = np.zeros((h, w), dtype)
+        for e in picks:
+            tile = self._read_subblock(e)
+            r, c = e.dim("Y") - y0, e.dim("X") - x0
+            plane[r : r + tile.shape[0], c : c + tile.shape[1]] = tile
+        return plane
+
+
+def read_czi_channel(path: str, channel: int) -> np.ndarray:
+    with CziFile(path) as czi:
+        return czi.read_channel(channel)

@@ -2,9 +2,11 @@
 
 Format dispatch parity with the CLI mains (``UnMicst1-5.py:794-806``):
 ``ome.tif / ome.tiff / btf / tif`` via the native TIFF reader (page ==
-channel), ``czi`` / ``nd2`` via optional third-party readers.  The solo
-nd2 bug (undefined ``iChan`` NameError, ``UnMicst1-5.py:802-804``) is
-replaced by a working call or a clear ImportError.
+channel), ``czi`` / ``nd2`` via the vendored native readers
+(:mod:`unmicst_tpu.io.czi`, :mod:`unmicst_tpu.io.nd2`) — no third-party
+``czifile``/``nd2reader`` dependency.  The solo nd2 bug (undefined
+``iChan`` NameError, ``UnMicst1-5.py:802-804``) is replaced by a working
+channel read.
 """
 
 from __future__ import annotations
@@ -22,23 +24,13 @@ def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
     if file_type in TIFF_LIKE:
         return imread(image_path, channel)
     if file_type == "czi":
-        try:
-            import czifile  # type: ignore
-        except ImportError as e:
-            raise NotImplementedError(
-                "czi input requires the optional 'czifile' package"
-            ) from e
-        with czifile.CziFile(image_path) as czi:
-            return czi.asarray()[0, 0, channel, 0, 0, :, :, 0]
+        from unmicst_tpu.io.czi import read_czi_channel
+
+        return read_czi_channel(image_path, channel)
     if file_type == "nd2":
-        try:
-            from nd2reader import ND2Reader  # type: ignore
-        except ImportError as e:
-            raise NotImplementedError(
-                "nd2 input requires the optional 'nd2reader' package"
-            ) from e
-        with ND2Reader(image_path) as stack:
-            return np.asarray(stack[channel])
+        from unmicst_tpu.io.nd2 import read_nd2_channel
+
+        return read_nd2_channel(image_path, channel)
     raise NotImplementedError(
         f"Don't know how to read image with extension .{file_type}"
     )

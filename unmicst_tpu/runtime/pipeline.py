@@ -63,6 +63,7 @@ class StreamingEngine:
         std: float,
         *,
         compute_dtype=jnp.bfloat16,
+        precision=None,
         tile_batch: int = 256,
         stripe_tile_rows: Optional[int] = None,
         in_flight: int = 4,
@@ -73,6 +74,7 @@ class StreamingEngine:
         self.mean = float(mean)
         self.std = float(std)
         self.compute_dtype = compute_dtype
+        self.precision = precision
         self.tile_batch = tile_batch
         self.stripe_tile_rows = stripe_tile_rows
         self.in_flight = in_flight
@@ -129,13 +131,15 @@ class StreamingEngine:
         n_ch, n_cls = hp.n_channels, hp.n_classes
         mean, std = self.mean, self.std
         compute_dtype = self.compute_dtype
+        precision = self.precision
         variant = self.variant
         band_grid = tiler.make_grid(rows_tiles * sub, plan.width, patch, margin)
         canvas_w = grid.padded_width
         arange_rows = np.arange(rows_tiles)
 
         def forward(params, t):
-            return apply(params, t, hp, variant, compute_dtype=compute_dtype)
+            return apply(params, t, hp, variant, compute_dtype=compute_dtype,
+                         precision=precision)
 
         def run(params, raw_stripe, s0, lo, hi, win):
             # raw_stripe: (in_rows, canvas_w, n_ch) raw dtype, already
