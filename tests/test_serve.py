@@ -98,3 +98,69 @@ def test_infer_unknown_model(server_url, tmp_path, rng):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 404
+
+
+def test_oversized_body_rejected_413(tmp_path, rng):
+    from http.server import ThreadingHTTPServer
+
+    srv = ModelServer(
+        model_root=os.path.join(REFERENCE, "models"), precision="float32",
+        max_body_bytes=1000,
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/infer?model=nucleiDAPI",
+            data=b"x" * 2000, method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 413
+        # and zero-length bodies get 411
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/infer?model=nucleiDAPI",
+            data=b"", method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 411
+    finally:
+        httpd.shutdown()
+
+
+def test_concurrent_inference_consistent(server_url, tmp_path, rng):
+    """Four simultaneous POSTs (ThreadingHTTPServer + engine cache lock):
+    every response equals the sequential answer."""
+    raw = (rng.rand(96, 72) * 60000).astype(np.uint16)
+    src = str(tmp_path / "c.tif")
+    imwrite(src, raw, bigtiff=False)
+    body = open(src, "rb").read()
+
+    def post():
+        req = urllib.request.Request(
+            server_url + "/infer?model=nucleiDAPI&channel=0",
+            data=body, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.read()
+
+    sequential = post()
+    results = [None] * 4
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = post()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors
+    assert all(r == sequential for r in results)

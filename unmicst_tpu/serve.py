@@ -31,9 +31,15 @@ import numpy as np
 
 
 class ModelServer:
-    def __init__(self, model_root: Optional[str] = None, precision: str = "bfloat16"):
+    def __init__(
+        self,
+        model_root: Optional[str] = None,
+        precision: str = "bfloat16",
+        max_body_bytes: int = 2 << 30,
+    ):
         self.model_root = model_root
         self.precision = precision
+        self.max_body_bytes = int(max_body_bytes)
         self._engines: Dict[Tuple[str, str], object] = {}
         self._lock = threading.Lock()
 
@@ -41,18 +47,16 @@ class ModelServer:
         key = (model, self.precision)
         with self._lock:
             if key not in self._engines:
-                import jax.numpy as jnp
-
-                from unmicst_tpu.cli import resolve_model_dir
+                from unmicst_tpu.cli import precision_mode, resolve_model_dir
                 from unmicst_tpu.core.checkpoint import load_params_for_bundle
                 from unmicst_tpu.core.hp import load_model_dir
                 from unmicst_tpu.infer import InferenceEngine
 
                 bundle = load_model_dir(resolve_model_dir(model, self.model_root))
                 params = load_params_for_bundle(bundle)
-                dtype = jnp.bfloat16 if self.precision == "bfloat16" else None
+                dtype, mxu = precision_mode(self.precision)
                 self._engines[key] = InferenceEngine.from_bundle(
-                    bundle, params, compute_dtype=dtype
+                    bundle, params, compute_dtype=dtype, precision=mxu
                 )
             return self._engines[key]
 
@@ -60,13 +64,22 @@ class ModelServer:
         self, body: bytes, model: str, channel: int, rescale: bool,
         outlier: float,
     ) -> Tuple[bytes, dict]:
-        from unmicst_tpu.io.tiff import TiffFile, TiffWriter
-
+        """In-memory convenience wrapper over :meth:`infer_tiff_path`."""
         with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
             tmp.write(body)
             tmp.flush()
-            with TiffFile(tmp.name) as tf:
-                raw = tf.read_page(channel)
+            return self.infer_tiff_path(
+                tmp.name, model, channel, rescale, outlier
+            )
+
+    def infer_tiff_path(
+        self, path: str, model: str, channel: int, rescale: bool,
+        outlier: float,
+    ) -> Tuple[bytes, dict]:
+        from unmicst_tpu.io.tiff import TiffFile, TiffWriter
+
+        with TiffFile(path) as tf:
+            raw = tf.read_page(channel)
         eng = self.engine(model)
         t0 = time.perf_counter()
         maps = eng.infer_slide(raw, outlier=outlier, rescale=rescale)
@@ -135,9 +148,30 @@ def make_handler(server: ModelServer):
             rescale = q.get("rescale", ["1"])[0] != "0"
             outlier = float(q.get("outlier", ["-1"])[0])
             length = int(self.headers.get("Content-Length", "0"))
-            body = self.rfile.read(length)
+            if length <= 0:
+                self._json(411, {"error": "Content-Length required"})
+                return
+            if length > server.max_body_bytes:
+                self._json(413, {
+                    "error": f"request body {length} B exceeds the "
+                    f"{server.max_body_bytes} B limit"
+                })
+                return
             try:
-                out, meta = server.infer_tiff(body, model, channel, rescale, outlier)
+                # spool to disk in chunks: a whole-slide POST must not
+                # occupy RAM twice (body + decoded pixels)
+                with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
+                    remaining = length
+                    while remaining:
+                        chunk = self.rfile.read(min(remaining, 16 << 20))
+                        if not chunk:
+                            raise ConnectionError("client hung up mid-body")
+                        tmp.write(chunk)
+                        remaining -= len(chunk)
+                    tmp.flush()
+                    out, meta = server.infer_tiff_path(
+                        tmp.name, model, channel, rescale, outlier
+                    )
             except FileNotFoundError as e:
                 self._json(404, {"error": str(e)})
                 return
@@ -168,9 +202,17 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8800)
     p.add_argument("--modelRoot")
-    p.add_argument("--precision", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument(
+        "--precision", choices=["float32", "highest", "bfloat16"],
+        default="bfloat16",
+    )
+    p.add_argument(
+        "--maxBodyBytes", type=int, default=2 << 30,
+        help="reject request bodies beyond this size (HTTP 413)",
+    )
     args = p.parse_args(argv)
-    serve(args.host, args.port, model_root=args.modelRoot, precision=args.precision)
+    serve(args.host, args.port, model_root=args.modelRoot,
+          precision=args.precision, max_body_bytes=args.maxBodyBytes)
     return 0
 
 
