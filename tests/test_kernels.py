@@ -36,3 +36,64 @@ def test_blend_fold_matches_xla(rng, shape, patch, margin, k):
     ref = np.asarray(tiler.fold(jnp.array(tiles * win[None, None, :, :, None]), g))
     got = np.asarray(blend_fold_pallas(jnp.array(tiles), win, g, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pallas RDMA ring halo exchange (kernels/halo_rdma.py)
+# ---------------------------------------------------------------------------
+
+
+def _mesh8():
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    return Mesh(np.array(devs[:8]), ("d",))
+
+
+@pytest.mark.parametrize("shift", [1, -1])
+def test_ring_shift_matches_ppermute(shift):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from unmicst_tpu.kernels.halo_rdma import ring_shift
+
+    mesh = _mesh8()
+    x = jnp.arange(8 * 16 * 128, dtype=jnp.float32).reshape(8, 16, 128)
+    got = shard_map(
+        lambda b: ring_shift(b, "d", shift, interpret=True),
+        mesh=mesh, in_specs=P("d", None, None),
+        out_specs=P("d", None, None), check_vma=False,
+    )(x)
+    ref = shard_map(
+        lambda b: jax.lax.ppermute(
+            b, "d", [(j, (j + shift) % 8) for j in range(8)]
+        ),
+        mesh=mesh, in_specs=P("d", None, None),
+        out_specs=P("d", None, None),
+    )(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_spatial_infer_pallas_halo_matches_ppermute(rng):
+    """halo_impl='pallas' (RDMA ring kernels) == the ppermute path, whole
+    pipeline, 8-way row shard."""
+    from unmicst_tpu.core.hp import HParams
+    from unmicst_tpu.core import unet as unet_mod
+    from unmicst_tpu.runtime import halo
+
+    mesh = _mesh8()
+    hp = HParams(im_size=32, n_channels=1, n_classes=3, n_out0=6, ks=3,
+                 n_extra_convs=0, n_layers=2, batch_size=8, std_dev0=0.5)
+    params = unet_mod.init_params(jax.random.PRNGKey(3), hp, "legacy")
+    img = rng.rand(150, 90).astype(np.float32)
+    canvas = halo.build_canvas(img, hp, 8)
+    kw = dict(mean=0.3, std=0.2, axis="d")
+    ref = halo.spatial_infer(params, jnp.asarray(canvas), 150, 90, hp,
+                             "legacy", mesh, **kw)
+    got = halo.spatial_infer(params, jnp.asarray(canvas), 150, 90, hp,
+                             "legacy", mesh, halo_impl="pallas",
+                             pallas_interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)

@@ -1,0 +1,105 @@
+"""Pallas RDMA ring halo-exchange — the kernel alternative to ``ppermute``.
+
+The spatial-sharding runtime (:mod:`unmicst_tpu.runtime.halo`) moves two
+seam buffers per band over ICI: the input halo (next band's first ``2m``
+rows) and the output fold tail.  The XLA path expresses both as
+``jax.lax.ppermute``; this module provides the same single-hop shift as an
+explicit Pallas kernel using ``make_async_remote_copy`` — giving the
+runtime control over buffering and priority, and serving as the in-repo
+exemplar of the guide's ring-collective pattern (pallas_guide.md, "Async
+Remote DMA" / "Ring Collectives").
+
+Semantics: ``ring_shift(x, axis, shift)`` inside ``shard_map`` returns, on
+device ``i``, the block that device ``(i - shift) mod n`` contributed —
+identical to ``jax.lax.ppermute(x, axis, [(j, (j + shift) % n) for j in
+range(n)])``.
+
+Measurement status (2026-08): this host exposes ONE physical TPU chip, so
+the ICI path cannot be timed here; correctness is pinned against ppermute
+on the CPU-simulated mesh (interpret mode) by ``tests/test_kernels.py``,
+and the single-device ring degenerates to a self-copy that runs compiled
+on the real chip.  On a real slice the kernel rides the same ICI links as
+the XLA collective; the win to look for is overlapping the halo push with
+the band forward pass (``rdma.start()`` early, ``wait()`` late), which the
+ppermute formulation cannot express.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift_kernel(x_ref, out_ref, send_sem, recv_sem, *, axis: str,
+                  shift: int, collective: bool):
+    my = jax.lax.axis_index(axis)
+    n = jax.lax.axis_size(axis)
+    dst = jax.lax.rem(my + shift + n, n)
+
+    if collective:
+        # all devices must have entered the kernel (out_ref allocated)
+        # before anyone writes a remote buffer
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=dst,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        pltpu.semaphore_wait(barrier, 1)
+
+    rdma = pltpu.make_async_remote_copy(
+        src_ref=x_ref,
+        dst_ref=out_ref,
+        send_sem=send_sem,
+        recv_sem=recv_sem,
+        device_id=dst,
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+    rdma.start()
+    rdma.wait()
+
+
+def ring_shift(
+    x: jnp.ndarray,
+    axis: str,
+    shift: int = 1,
+    *,
+    collective_id: int = 7,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One-hop ring shift of ``x`` along mesh axis ``axis`` (shard_map only).
+
+    ``shift=+1`` sends to the next device (recv from previous);
+    ``shift=-1`` the reverse.  Drop-in for the halo runtime's two
+    ``ppermute`` calls.
+    """
+    n = jax.lax.axis_size(axis)
+    del n  # only validated lazily; a 1-ring is a self-copy
+    kernel = partial(
+        _shift_kernel, axis=axis, shift=shift,
+        collective=not interpret,  # barrier sem needs a real collective_id
+    )
+    # under shard_map with vma checking, the output varies over the same
+    # mesh axes as the input block
+    vma = getattr(jax.typeof(x), "vma", None)
+    out_shape = (
+        jax.ShapeDtypeStruct(x.shape, x.dtype, vma=vma)
+        if vma is not None else jax.ShapeDtypeStruct(x.shape, x.dtype)
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=collective_id,
+        ),
+        interpret=interpret,
+    )(x)

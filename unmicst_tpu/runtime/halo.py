@@ -50,6 +50,8 @@ def spatial_infer(
     axis: str = "data",
     tile_batch: int = 64,
     compute_dtype=None,
+    halo_impl: str = "ppermute",
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """Row-sharded tiled inference over ``mesh[axis]`` devices.
 
@@ -89,15 +91,29 @@ def spatial_infer(
     def forward(t):
         return unet.apply(params, t, hp, variant, compute_dtype=compute_dtype)
 
+    if halo_impl == "pallas":
+        from unmicst_tpu.kernels.halo_rdma import ring_shift
+
+        # ring_shift(x, axis, s) delivers device (i-s)'s block to device i,
+        # matching ppermute's perm [(j, (j+s) % n)]
+        def exchange(buf, s):
+            return ring_shift(buf, axis, s, interpret=pallas_interpret)
+    elif halo_impl == "ppermute":
+        def exchange(buf, s):
+            return jax.lax.ppermute(
+                buf, axis, [(j, (j + s) % n_dev) for j in range(n_dev)]
+            )
+    else:
+        raise ValueError(f"unknown halo_impl {halo_impl!r}")
+
     def band_fn(block, tail):
         # block: (rows_per_dev, W', C) — this device's band
         d = jax.lax.axis_index(axis)
         # --- input halo: first 2m rows of the next band; the last device
-        # takes the global canvas tail instead
+        # takes the global canvas tail instead (device i receives from
+        # i+1, i.e. shift -1)
         head = block[:two_m]
-        halo = jax.lax.ppermute(
-            head, axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
-        )
+        halo = exchange(head, -1)
         halo = jnp.where(d == n_dev - 1, tail, halo)
         stripe = jnp.concatenate([block, halo], axis=0)
         stripe = (stripe - mean) / std
@@ -118,9 +134,7 @@ def spatial_infer(
 
         # --- output halo: our fold tail lands on the next band's head
         tail = strip[rows_per_dev:]
-        recv = jax.lax.ppermute(
-            tail, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        )
+        recv = exchange(tail, 1)
         recv = jnp.where(d == 0, jnp.zeros_like(recv), recv)
         out_block = strip[:rows_per_dev].at[:two_m].add(recv)
         return out_block, tail
@@ -131,6 +145,10 @@ def spatial_infer(
         mesh=mesh,
         in_specs=(in_spec, P()),
         out_specs=(in_spec, P(axis, None, None)),
+        # the pallas interpret lowering mixes vma-tagged and literal values
+        # inside the kernel (jax vma-check limitation); semantics are pinned
+        # by the ppermute-equivalence tests
+        check_vma=halo_impl != "pallas",
     )(body, global_tail)
 
     # reassemble: sharded body + the genuine global tail (last device's)
