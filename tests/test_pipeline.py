@@ -233,10 +233,9 @@ def test_stream_scaled_duo_stack(model, rng):
     """infer_stack accepts virtual sources (per-channel global ranges)."""
     from unmicst_tpu.io import preprocess as pp
 
-    hp, params = model
-    hp2 = HParams(**{**hp.__dict__, "n_channels": 2}) if hasattr(hp, "__dict__") else hp
     import dataclasses as dc
 
+    hp, params = model
     hp2 = dc.replace(hp, n_channels=2)
     params2 = unet.init_params(jax.random.PRNGKey(5), hp2, "legacy")
     a = (rng.rand(120, 70) * 60000).astype(np.uint16)

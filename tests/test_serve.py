@@ -164,3 +164,13 @@ def test_concurrent_inference_consistent(server_url, tmp_path, rng):
         t.join(timeout=300)
     assert not errors
     assert all(r == sequential for r in results)
+
+
+def test_bad_parameters_get_400(server_url):
+    req = urllib.request.Request(
+        server_url + "/infer?model=nucleiDAPI&channel=notanint",
+        data=b"xx", method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400

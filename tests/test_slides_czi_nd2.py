@@ -244,3 +244,98 @@ def test_cli_solo_nd2_end_to_end(tmp_path, rng):
     )
     assert rc == 0
     assert num_pages(str(out / "img_Probabilities_2.tif")) == 3
+
+
+def test_czi_pyramid_levels_skipped(tmp_path, rng):
+    """Pyramid/downsampled sub-blocks share the full-res C/S/T/Z coords;
+    they must not overwrite real pixels (r2 review fix)."""
+    plane = (rng.rand(24, 40) * 60000).astype(np.uint16)
+    down = plane[::2, ::2].copy()
+    path = str(tmp_path / "p.czi")
+    # hand-assemble: one full-res block + one pyramid block (PyramidType=1,
+    # StoredSize half of logical Size)
+    blocks = [
+        ({"X": (0, 40, 40), "Y": (0, 24, 24), "C": (0, 1, 1)}, plane, 0),
+        ({"X": (0, 40, 20), "Y": (0, 24, 12), "C": (0, 1, 1)}, down, 1),
+    ]
+
+    def entry3(pixel_type, file_pos, compression, dims, pyramid):
+        out = b"DV" + struct.pack("<iqii", pixel_type, file_pos, 0, compression)
+        out += bytes([pyramid]) + b"\x00" * 5
+        out += struct.pack("<i", len(dims))
+        for name, (start, size, stored) in dims.items():
+            out += struct.pack("<4siifi", name.encode(), start, size,
+                               float(start), stored)
+        return out
+
+    file_header = struct.pack("<ii8x16s16si", 1, 0, b"\x00" * 16,
+                              b"\x00" * 16, 0)
+    out = bytearray()
+    out += _segment(b"ZISRAWFILE",
+                    file_header + struct.pack("<qqiq", 0, 0, 0, 0))
+    positions = []
+    for dims, pix, pyr in blocks:
+        positions.append(len(out))
+        e = entry3(1, 0, 0, dims, pyr)
+        head = struct.pack("<iiq", 0, 0, pix.nbytes) + e
+        payload = head + b"\x00" * (max(256, len(e) + 16) - len(head))
+        payload += pix.astype("<u2").tobytes()
+        out += _segment(b"ZISRAWSUBBLOCK", payload)
+    dir_pos = len(out)
+    dp = struct.pack("<i", len(blocks)) + b"\x00" * 124
+    for (dims, _, pyr), pos in zip(blocks, positions):
+        dp += entry3(1, pos, 0, dims, pyr)
+    out += _segment(b"ZISRAWDIRECTORY", dp)
+    struct.pack_into("<q", out, 32 + 52, dir_pos)
+    with open(path, "wb") as f:
+        f.write(out)
+
+    got = read_czi_channel(path, 0)
+    np.testing.assert_array_equal(got, plane)
+
+
+def test_nd2_prefix_key_disambiguation(tmp_path, rng):
+    """uiWidthBytes serialized BEFORE uiWidth must not shadow it (the LV
+    scan iterates occurrences and validity-filters; r2 review fix)."""
+    frame = (rng.rand(18, 26, 1) * 60000).astype(np.uint16)
+    attrs = (
+        _lv_uint("uiWidthBytes", 26 * 2)
+        + _lv_uint("uiWidth", 26) + _lv_uint("uiHeight", 18)
+        + _lv_uint("uiComp", 1) + _lv_uint("uiBpcInMemory", 16)
+    )
+    path = str(tmp_path / "w.nd2")
+    out = bytearray()
+    offsets = {b"ImageAttributesLV!": 0}
+    out += _nd2_chunk(b"ImageAttributesLV!", attrs)
+    offsets[b"ImageDataSeq|0!"] = len(out)
+    out += _nd2_chunk(b"ImageDataSeq|0!",
+                      struct.pack("<d", 0.0) + frame.astype("<u2").tobytes())
+    map_data = b"".join(
+        nm + struct.pack("<QQ", off, 0) for nm, off in offsets.items()
+    ) + b"ND2 CHUNK MAP SIGNATURE 0000001!" + struct.pack("<QQ", 0, 0)
+    map_pos = len(out)
+    out += _nd2_chunk(b"ND2 CHUNK MAP SIGNATURE 0000001!", map_data)
+    out += b"ND2 CHUNK MAP SIGNATURE 0000001!" + struct.pack("<Q", map_pos)
+    with open(path, "wb") as f:
+        f.write(out)
+
+    with Nd2File(path) as nd2:
+        assert (nd2.width, nd2.height) == (26, 18)
+    np.testing.assert_array_equal(read_nd2_channel(path, 0), frame[:, :, 0])
+
+
+def test_reader_constructors_close_on_error(tmp_path):
+    """Failed header validation must not leak the file handle."""
+    import warnings
+
+    bad = str(tmp_path / "bad.bin")
+    with open(bad, "wb") as f:
+        f.write(b"\x00" * 256)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ResourceWarning)
+        for ctor in (CziFile, Nd2File):
+            with pytest.raises(ValueError):
+                ctor(bad)
+            import gc
+
+            gc.collect()  # a leaked handle would raise ResourceWarning here

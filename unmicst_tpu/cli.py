@@ -5,8 +5,9 @@ The reference dispatches via ``os.execvp`` to four near-identical scripts
 engine, and inference runs **once** for all classes (the reference re-runs
 the full network per output class, ``UnMicst.py:651-677``).
 
-Flag surface (1-based channels/GPU exactly like the wrapper,
-``unmicstWrapper.py:6-22``)::
+Flag surface (1-based channels/classOrder exactly like the wrapper,
+``unmicstWrapper.py:6-22``; ``--GPU`` is a 0-based device index with -1 =
+auto-pick, the upstream ``UnMicst.py:577-595`` semantics)::
 
     unmicst-tpu IMAGE --tool {unmicst-solo,unmicst-duo,unmicst-legacy,
                               UnMicstCyto2}

@@ -44,10 +44,16 @@ class SubBlockEntry:
     pixel_type: int
     file_position: int
     compression: int
+    pyramid_type: int
     dims: Dict[str, Tuple[int, int]]  # dim -> (start, stored size)
+    downsampled: bool = False  # any dim with StoredSize != Size
 
     def dim(self, name: str, default: int = 0) -> int:
         return self.dims.get(name, (default, 1))[0]
+
+    @property
+    def full_resolution(self) -> bool:
+        return self.pyramid_type == 0 and not self.downsampled
 
 
 def _parse_directory_entry(buf: bytes, pos: int) -> Tuple[SubBlockEntry, int]:
@@ -58,18 +64,25 @@ def _parse_directory_entry(buf: bytes, pos: int) -> Tuple[SubBlockEntry, int]:
     file_position, = struct.unpack_from("<q", buf, pos + 6)
     # FilePart int32 at +14
     compression, = struct.unpack_from("<i", buf, pos + 18)
-    # PyramidType u8 + 5 reserved at +22
+    pyramid_type = buf[pos + 22]  # + 5 reserved bytes
     dim_count, = struct.unpack_from("<i", buf, pos + 28)
     dims: Dict[str, Tuple[int, int]] = {}
+    downsampled = False
     p = pos + 32
     for _ in range(dim_count):
         name = buf[p : p + 4].rstrip(b"\x00").decode("ascii")
         start, size = struct.unpack_from("<ii", buf, p + 4)
         # +12 StartCoordinate float32, +16 StoredSize int32
         stored, = struct.unpack_from("<i", buf, p + 16)
+        if stored and stored != size and name in ("X", "Y"):
+            downsampled = True
         dims[name] = (start, stored or size)
         p += 20
-    return SubBlockEntry(pixel_type, file_position, compression, dims), p
+    entry = SubBlockEntry(
+        pixel_type, file_position, compression, pyramid_type, dims,
+        downsampled,
+    )
+    return entry, p
 
 
 class CziFile:
@@ -78,12 +91,16 @@ class CziFile:
     def __init__(self, path: str):
         self.path = path
         self._f = open(path, "rb")
-        sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
-        if not sid.startswith(b"ZISRAWFILE"):
-            raise ValueError(f"{path}: not a CZI file")
-        header = self._f.read(used)
-        dir_pos, = struct.unpack_from("<q", header, 52)
-        self.entries = self._read_directory(dir_pos)
+        try:
+            sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
+            if not sid.startswith(b"ZISRAWFILE"):
+                raise ValueError(f"{path}: not a CZI file")
+            header = self._f.read(used)
+            dir_pos, = struct.unpack_from("<q", header, 52)
+            self.entries = self._read_directory(dir_pos)
+        except Exception:
+            self._f.close()
+            raise
 
     def close(self) -> None:
         self._f.close()
@@ -142,8 +159,14 @@ class CziFile:
         ``asarray()[0, 0, c, 0, 0, :, :, 0]`` plane the reference extracts.
 
         Mosaic sub-blocks (M dimension) are placed at their X/Y starts.
+        Pyramid/downsampled levels (PyramidType != 0 or StoredSize < Size)
+        are skipped — they share the full-res tiles' C/S/T/Z coordinates
+        and would otherwise overwrite real pixels with downsampled data.
         """
-        picks = [e for e in self.entries if e.dim("C") == channel]
+        picks = [
+            e for e in self.entries
+            if e.dim("C") == channel and e.full_resolution
+        ]
         if not picks:
             raise IndexError(
                 f"channel {channel} not present (file has "

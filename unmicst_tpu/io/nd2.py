@@ -44,19 +44,24 @@ def _lv_scan_uint(blob: bytes, key: str,
     """
     needle = key.encode("utf-16-le")
     pos = blob.find(needle)
-    if pos < 0:
-        return None
-    base = pos + len(needle)
-    candidates = [base]
-    if blob[base : base + 2] == b"\x00\x00":
-        # NUL right after the name: almost certainly a UTF-16 terminator
-        # (a dim value that is a multiple of 65536 is implausible)
-        candidates.insert(0, base + 2)
-    for off in candidates:
-        if off + 4 <= len(blob):
-            v = struct.unpack_from("<I", blob, off)[0]
-            if valid(v):
-                return v
+    while pos >= 0:
+        base = pos + len(needle)
+        if blob[base : base + 2] == b"\x00\x00":
+            # NUL right after the name: almost certainly a UTF-16
+            # terminator (a value that is a multiple of 65536 is
+            # implausible); prefer the post-terminator read
+            candidates = [base + 2, base]
+        else:
+            # may be the value, or the continuation of a longer key
+            # (uiWidth inside uiWidthBytes — reads as ASCII UTF-16 units,
+            # fails the validity predicate, and the scan moves on)
+            candidates = [base]
+        for off in candidates:
+            if off + 4 <= len(blob):
+                v = struct.unpack_from("<I", blob, off)[0]
+                if valid(v):
+                    return v
+        pos = blob.find(needle, pos + 1)
     return None
 
 
@@ -64,25 +69,32 @@ class Nd2File:
     def __init__(self, path: str):
         self.path = path
         self._f = open(path, "rb")
-        self.chunks = self._read_chunk_map()
-        attrs = self._read_chunk("ImageAttributesLV!")
-        if attrs is None:
-            raise ValueError(
-                f"{path}: no ImageAttributesLV chunk (legacy/JPEG2000 ND2 "
-                "files are not supported)"
+        try:
+            self.chunks = self._read_chunk_map()
+            attrs = self._read_chunk("ImageAttributesLV!")
+            if attrs is None:
+                raise ValueError(
+                    f"{path}: no ImageAttributesLV chunk (legacy/JPEG2000 "
+                    "ND2 files are not supported)"
+                )
+            self.width = _lv_scan_uint(attrs, "uiWidth")
+            self.height = _lv_scan_uint(attrs, "uiHeight")
+            self.components = _lv_scan_uint(attrs, "uiComp") or 1
+            self.bits = _lv_scan_uint(attrs, "uiBpcInMemory") or 16
+            if not self.width or not self.height:
+                raise ValueError(f"{path}: image dimensions missing")
+            if self.bits not in (8, 16, 32):
+                raise NotImplementedError(
+                    f"{self.bits}-bit ND2 not supported"
+                )
+            self.dtype = {8: np.uint8, 16: np.uint16, 32: np.uint32}[self.bits]
+            self.n_frames = sum(
+                1 for name in self.chunks
+                if name.startswith(b"ImageDataSeq|")
             )
-        self.width = _lv_scan_uint(attrs, "uiWidth")
-        self.height = _lv_scan_uint(attrs, "uiHeight")
-        self.components = _lv_scan_uint(attrs, "uiComp") or 1
-        self.bits = _lv_scan_uint(attrs, "uiBpcInMemory") or 16
-        if not self.width or not self.height:
-            raise ValueError(f"{path}: image dimensions missing")
-        if self.bits not in (8, 16, 32):
-            raise NotImplementedError(f"{self.bits}-bit ND2 not supported")
-        self.dtype = {8: np.uint8, 16: np.uint16, 32: np.uint32}[self.bits]
-        self.n_frames = sum(
-            1 for name in self.chunks if name.startswith(b"ImageDataSeq|")
-        )
+        except Exception:
+            self._f.close()
+            raise
 
     def close(self) -> None:
         self._f.close()

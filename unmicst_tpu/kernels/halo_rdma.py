@@ -39,13 +39,17 @@ def _shift_kernel(x_ref, out_ref, send_sem, recv_sem, *, axis: str,
     my = jax.lax.axis_index(axis)
     n = jax.lax.axis_size(axis)
     dst = jax.lax.rem(my + shift + n, n)
+    src = jax.lax.rem(my - shift + n, n)
 
     if collective:
-        # all devices must have entered the kernel (out_ref allocated)
-        # before anyone writes a remote buffer
+        # I may not write dst's out_ref until dst has entered the kernel.
+        # Each device signals its SOURCE-side neighbor ("my buffers are
+        # ready, you may write me"); the one signal I then wait for can
+        # only have come from my dst (the device whose source I am), which
+        # proves dst has entered.
         barrier = pltpu.get_barrier_semaphore()
         pltpu.semaphore_signal(
-            barrier, inc=1, device_id=dst,
+            barrier, inc=1, device_id=src,
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
         pltpu.semaphore_wait(barrier, 1)
@@ -76,8 +80,6 @@ def ring_shift(
     ``shift=-1`` the reverse.  Drop-in for the halo runtime's two
     ``ppermute`` calls.
     """
-    n = jax.lax.axis_size(axis)
-    del n  # only validated lazily; a 1-ring is a self-copy
     kernel = partial(
         _shift_kernel, axis=axis, shift=shift,
         collective=not interpret,  # barrier sem needs a real collective_id

@@ -144,10 +144,14 @@ def make_handler(server: ModelServer):
                 return
             q = parse_qs(url.query)
             model = q.get("model", ["nucleiDAPI"])[0]
-            channel = int(q.get("channel", ["0"])[0])
             rescale = q.get("rescale", ["1"])[0] != "0"
-            outlier = float(q.get("outlier", ["-1"])[0])
-            length = int(self.headers.get("Content-Length", "0"))
+            try:
+                channel = int(q.get("channel", ["0"])[0])
+                outlier = float(q.get("outlier", ["-1"])[0])
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError as e:
+                self._json(400, {"error": f"bad parameter: {e}"})
+                return
             if length <= 0:
                 self._json(411, {"error": "Content-Length required"})
                 return
