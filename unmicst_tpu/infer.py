@@ -131,12 +131,18 @@ class InferenceEngine:
         def run(params, canvas, win):
             # canvas: (canvas_h, canvas_w, C) raw float32 (zero padded).
             # Pre-split into overlapping stripes with pure reshapes; the
-            # scan consumes them as xs — no dynamic slicing, no big carried
-            # accumulator, maximum XLA freedom.
+            # scan consumes them as xs.  Each stripe's weighted fold (and
+            # its blend count, fused as channel K) accumulates into ONE
+            # carried canvas via in-place dynamic-update-slice — stacking
+            # per-stripe strips and overlap-adding them afterwards would
+            # materialize a second canvas-sized buffer per quantity, the
+            # HBM blow-up that capped the r1 engine at 16k/20k.
             stripes = tiler._unfold_axis(canvas, n_stripes, R * sub, stripe_rows)
             win_a = win.astype(accum_dtype)
+            acc0 = jnp.zeros((canvas_h, canvas_w, n_cls + 1), accum_dtype)
 
-            def stripe_step(s, stripe):
+            def stripe_step(carry, stripe):
+                s, acc = carry
                 norm = (stripe - mean) / std
                 tiles = tiler.unfold(norm, stripe_grid)  # (R,npc,P,P,C)
                 flat = tiles.reshape(tiles_per_stripe, patch, patch, n_ch)
@@ -150,22 +156,24 @@ class InferenceEngine:
                 mask = (row_ids < grid.npr).astype(accum_dtype)
                 w = win_a[None, None, :, :, None] * mask[:, None, None, None, None]
                 strip = tiler.fold(probs.astype(accum_dtype) * w, stripe_grid)
-                # blend-count folded per stripe too: a whole-grid count_map
-                # would materialize an (npr, npc, P, P) broadcast — ~3 GB at
-                # 20k x 20k — inside the graph
                 cstrip = tiler.fold(
                     jnp.broadcast_to(w[..., 0], (R, npc, patch, patch)),
                     stripe_grid,
                 )
-                return s + 1, (strip, cstrip)
+                both = jnp.concatenate([strip, cstrip[..., None]], axis=-1)
+                idx = s * (R * sub)
+                cur = jax.lax.dynamic_slice(
+                    acc, (idx, 0, 0), (stripe_rows, canvas_w, n_cls + 1)
+                )
+                acc = jax.lax.dynamic_update_slice(acc, cur + both, (idx, 0, 0))
+                return (s + 1, acc), None
 
-            _, (strips, cstrips) = jax.lax.scan(stripe_step, jnp.int32(0), stripes)
-            # overlap-add the stripe strips (stripe stride = R*sub, overlap 2m)
-            out = tiler._fold_axis(strips, R * sub, margin)
-            count = tiler._fold_axis(cstrips, R * sub, margin)[
-                : grid.padded_height
-            ]
-            valid = out[: grid.padded_height] / count[..., None]
+            (_, acc), _ = jax.lax.scan(
+                stripe_step, (jnp.int32(0), acc0), stripes
+            )
+            out = acc[: grid.padded_height, :, :n_cls]
+            count = acc[: grid.padded_height, :, n_cls]
+            valid = out / count[..., None]
             m = margin
             return valid[m : m + height, m : m + width].astype(jnp.float32)
 
