@@ -122,6 +122,13 @@ class InferenceEngine:
 
         stripe_rows = R * sub + 2 * margin
         arange_r = np.arange(R)  # numpy: embeds as a literal, never D2H
+        # Fold strategy: stacking all per-stripe strips and overlap-adding
+        # after the scan is ~10% faster at small canvases (no carried
+        # read-modify-write), but materializes extra canvas-sized buffers
+        # that blew HBM at 16k/20k.  Accumulating into a carried canvas is
+        # bounded-memory; pick by canvas footprint (~1 GB of stacked f32).
+        stack_bytes = n_stripes * stripe_rows * canvas_w * (n_cls + 1) * 4
+        use_stack = stack_bytes <= (1 << 30)
 
         # NOTE: no device-array constants may be captured below — on
         # tunneled TPU runtimes every captured device array costs a
@@ -131,18 +138,13 @@ class InferenceEngine:
         def run(params, canvas, win):
             # canvas: (canvas_h, canvas_w, C) raw float32 (zero padded).
             # Pre-split into overlapping stripes with pure reshapes; the
-            # scan consumes them as xs.  Each stripe's weighted fold (and
-            # its blend count, fused as channel K) accumulates into ONE
-            # carried canvas via in-place dynamic-update-slice — stacking
-            # per-stripe strips and overlap-adding them afterwards would
-            # materialize a second canvas-sized buffer per quantity, the
-            # HBM blow-up that capped the r1 engine at 16k/20k.
+            # scan consumes them as xs.
             stripes = tiler._unfold_axis(canvas, n_stripes, R * sub, stripe_rows)
             win_a = win.astype(accum_dtype)
-            acc0 = jnp.zeros((canvas_h, canvas_w, n_cls + 1), accum_dtype)
 
-            def stripe_step(carry, stripe):
-                s, acc = carry
+            def stripe_fold(s, stripe):
+                """One stripe's weighted fold; blend count fused as the
+                last channel -> (stripe_rows, canvas_w, n_cls + 1)."""
                 norm = (stripe - mean) / std
                 tiles = tiler.unfold(norm, stripe_grid)  # (R,npc,P,P,C)
                 flat = tiles.reshape(tiles_per_stripe, patch, patch, n_ch)
@@ -160,17 +162,37 @@ class InferenceEngine:
                     jnp.broadcast_to(w[..., 0], (R, npc, patch, patch)),
                     stripe_grid,
                 )
-                both = jnp.concatenate([strip, cstrip[..., None]], axis=-1)
-                idx = s * (R * sub)
-                cur = jax.lax.dynamic_slice(
-                    acc, (idx, 0, 0), (stripe_rows, canvas_w, n_cls + 1)
-                )
-                acc = jax.lax.dynamic_update_slice(acc, cur + both, (idx, 0, 0))
-                return (s + 1, acc), None
+                return jnp.concatenate([strip, cstrip[..., None]], axis=-1)
 
-            (_, acc), _ = jax.lax.scan(
-                stripe_step, (jnp.int32(0), acc0), stripes
-            )
+            if use_stack:
+                def stripe_step(s, stripe):
+                    return s + 1, stripe_fold(s, stripe)
+
+                _, strips = jax.lax.scan(
+                    stripe_step, jnp.int32(0), stripes
+                )
+                acc = tiler._fold_axis(strips, R * sub, margin)
+            else:
+                acc0 = jnp.zeros(
+                    (canvas_h, canvas_w, n_cls + 1), accum_dtype
+                )
+
+                def stripe_step(carry, stripe):
+                    s, acc = carry
+                    both = stripe_fold(s, stripe)
+                    idx = s * (R * sub)
+                    cur = jax.lax.dynamic_slice(
+                        acc, (idx, 0, 0),
+                        (stripe_rows, canvas_w, n_cls + 1),
+                    )
+                    acc = jax.lax.dynamic_update_slice(
+                        acc, cur + both, (idx, 0, 0)
+                    )
+                    return (s + 1, acc), None
+
+                (_, acc), _ = jax.lax.scan(
+                    stripe_step, (jnp.int32(0), acc0), stripes
+                )
             out = acc[: grid.padded_height, :, :n_cls]
             count = acc[: grid.padded_height, :, n_cls]
             valid = out / count[..., None]
