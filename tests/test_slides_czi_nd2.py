@@ -339,3 +339,56 @@ def test_reader_constructors_close_on_error(tmp_path):
             import gc
 
             gc.collect()  # a leaked handle would raise ResourceWarning here
+
+
+def test_windowed_reads_match_full_plane(tmp_path, rng):
+    """read_rows windows reassemble the full channel plane (czi mosaic +
+    nd2 multicomponent), incl. zero-padding outside."""
+    from unmicst_tpu.io.slides import open_channel_source
+
+    plane = (rng.rand(37, 52) * 60000).astype(np.uint16)
+    czi_path = str(tmp_path / "w.czi")
+    write_czi(czi_path, [plane], tile_split=20)
+    frame = (rng.rand(37, 52, 2) * 60000).astype(np.uint16)
+    nd2_path = str(tmp_path / "w.nd2")
+    write_nd2(nd2_path, [frame])
+
+    for path, ftype, expect in ((czi_path, "czi", plane),
+                                (nd2_path, "nd2", frame[:, :, 0])):
+        with open_channel_source(path, ftype, 0) as src:
+            assert (src.height, src.width) == expect.shape
+            got = np.concatenate(
+                [src.read_rows(r, 7) for r in range(0, 37, 7)]
+            )[:37]
+            np.testing.assert_array_equal(got, expect)
+            # outside rows zero-pad
+            assert src.read_rows(-3, 3).sum() == 0
+            assert src.read_rows(37, 2).sum() == 0
+            lo, hi = src.stats(-1)
+            assert lo == expect.min() and hi == expect.max()
+            _, pct = src.stats(98.5)
+            assert abs(pct - np.percentile(expect, 98.5)) < 1e-9
+
+
+def test_cli_streaming_czi_matches_whole(tmp_path, rng):
+    """--engine streaming on a CZI mosaic == the whole-image engine."""
+    import os
+
+    from unmicst_tpu import cli
+    from unmicst_tpu.io.tiff import imread
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    plane = (rng.rand(150, 120) * 60000).astype(np.uint16)
+    src = tmp_path / "s" / "registration" / "img.czi"
+    src.parent.mkdir(parents=True)
+    write_czi(str(src), [plane], tile_split=64)
+    common = [str(src), "--tool", "unmicst-solo", "--model", "blobDemo",
+              "--modelRoot", os.path.join(repo, "models"), "--stackOutput"]
+    assert cli.main(common + ["--outputPath", str(tmp_path / "w"),
+                              "--engine", "whole"]) == 0
+    assert cli.main(common + ["--outputPath", str(tmp_path / "s2"),
+                              "--engine", "streaming"]) == 0
+    for k in range(3):
+        a = imread(str(tmp_path / "w" / "img_Probabilities_1.tif"), k)
+        b = imread(str(tmp_path / "s2" / "img_Probabilities_1.tif"), k)
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1

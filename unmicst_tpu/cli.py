@@ -218,7 +218,8 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
 
     from unmicst_tpu.core.checkpoint import load_params_for_bundle
     from unmicst_tpu.io import preprocess as pp
-    from unmicst_tpu.io.tiff import TiffFile, imwrite
+    from unmicst_tpu.io.slides import ChannelSource, open_channel_source
+    from unmicst_tpu.io.tiff import imwrite
     from unmicst_tpu.runtime.pipeline import StreamingEngine
 
     params = load_params_for_bundle(bundle)
@@ -227,19 +228,18 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
         bundle, params, compute_dtype=compute_dtype,
         precision=mxu_precision, tile_batch=args.tileBatch
     )
-    def preview_u8(tf: "TiffFile", page: int) -> np.ndarray:
+    def preview_u8(src: "ChannelSource") -> np.ndarray:
         """uint8(255 * im2double(raw)/max) built chunk-wise — the preview
         is the one full-resolution host artifact, kept at 1 B/px instead
         of materializing float64 copies of the slide."""
-        h, w = tf.pages[page].height, tf.pages[page].width
+        h, w = src.height, src.width
         chunk = max(1, (64 << 20) // max(1, w * 2))
         vmax = 0.0
         for r0 in range(0, h, chunk):
-            rows = tf.read_region(page, r0, 0, min(chunk, h - r0), w)
-            vmax = max(vmax, float(rows.max()))
+            vmax = max(vmax, float(src.read_rows(r0, min(chunk, h - r0)).max()))
         out = np.empty((h, w), np.uint8)
         for r0 in range(0, h, chunk):
-            rows = tf.read_region(page, r0, 0, min(chunk, h - r0), w)
+            rows = src.read_rows(r0, min(chunk, h - r0))
             out[r0 : r0 + rows.shape[0]] = np.uint8(
                 255 * (rows.astype(np.float32) / max(vmax, 1e-12))
             )
@@ -261,35 +261,45 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
         trace_ctx = contextlib.nullcontext()
     t0 = time.perf_counter()
     sf = args.scalingFactor
-    with TiffFile(args.imagePath) as tf, trace_ctx:
-        # --scalingFactor != 1: stream against a virtual resized slide
-        # (row-exact resize_rows blocks, UnMicst1-5.py:813-815 semantics)
-        # and upscale the finished maps back to raw resolution below.
-        wrap = (
-            (lambda src: pp.ResampledSource(src, sf)) if sf != 1
-            else (lambda src: src)
+    if tool == "unmicst-duo":
+        chans = (
+            channels0 if len(channels0) == 2
+            else [dapi_channel, dapi_channel]
         )
-        if tool == "unmicst-duo":
-            chans = (
-                channels0 if len(channels0) == 2
-                else [dapi_channel, dapi_channel]
+    else:
+        chans = [dapi_channel]
+    srcs = {
+        c: open_channel_source(args.imagePath, file_type, c)
+        for c in dict.fromkeys(chans)
+    }
+    try:
+        with trace_ctx:
+            # --scalingFactor != 1: stream against a virtual resized slide
+            # (row-exact resize_rows blocks, UnMicst1-5.py:813-815
+            # semantics); maps upscale back to raw resolution at write.
+            wrap = (
+                (lambda src: pp.ResampledSource(src, sf)) if sf != 1
+                else (lambda src: src)
             )
-            maps = stream.infer_stack(
-                [wrap((tf, c)) for c in chans], outlier=args.outlier,
-                classes=classes,
-            )
-            raw_page = chans[-1]  # duo preview = last channel
-        else:
-            maps = stream.infer(
-                wrap((tf, dapi_channel)),
-                outlier=args.outlier,
-                rescale=tool != "unmicst-solo",  # the v2-solo quirk
-                classes=classes,
-            )
-            raw_page = dapi_channel
-        t_infer = time.perf_counter()
-        raw_shape = (tf.pages[raw_page].height, tf.pages[raw_page].width)
-        raw_u8 = preview_u8(tf, raw_page)
+            if tool == "unmicst-duo":
+                maps = stream.infer_stack(
+                    [wrap(srcs[c]) for c in chans], outlier=args.outlier,
+                    classes=classes,
+                )
+            else:
+                maps = stream.infer(
+                    wrap(srcs[dapi_channel]),
+                    outlier=args.outlier,
+                    rescale=tool != "unmicst-solo",  # the v2-solo quirk
+                    classes=classes,
+                )
+            t_infer = time.perf_counter()
+            raw_src = srcs[chans[-1]]  # duo preview = last channel
+            raw_shape = (raw_src.height, raw_src.width)
+            raw_u8 = preview_u8(raw_src)
+    finally:
+        for s in srcs.values():
+            s.close()
     if args.check_numerics:
         from unmicst_tpu.utils.profiling import check_numerics
 
@@ -392,20 +402,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     from unmicst_tpu.io.slides import TIFF_LIKE
 
     use_streaming = False
-    if file_type in TIFF_LIKE:
-        from unmicst_tpu.io.tiff import TiffFile
+    if file_type in TIFF_LIKE + ("czi", "nd2"):
+        from unmicst_tpu.io.slides import open_channel_source
 
         try:
-            with TiffFile(args.imagePath) as tf_probe:
-                page = tf_probe.pages[dapi_channel]
-                slide_px = page.height * page.width
+            with open_channel_source(
+                args.imagePath, file_type, dapi_channel
+            ) as probe:
+                slide_px = probe.height * probe.width
             use_streaming = args.engine == "streaming" or (
                 args.engine == "auto" and slide_px > 64_000_000
             )
         except (ValueError, NotImplementedError, IndexError, OSError):
             use_streaming = args.engine == "streaming"
     elif args.engine == "streaming":
-        raise SystemExit("--engine streaming supports TIFF inputs")
+        raise SystemExit(
+            "--engine streaming supports TIFF/CZI/ND2 inputs"
+        )
 
     if use_streaming:
         return _run_streaming(args, bundle, tool, dapi_channel, channels0,

@@ -154,15 +154,7 @@ class CziFile:
             raw, dtype.newbyteorder("<"), count=h * w
         ).reshape(h, w).astype(dtype)
 
-    def read_channel(self, channel: int) -> np.ndarray:
-        """One channel plane of the first scene/time/Z — the
-        ``asarray()[0, 0, c, 0, 0, :, :, 0]`` plane the reference extracts.
-
-        Mosaic sub-blocks (M dimension) are placed at their X/Y starts.
-        Pyramid/downsampled levels (PyramidType != 0 or StoredSize < Size)
-        are skipped — they share the full-res tiles' C/S/T/Z coordinates
-        and would otherwise overwrite real pixels with downsampled data.
-        """
+    def _picks(self, channel: int) -> List[SubBlockEntry]:
         picks = [
             e for e in self.entries
             if e.dim("C") == channel and e.full_resolution
@@ -172,14 +164,83 @@ class CziFile:
                 f"channel {channel} not present (file has "
                 f"{self.channels()} channels)"
             )
-        # first scene/time/Z only, all mosaic tiles of it
         for axis in ("S", "T", "Z", "B"):
             first = min(e.dim(axis) for e in picks)
             picks = [e for e in picks if e.dim(axis) == first]
-        x0 = min(e.dim("X") for e in picks)
+        return picks
+
+    def channel_shape(self, channel: int) -> Tuple[int, int]:
+        picks = self._picks(channel)
         y0 = min(e.dim("Y") for e in picks)
+        x0 = min(e.dim("X") for e in picks)
         h = max(e.dim("Y") + e.dims["Y"][1] for e in picks) - y0
         w = max(e.dim("X") + e.dims["X"][1] for e in picks) - x0
+        return h, w
+
+    def _read_subblock_rows(self, entry: SubBlockEntry, a: int,
+                            b: int) -> np.ndarray:
+        """Rows [a, b) of one sub-block (tile-local indices) — seeks into
+        the pixel payload without decoding the whole tile."""
+        if entry.compression != 0:
+            raise NotImplementedError(
+                f"compressed CZI sub-blocks (compression="
+                f"{entry.compression}) are not supported"
+            )
+        dtype = _PIXEL_DTYPES.get(entry.pixel_type)
+        if dtype is None:
+            raise NotImplementedError(
+                f"CZI pixel type {entry.pixel_type} not supported"
+            )
+        w = entry.dims["X"][1]
+        self._f.seek(entry.file_position)
+        sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
+        if not sid.startswith(b"ZISRAWSUBBLOCK"):
+            raise ValueError("directory entry does not point at a sub-block")
+        head = self._f.read(528)  # 16 fixed + entry (32 + 20/dim, <=24 dims)
+        meta_size, _attach, _dsize = struct.unpack_from("<iiq", head, 0)
+        _, entry_end = _parse_directory_entry(head, 16)
+        data_off = max(256, entry_end) + meta_size
+        row_bytes = w * dtype.itemsize
+        self._f.seek(entry.file_position + 32 + data_off + a * row_bytes)
+        raw = self._f.read((b - a) * row_bytes)
+        return np.frombuffer(
+            raw, dtype.newbyteorder("<"), count=(b - a) * w
+        ).reshape(b - a, w).astype(dtype)
+
+    def read_rows(self, channel: int, r0: int, nrows: int) -> np.ndarray:
+        """Rows [r0, r0+nrows) of the channel plane (windowed; mosaics
+        assembled per intersecting sub-block) — the streaming-engine
+        entry point for whole-slide CZI inputs."""
+        picks = self._picks(channel)
+        y0 = min(e.dim("Y") for e in picks)
+        x0 = min(e.dim("X") for e in picks)
+        h, w = self.channel_shape(channel)
+        dtype = _PIXEL_DTYPES.get(picks[0].pixel_type, np.dtype(np.uint16))
+        out = np.zeros((nrows, w), dtype)
+        lo, hi = max(r0, 0), min(r0 + nrows, h)
+        for e in picks:
+            ty, th = e.dim("Y") - y0, e.dims["Y"][1]
+            a, b = max(lo, ty), min(hi, ty + th)
+            if b <= a:
+                continue
+            rows = self._read_subblock_rows(e, a - ty, b - ty)
+            c = e.dim("X") - x0
+            out[a - r0 : b - r0, c : c + rows.shape[1]] = rows
+        return out
+
+    def read_channel(self, channel: int) -> np.ndarray:
+        """One channel plane of the first scene/time/Z — the
+        ``asarray()[0, 0, c, 0, 0, :, :, 0]`` plane the reference extracts.
+
+        Mosaic sub-blocks (M dimension) are placed at their X/Y starts.
+        Pyramid/downsampled levels (PyramidType != 0 or StoredSize < Size)
+        are skipped — they share the full-res tiles' C/S/T/Z coordinates
+        and would otherwise overwrite real pixels with downsampled data.
+        """
+        picks = self._picks(channel)
+        x0 = min(e.dim("X") for e in picks)
+        y0 = min(e.dim("Y") for e in picks)
+        h, w = self.channel_shape(channel)
         dtype = _PIXEL_DTYPES.get(picks[0].pixel_type, np.dtype(np.uint16))
         plane = np.zeros((h, w), dtype)
         for e in picks:

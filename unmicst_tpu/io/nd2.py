@@ -140,6 +140,47 @@ class Nd2File:
             return None
         return self._chunk_data_at(entry[0])
 
+    def _frame_data_pos(self, seq: int) -> int:
+        """Absolute file offset of frame ``seq``'s pixel payload."""
+        entry = self.chunks.get(f"ImageDataSeq|{seq}!".encode("ascii"))
+        if entry is None:
+            raise IndexError(
+                f"frame {seq} not present ({self.n_frames} frames)"
+            )
+        pos = entry[0]
+        self._f.seek(pos)
+        magic, name_len, _data_len = struct.unpack("<IIQ", self._f.read(16))
+        if magic != CHUNK_MAGIC:
+            raise ValueError(f"{self.path}: bad chunk magic at {pos:#x}")
+        return pos + 16 + name_len + 8  # + timestamp header
+
+    def read_rows(self, channel: int, r0: int, nrows: int) -> np.ndarray:
+        """Rows [r0, r0+nrows) of one channel plane, windowed (seeks into
+        the frame payload; de-interleaves components on the fly) — the
+        streaming-engine entry point for whole-slide ND2 inputs."""
+        if self.components > 1:
+            if not 0 <= channel < self.components:
+                raise IndexError(
+                    f"channel {channel} out of range "
+                    f"({self.components} components)"
+                )
+            seq, comp = 0, channel
+        else:
+            seq, comp = channel, 0
+        out = np.zeros((nrows, self.width), self.dtype)
+        a, b = max(r0, 0), min(r0 + nrows, self.height)
+        if b > a:
+            item = np.dtype(self.dtype).itemsize
+            row_bytes = self.width * self.components * item
+            self._f.seek(self._frame_data_pos(seq) + a * row_bytes)
+            raw = self._f.read((b - a) * row_bytes)
+            px = np.frombuffer(
+                raw, np.dtype(self.dtype).newbyteorder("<"),
+                count=(b - a) * self.width * self.components,
+            ).reshape(b - a, self.width, self.components)
+            out[a - r0 : b - r0] = px[:, :, comp]
+        return out
+
     def read_frame(self, seq: int) -> np.ndarray:
         """Frame ``seq`` as [H, W, components] (timestamp header skipped)."""
         data = self._read_chunk(f"ImageDataSeq|{seq}!")

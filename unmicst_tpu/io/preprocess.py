@@ -132,7 +132,9 @@ class ResampledSource:
     float32->uint16 parity cast before resizing, like
     :func:`preprocess_channel`.
 
-    ``source``: 2-D numpy array or ``(TiffFile, page)``.
+    ``source``: 2-D numpy array, ``(TiffFile, page)``, or any windowed
+    source with ``height``/``width``/``read_rows`` (e.g.
+    :class:`unmicst_tpu.io.slides.ChannelSource` — czi/nd2 stream too).
     """
 
     def __init__(self, source, scaling_factor: float):
@@ -143,6 +145,9 @@ class ResampledSource:
             )
             in_h, in_w = raw.shape
             self._read = lambda a, b: raw[a:b]
+        elif hasattr(source, "read_rows"):
+            in_h, in_w = source.height, source.width
+            self._read = lambda a, b: source.read_rows(a, b - a)
         else:
             tf, page = source
             in_h, in_w = tf.pages[page].height, tf.pages[page].width

@@ -36,6 +36,122 @@ def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
     )
 
 
+def _streamed_int_stats(read_rows, height: int, width: int, dtype,
+                        outlier: float) -> Tuple[float, float]:
+    """Exact (min, max | percentile) over a windowed integer source.
+
+    64k-bin histogram over row chunks; percentile uses np.percentile's
+    linear interpolation on the exact order statistics (integer values
+    make the histogram lossless).  Mirrors the streaming engine's TIFF
+    stats path (``runtime/pipeline.py::global_stats``).
+    """
+    dtype = np.dtype(dtype)
+    if dtype == np.int16:
+        offset = 32768
+    elif dtype in (np.dtype(np.uint8), np.dtype(np.uint16)):
+        offset = 0
+    else:
+        raise NotImplementedError(f"streamed stats for dtype {dtype}")
+    hist = np.zeros(65536, np.int64)
+    chunk = max(1, (64 << 20) // max(1, width * 2))
+    for r0 in range(0, height, chunk):
+        rows = read_rows(r0, min(chunk, height - r0)).astype(np.int64) + offset
+        hist += np.bincount(rows.ravel(), minlength=65536)[:65536]
+    nz = np.nonzero(hist)[0]
+    lo = float(nz[0]) - offset
+    if outlier == -1:
+        return lo, float(nz[-1]) - offset
+    n = int(hist.sum())
+    pos = (n - 1) * outlier / 100.0
+    k = int(np.floor(pos))
+    frac = pos - k
+    cum = np.cumsum(hist)
+    v_k = float(np.searchsorted(cum, k + 1))
+    v_k1 = float(np.searchsorted(cum, k + 2)) if frac > 0 else v_k
+    return lo, v_k + frac * (v_k1 - v_k) - offset
+
+
+class ChannelSource:
+    """Uniform windowed view of one channel — the streaming-engine source
+    protocol (``height``/``width``/``dtype``/``read_rows``/``stats``) over
+    any supported container.
+
+    Float32 planes are parity-cast to uint16 row-by-row
+    (``UnMicst1-5.py:807-808`` semantics, matching the whole-image path).
+    """
+
+    def __init__(self, height: int, width: int, dtype, read_rows_fn,
+                 closer=None):
+        self.height, self.width = int(height), int(width)
+        raw_dtype = np.dtype(dtype)
+        self._cast = raw_dtype == np.float32
+        self.dtype = np.dtype(np.uint16) if self._cast else raw_dtype
+        self._read = read_rows_fn
+        self._closer = closer
+
+    def read_rows(self, r0: int, nrows: int) -> np.ndarray:
+        out = np.zeros((nrows, self.width), self.dtype)
+        a, b = max(r0, 0), min(r0 + nrows, self.height)
+        if b > a:
+            rows = self._read(a, b - a)
+            if self._cast:
+                rows = rows.astype(np.uint16)
+            out[a - r0 : b - r0] = rows[: b - a]
+        return out
+
+    def stats(self, outlier: float = -1) -> Tuple[float, float]:
+        return _streamed_int_stats(
+            lambda r0, n: self.read_rows(r0, n),
+            self.height, self.width, self.dtype, outlier,
+        )
+
+    def close(self) -> None:
+        if self._closer:
+            self._closer()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_channel_source(image_path: str, file_type: str,
+                        channel: int) -> ChannelSource:
+    """Windowed streaming source for one channel of any supported format."""
+    if file_type in TIFF_LIKE:
+        tf = TiffFile(image_path)
+        page = tf.pages[channel]
+        return ChannelSource(
+            page.height, page.width, page.dtype,
+            lambda r0, n: tf.read_region(channel, r0, 0, n, page.width),
+            closer=tf.close,
+        )
+    if file_type == "czi":
+        from unmicst_tpu.io.czi import CziFile
+
+        czi = CziFile(image_path)
+        h, w = czi.channel_shape(channel)
+        probe = czi.read_rows(channel, 0, 1)
+        return ChannelSource(
+            h, w, probe.dtype,
+            lambda r0, n: czi.read_rows(channel, r0, n),
+            closer=czi.close,
+        )
+    if file_type == "nd2":
+        from unmicst_tpu.io.nd2 import Nd2File
+
+        nd2 = Nd2File(image_path)
+        return ChannelSource(
+            nd2.height, nd2.width, nd2.dtype,
+            lambda r0, n: nd2.read_rows(channel, r0, n),
+            closer=nd2.close,
+        )
+    raise NotImplementedError(
+        f"Don't know how to stream image with extension .{file_type}"
+    )
+
+
 def slide_shape(image_path: str, channel: int = 0) -> Tuple[int, int]:
     """(H, W) without decoding pixel data (TIFF-like only)."""
     with TiffFile(image_path) as tf:
