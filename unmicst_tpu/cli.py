@@ -98,7 +98,7 @@ def build_parser() -> argparse.ArgumentParser:
         "extreme pixels — the single-pass MXU rounding, distributed "
         "across layers, see scripts/precision_bisect_report.json)",
     )
-    p.add_argument("--tileBatch", type=int, default=128)
+    p.add_argument("--tileBatch", type=int, default=256)  # measured MXU-optimal (BASELINE.md sweep)
     p.add_argument("--stats", action="store_true", help="print stage timings + Mpx/s")
     p.add_argument(
         "--engine", choices=["auto", "whole", "streaming"], default="auto",

@@ -175,6 +175,12 @@ class CziFile:
         x0 = min(e.dim("X") for e in picks)
         h = max(e.dim("Y") + e.dims["Y"][1] for e in picks) - y0
         w = max(e.dim("X") + e.dims["X"][1] for e in picks) - x0
+        # allocation-bomb guard: the plane is materialized from header
+        # values of a possibly untrusted file (serve.py exposure)
+        if not (0 < h <= 1 << 20 and 0 < w <= 1 << 20 and h * w <= 1 << 34):
+            raise ValueError(
+                f"{self.path}: implausible CZI plane {h}x{w}"
+            )
         return h, w
 
     def _read_subblock_rows(self, entry: SubBlockEntry, a: int,

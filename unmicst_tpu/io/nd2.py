@@ -79,7 +79,9 @@ class Nd2File:
                 )
             self.width = _lv_scan_uint(attrs, "uiWidth")
             self.height = _lv_scan_uint(attrs, "uiHeight")
-            self.components = _lv_scan_uint(attrs, "uiComp") or 1
+            self.components = _lv_scan_uint(
+                attrs, "uiComp", valid=lambda v: 0 < v <= 1024
+            ) or 1
             self.bits = _lv_scan_uint(attrs, "uiBpcInMemory") or 16
             if not self.width or not self.height:
                 raise ValueError(f"{path}: image dimensions missing")

@@ -34,7 +34,7 @@ class ModelServer:
     def __init__(
         self,
         model_root: Optional[str] = None,
-        precision: str = "bfloat16",
+        precision: str = "float32",
         max_body_bytes: int = 2 << 30,
     ):
         self.model_root = model_root
@@ -208,7 +208,7 @@ def main(argv=None) -> int:
     p.add_argument("--modelRoot")
     p.add_argument(
         "--precision", choices=["float32", "highest", "bfloat16"],
-        default="bfloat16",
+        default="float32",  # parity mode (<=1 uint8 level); bf16 = fast
     )
     p.add_argument(
         "--maxBodyBytes", type=int, default=2 << 30,
