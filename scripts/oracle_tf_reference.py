@@ -141,6 +141,8 @@ def randomize_variables(tf, sess, rng: np.random.Generator) -> None:
         name = var.op.name
         if not shape:  # global step etc.
             continue
+        if name.endswith(("/Momentum", "/Adam", "/Adam_1")):
+            continue  # optimizer slots must stay at their zero init
         if name.endswith("moving_variance") or name.endswith("gamma"):
             val = rng.uniform(0.6, 1.6, shape)
         elif name.endswith("moving_mean") or name.endswith("beta"):

@@ -81,3 +81,70 @@ def test_oracle_report_written():
     assert report["writer"]["legacy"]["ld0_kernel_exact"]
     assert report["writer"]["v2"]["ld0_kernel_exact"]
     assert len(report["fixtures"]) == 4
+
+
+def test_train_step_matches_reference_graph():
+    """One optimizer step == the executed reference training graph
+    (UnMicst.py:268-282 semantics, live-TF fixture): CE gradient, Momentum
+    update, lr schedule, and BN train-mode batch/moving statistics, every
+    variable pinned."""
+    import jax
+
+    from unmicst_tpu.train import TrainConfig, make_optimizer, make_train_step
+
+    d = os.path.join(FIXDIR, "oracle_train_legacy")
+    with open(os.path.join(d, "hp.json")) as f:
+        meta = json.load(f)
+    hp = HParams.from_ref_dict(meta["hp"])
+    params0 = load_tf1_params(os.path.join(d, "model.ckpt"), hp, "legacy")
+    data = np.load(os.path.join(d, "step.npz"))
+    batch = {
+        "image": jnp.asarray(data["x"]),
+        "labels": jnp.asarray(data["labels"]),
+    }
+    cfg = TrainConfig.for_variant("legacy")
+    tx = make_optimizer(cfg)
+    step = make_train_step(hp, cfg, tx, donate=False)
+    params1, opt_state, metrics = step(
+        params0, tx.init(params0), batch, jax.random.PRNGKey(0)
+    )
+    # train-mode loss (batch-stats BN) matches TF's
+    assert abs(float(metrics["loss"]) - meta["loss_train_mode"]) < 1e-4
+
+    tfv = {
+        k[len("var::"):]: data[k] for k in data.files if k.startswith("var::")
+    }
+
+    def check(ours, name):
+        np.testing.assert_allclose(
+            np.asarray(ours), tfv[name], atol=2e-5, rtol=2e-4,
+            err_msg=name,
+        )
+
+    for i, layer in enumerate(params1["down"]):
+        check(layer["kernel1"], f"downsampling/ld{i}/kernel1")
+        for j, ke in enumerate(layer["extra"]):
+            check(ke, f"downsampling/ld{i}/kernelExtra{j}")
+        check(layer["shortcut"], f"downsampling/ld{i}/shortcutWeights")
+        scope = "batch_normalization" + (f"_{i}" if i else "")
+        for k in ("gamma", "beta", "moving_mean", "moving_variance"):
+            check(layer["bn"][k], f"{scope}/{k}")
+    check(params1["bottom"]["kernel1"], "lb/kernel1")
+    for i, layer in enumerate(params1["up"]):
+        check(layer["kernel1"], f"upsampling/lu{i}/kernel1")
+        check(layer["kernel2"], f"upsampling/lu{i}/kernel2")
+        for j, ke in enumerate(layer["extra"]):
+            check(ke, f"upsampling/lu{i}/kernel2Extra{j}")
+    check(params1["top"]["kernel"], "lt/kernel")
+
+    # the Momentum accumulator equals TF's slot after one step (== grads)
+    trace_tree = next(
+        (s.trace for s in opt_state if type(s).__name__ == "TraceState"),
+        None,
+    )
+    assert trace_tree is not None, "optax sgd trace state not found"
+    np.testing.assert_allclose(
+        np.asarray(trace_tree["down"][0]["kernel1"]),
+        tfv["downsampling/ld0/kernel1/Momentum"],
+        atol=1e-5, rtol=1e-4,
+    )

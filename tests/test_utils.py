@@ -39,3 +39,28 @@ def test_select_device():
     with pytest.raises(ValueError):
         select_device(10_000)
     assert "[0]" in describe()
+
+
+def test_unet_flops_cross_checked_vs_xla():
+    """Analytic FLOP counts stay within 25% of XLA's own cost analysis
+    (XLA counts SAME-padding border effects; we count full taps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unmicst_tpu.core import unet
+    from unmicst_tpu.core.hp import HParams
+    from unmicst_tpu.utils.flops import unet_flops_per_tile
+
+    for variant, hp in [
+        ("legacy", HParams(im_size=64, n_channels=1, n_classes=3, n_out0=8,
+                           ks=5, n_extra_convs=1, n_layers=2, batch_size=2)),
+        ("v2", HParams(im_size=64, n_channels=1, n_classes=3, n_out0=8,
+                       ks=3, n_extra_convs=0, n_layers=4, batch_size=2)),
+    ]:
+        params = unet.init_params(jax.random.PRNGKey(0), hp, variant)
+        f = jax.jit(lambda p, x, hp=hp, v=variant: unet.apply(p, x, hp, v))
+        x = jnp.zeros((1, hp.im_size, hp.im_size, hp.n_channels))
+        xla = f.lower(params, x).compile().cost_analysis().get("flops")
+        ours = unet_flops_per_tile(hp, variant)
+        assert xla is not None
+        assert abs(ours - xla) / xla < 0.25, (variant, ours, xla)
