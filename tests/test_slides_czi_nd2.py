@@ -392,3 +392,35 @@ def test_cli_streaming_czi_matches_whole(tmp_path, rng):
         a = imread(str(tmp_path / "w" / "img_Probabilities_1.tif"), k)
         b = imread(str(tmp_path / "s2" / "img_Probabilities_1.tif"), k)
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_readers_survive_fuzz(tmp_path, rng):
+    """Random mutations/truncations of valid containers raise clean errors
+    (ValueError/NotImplementedError/Index/EOF-ish) — never hang, never
+    allocate from garbage headers, never escape with weird exceptions."""
+    plane = (rng.rand(16, 24) * 60000).astype(np.uint16)
+    czi_ok = tmp_path / "ok.czi"
+    write_czi(str(czi_ok), [plane])
+    frame = (rng.rand(16, 24, 1) * 60000).astype(np.uint16)
+    nd2_ok = tmp_path / "ok.nd2"
+    write_nd2(str(nd2_ok), [frame])
+    allowed = (ValueError, NotImplementedError, IndexError, KeyError,
+               struct.error, EOFError, OSError)
+    r = np.random.RandomState(7)
+    for src, reader in ((czi_ok, read_czi_channel), (nd2_ok, read_nd2_channel)):
+        blob = bytearray(open(src, "rb").read())
+        for trial in range(60):
+            mutated = bytearray(blob)
+            if trial % 3 == 0:  # truncate
+                mutated = mutated[: r.randint(1, len(blob))]
+            else:  # corrupt a few bytes
+                for _ in range(r.randint(1, 6)):
+                    mutated[r.randint(0, len(mutated))] = r.randint(0, 256)
+            path = str(tmp_path / f"f{trial}{src.suffix}")
+            with open(path, "wb") as f:
+                f.write(mutated)
+            try:
+                out = reader(path, 0)
+                assert out.size <= 1 << 34  # guarded allocation
+            except allowed:
+                pass

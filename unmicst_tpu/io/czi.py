@@ -92,10 +92,13 @@ class CziFile:
         self.path = path
         self._f = open(path, "rb")
         try:
+            import os as _os
+
+            self._file_size = _os.fstat(self._f.fileno()).st_size
             sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
             if not sid.startswith(b"ZISRAWFILE"):
                 raise ValueError(f"{path}: not a CZI file")
-            header = self._f.read(used)
+            header = self._read_payload(used)
             dir_pos, = struct.unpack_from("<q", header, 52)
             self.entries = self._read_directory(dir_pos)
         except Exception:
@@ -111,12 +114,19 @@ class CziFile:
     def __exit__(self, *exc):
         self.close()
 
+    def _read_payload(self, used: int) -> bytes:
+        # corrupt files can declare multi-GB segment sizes; bound every
+        # header-driven read by the actual file size
+        if not 0 <= used <= self._file_size:
+            raise ValueError(f"{self.path}: corrupt segment size {used}")
+        return self._f.read(used)
+
     def _read_directory(self, dir_pos: int) -> List[SubBlockEntry]:
         self._f.seek(dir_pos)
         sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
         if not sid.startswith(b"ZISRAWDIRECTORY"):
             raise ValueError("CZI sub-block directory segment not found")
-        buf = self._f.read(used)
+        buf = self._read_payload(used)
         count, = struct.unpack_from("<i", buf, 0)
         entries = []
         pos = 128  # 4-byte count + 124 reserved
@@ -143,7 +153,7 @@ class CziFile:
         sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
         if not sid.startswith(b"ZISRAWSUBBLOCK"):
             raise ValueError("directory entry does not point at a sub-block")
-        buf = self._f.read(used)
+        buf = self._read_payload(used)
         meta_size, _attach, data_size = struct.unpack_from("<iiq", buf, 0)
         _, entry_end = _parse_directory_entry(buf, 16)
         data_off = max(256, entry_end) + meta_size

@@ -70,6 +70,9 @@ class Nd2File:
         self.path = path
         self._f = open(path, "rb")
         try:
+            import os as _os
+
+            self._file_size = _os.fstat(self._f.fileno()).st_size
             self.chunks = self._read_chunk_map()
             attrs = self._read_chunk("ImageAttributesLV!")
             if attrs is None:
@@ -133,6 +136,8 @@ class Nd2File:
         magic, name_len, data_len = struct.unpack("<IIQ", self._f.read(16))
         if magic != CHUNK_MAGIC:
             raise ValueError(f"{self.path}: bad chunk magic at {pos:#x}")
+        if not 0 <= data_len <= self._file_size:
+            raise ValueError(f"{self.path}: corrupt chunk size {data_len}")
         self._f.seek(name_len, 1)
         return self._f.read(data_len)
 
