@@ -96,3 +96,24 @@ def test_image_smaller_than_patch(small_model, rng):
     got = eng.infer(image)
     want = _reference_style_inference(params, hp, "legacy", image, 0.0, 1.0)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_carry_fold_branch_matches_stacked(model_bundle_or_none=None):
+    """The large-canvas carry-accumulated fold == the stacked-strips fold
+    (stack_fold_max_bytes=0 forces the carry branch on a small canvas)."""
+    import jax
+
+    from unmicst_tpu.core import unet
+    from unmicst_tpu.core.hp import HParams
+    from unmicst_tpu.infer import InferenceEngine
+
+    hp = HParams(im_size=32, n_channels=1, n_classes=3, n_out0=6, ks=3,
+                 n_extra_convs=0, n_layers=2, batch_size=8, std_dev0=0.5)
+    params = unet.init_params(jax.random.PRNGKey(11), hp, "legacy")
+    rng_l = np.random.RandomState(5)
+    raw = (rng_l.rand(150, 90) * 60000).astype(np.uint16)
+    stacked = InferenceEngine(hp, params, "legacy", 0.3, 0.2).infer_slide(raw)
+    carried = InferenceEngine(
+        hp, params, "legacy", 0.3, 0.2, stack_fold_max_bytes=0
+    ).infer_slide(raw)
+    np.testing.assert_array_equal(stacked, carried)

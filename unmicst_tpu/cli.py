@@ -268,11 +268,10 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
         )
     else:
         chans = [dapi_channel]
-    srcs = {
-        c: open_channel_source(args.imagePath, file_type, c)
-        for c in dict.fromkeys(chans)
-    }
+    srcs = {}
     try:
+        for c in dict.fromkeys(chans):
+            srcs[c] = open_channel_source(args.imagePath, file_type, c)
         with trace_ctx:
             # --scalingFactor != 1: stream against a virtual resized slide
             # (row-exact resize_rows blocks, UnMicst1-5.py:813-815
@@ -410,9 +409,23 @@ def main(argv: Optional[List[str]] = None) -> int:
                 args.imagePath, file_type, dapi_channel
             ) as probe:
                 slide_px = probe.height * probe.width
-            use_streaming = args.engine == "streaming" or (
-                args.engine == "auto" and slide_px > 64_000_000
-            )
+                # the streamed global-stats pass needs an exact integer
+                # histogram; solo (rescale=False) needs no stats at all
+                stats_ok = probe.dtype in (
+                    np.dtype(np.uint8), np.dtype(np.uint16),
+                    np.dtype(np.int16),
+                ) or tool == "unmicst-solo"
+            if not stats_ok:
+                if args.engine == "streaming":
+                    raise SystemExit(
+                        f"--engine streaming cannot compute the intensity "
+                        f"range for {probe.dtype} slides; use --engine whole"
+                    )
+                use_streaming = False
+            else:
+                use_streaming = args.engine == "streaming" or (
+                    args.engine == "auto" and slide_px > 64_000_000
+                )
         except (ValueError, NotImplementedError, IndexError, OSError):
             use_streaming = args.engine == "streaming"
     elif args.engine == "streaming":

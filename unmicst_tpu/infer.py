@@ -65,6 +65,7 @@ class InferenceEngine:
         precision=None,
         tile_batch: int = 128,
         accum_dtype=jnp.float32,
+        stack_fold_max_bytes: int = 1 << 30,
     ):
         self.hp = hp
         self.params = params
@@ -75,6 +76,7 @@ class InferenceEngine:
         self.precision = precision
         self.tile_batch = int(tile_batch)
         self.accum_dtype = accum_dtype
+        self.stack_fold_max_bytes = int(stack_fold_max_bytes)
         # bounded, thread-safe program cache: long-running services see
         # many slide geometries; each compiled program holds host+HBM
         # memory, so evict FIFO beyond max_cached_programs
@@ -127,8 +129,9 @@ class InferenceEngine:
         # read-modify-write), but materializes extra canvas-sized buffers
         # that blew HBM at 16k/20k.  Accumulating into a carried canvas is
         # bounded-memory; pick by canvas footprint (~1 GB of stacked f32).
-        stack_bytes = n_stripes * stripe_rows * canvas_w * (n_cls + 1) * 4
-        use_stack = stack_bytes <= (1 << 30)
+        elem = jnp.zeros((), accum_dtype).dtype.itemsize
+        stack_bytes = n_stripes * stripe_rows * canvas_w * (n_cls + 1) * elem
+        use_stack = stack_bytes <= self.stack_fold_max_bytes
 
         # NOTE: no device-array constants may be captured below — on
         # tunneled TPU runtimes every captured device array costs a

@@ -101,6 +101,7 @@ class CziFile:
             header = self._read_payload(used)
             dir_pos, = struct.unpack_from("<q", header, 52)
             self.entries = self._read_directory(dir_pos)
+            self._layouts = {}
         except Exception:
             self._f.close()
             raise
@@ -193,21 +194,13 @@ class CziFile:
             )
         return h, w
 
-    def _read_subblock_rows(self, entry: SubBlockEntry, a: int,
-                            b: int) -> np.ndarray:
-        """Rows [a, b) of one sub-block (tile-local indices) — seeks into
-        the pixel payload without decoding the whole tile."""
+    def _data_position(self, entry: SubBlockEntry) -> int:
+        """Absolute file offset of a sub-block's pixel payload."""
         if entry.compression != 0:
             raise NotImplementedError(
                 f"compressed CZI sub-blocks (compression="
                 f"{entry.compression}) are not supported"
             )
-        dtype = _PIXEL_DTYPES.get(entry.pixel_type)
-        if dtype is None:
-            raise NotImplementedError(
-                f"CZI pixel type {entry.pixel_type} not supported"
-            )
-        w = entry.dims["X"][1]
         self._f.seek(entry.file_position)
         sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
         if not sid.startswith(b"ZISRAWSUBBLOCK"):
@@ -215,33 +208,51 @@ class CziFile:
         head = self._f.read(528)  # 16 fixed + entry (32 + 20/dim, <=24 dims)
         meta_size, _attach, _dsize = struct.unpack_from("<iiq", head, 0)
         _, entry_end = _parse_directory_entry(head, 16)
-        data_off = max(256, entry_end) + meta_size
-        row_bytes = w * dtype.itemsize
-        self._f.seek(entry.file_position + 32 + data_off + a * row_bytes)
-        raw = self._f.read((b - a) * row_bytes)
-        return np.frombuffer(
-            raw, dtype.newbyteorder("<"), count=(b - a) * w
-        ).reshape(b - a, w).astype(dtype)
+        return entry.file_position + 32 + max(256, entry_end) + meta_size
+
+    def _channel_layout(self, channel: int):
+        """Cached per-channel geometry: (picks+payload offsets, y0, x0,
+        h, w, dtype) — read_rows is the streaming hot path and must not
+        re-scan the directory per window."""
+        cached = self._layouts.get(channel)
+        if cached is not None:
+            return cached
+        picks = self._picks(channel)
+        y0 = min(e.dim("Y") for e in picks)
+        x0 = min(e.dim("X") for e in picks)
+        h, w = self.channel_shape(channel)
+        dtype = _PIXEL_DTYPES.get(picks[0].pixel_type)
+        if dtype is None:
+            raise NotImplementedError(
+                f"CZI pixel type {picks[0].pixel_type} not supported"
+            )
+        layout = (
+            [(e, self._data_position(e)) for e in picks], y0, x0, h, w, dtype,
+        )
+        self._layouts[channel] = layout
+        return layout
 
     def read_rows(self, channel: int, r0: int, nrows: int) -> np.ndarray:
         """Rows [r0, r0+nrows) of the channel plane (windowed; mosaics
         assembled per intersecting sub-block) — the streaming-engine
         entry point for whole-slide CZI inputs."""
-        picks = self._picks(channel)
-        y0 = min(e.dim("Y") for e in picks)
-        x0 = min(e.dim("X") for e in picks)
-        h, w = self.channel_shape(channel)
-        dtype = _PIXEL_DTYPES.get(picks[0].pixel_type, np.dtype(np.uint16))
+        picks, y0, x0, h, w, dtype = self._channel_layout(channel)
         out = np.zeros((nrows, w), dtype)
         lo, hi = max(r0, 0), min(r0 + nrows, h)
-        for e in picks:
+        for e, data_pos in picks:
             ty, th = e.dim("Y") - y0, e.dims["Y"][1]
             a, b = max(lo, ty), min(hi, ty + th)
             if b <= a:
                 continue
-            rows = self._read_subblock_rows(e, a - ty, b - ty)
+            tw = e.dims["X"][1]
+            row_bytes = tw * dtype.itemsize
+            self._f.seek(data_pos + (a - ty) * row_bytes)
+            raw = self._f.read((b - a) * row_bytes)
+            rows = np.frombuffer(
+                raw, dtype.newbyteorder("<"), count=(b - a) * tw
+            ).reshape(b - a, tw).astype(dtype)
             c = e.dim("X") - x0
-            out[a - r0 : b - r0, c : c + rows.shape[1]] = rows
+            out[a - r0 : b - r0, c : c + tw] = rows
         return out
 
     def read_channel(self, channel: int) -> np.ndarray:

@@ -118,35 +118,53 @@ class ChannelSource:
 
 def open_channel_source(image_path: str, file_type: str,
                         channel: int) -> ChannelSource:
-    """Windowed streaming source for one channel of any supported format."""
+    """Windowed streaming source for one channel of any supported format.
+
+    The underlying reader is closed if per-channel setup fails after the
+    open (bad channel index, unsupported compression, ...) — no fd leaks
+    for long-lived callers (serve, batch sweeps).
+    """
     if file_type in TIFF_LIKE:
         tf = TiffFile(image_path)
-        page = tf.pages[channel]
-        return ChannelSource(
-            page.height, page.width, page.dtype,
-            lambda r0, n: tf.read_region(channel, r0, 0, n, page.width),
-            closer=tf.close,
-        )
+        try:
+            page = tf.pages[channel]
+            return ChannelSource(
+                page.height, page.width, page.dtype,
+                lambda r0, n: tf.read_region(channel, r0, 0, n, page.width),
+                closer=tf.close,
+            )
+        except Exception:
+            tf.close()
+            raise
     if file_type == "czi":
         from unmicst_tpu.io.czi import CziFile
 
         czi = CziFile(image_path)
-        h, w = czi.channel_shape(channel)
-        probe = czi.read_rows(channel, 0, 1)
-        return ChannelSource(
-            h, w, probe.dtype,
-            lambda r0, n: czi.read_rows(channel, r0, n),
-            closer=czi.close,
-        )
+        try:
+            h, w = czi.channel_shape(channel)
+            probe = czi.read_rows(channel, 0, 1)
+            return ChannelSource(
+                h, w, probe.dtype,
+                lambda r0, n: czi.read_rows(channel, r0, n),
+                closer=czi.close,
+            )
+        except Exception:
+            czi.close()
+            raise
     if file_type == "nd2":
         from unmicst_tpu.io.nd2 import Nd2File
 
         nd2 = Nd2File(image_path)
-        return ChannelSource(
-            nd2.height, nd2.width, nd2.dtype,
-            lambda r0, n: nd2.read_rows(channel, r0, n),
-            closer=nd2.close,
-        )
+        try:
+            nd2.read_rows(channel, 0, 1)  # validate the channel eagerly
+            return ChannelSource(
+                nd2.height, nd2.width, nd2.dtype,
+                lambda r0, n: nd2.read_rows(channel, r0, n),
+                closer=nd2.close,
+            )
+        except Exception:
+            nd2.close()
+            raise
     raise NotImplementedError(
         f"Don't know how to stream image with extension .{file_type}"
     )

@@ -115,8 +115,12 @@ class StreamingEngine:
 
     def _build(self, plan: _StripePlan, in_dtype, rescale: bool, classes=None):
         hp = self.hp
+        # im2double/img_as_float dtype scale (io/preprocess.py semantics)
         inv_scale = 1.0 / {
-            np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0
+            np.dtype(np.uint8): 255.0,
+            np.dtype(np.uint16): 65535.0,
+            np.dtype(np.int16): 32767.0,
+            np.dtype(np.uint32): 4294967295.0,
         }.get(np.dtype(in_dtype), 1.0)
         patch, margin = hp.im_size, hp.margin
         grid = plan.grid
@@ -265,40 +269,20 @@ class StreamingEngine:
             )
             return lo, hi  # raw units (the device rescale is affine-invariant)
 
+        # TIFF (file, page) tuple: delegate to the shared windowed
+        # histogram implementation (io/slides.py), with the float32
+        # parity cast applied per chunk
+        from unmicst_tpu.io.slides import _streamed_int_stats
+
         tf, page = source
         h, w = tf.pages[page].height, tf.pages[page].width
-        # signed 16-bit offsets into the 64k bins; wider integer types
-        # would silently alias, so reject them explicitly
         page_dtype = np.dtype(tf.pages[page].dtype)
-        if page_dtype == np.int16:
-            offset = 32768
-        elif page_dtype in (np.dtype(np.uint8), np.dtype(np.uint16),
-                            np.dtype(np.float32)):
-            offset = 0  # float32 is parity-cast to uint16 by _cast_raw
-        else:
-            raise NotImplementedError(
-                f"streaming stats for dtype {page_dtype} not supported"
-            )
-        hist = np.zeros(65536, np.int64)
-        chunk = max(1, (64 << 20) // max(1, w * 2))  # ~64 MB chunks
-        for r0 in range(0, h, chunk):
-            rows = self._cast_raw(
-                tf.read_region(page, r0, 0, min(chunk, h - r0), w)
-            ).astype(np.int64) + offset
-            hist += np.bincount(rows.ravel(), minlength=65536)[:65536]
-        nz = np.nonzero(hist)[0]
-        lo = float(nz[0]) - offset
-        if outlier == -1:
-            return lo, float(nz[-1]) - offset
-        # np.percentile 'linear': value at fractional order-stat position
-        n = int(hist.sum())
-        pos = (n - 1) * outlier / 100.0
-        k = int(np.floor(pos))
-        frac = pos - k
-        cum = np.cumsum(hist)
-        v_k = float(np.searchsorted(cum, k + 1))
-        v_k1 = float(np.searchsorted(cum, k + 2)) if frac > 0 else v_k
-        return lo, v_k + frac * (v_k1 - v_k) - offset
+        dtype = np.uint16 if page_dtype == np.float32 else page_dtype
+
+        def read_rows(r0, n):
+            return self._cast_raw(tf.read_region(page, r0, 0, n, w))
+
+        return _streamed_int_stats(read_rows, h, w, dtype, outlier)
 
     def infer(
         self,
@@ -388,15 +372,29 @@ class StreamingEngine:
         virtual = any(hasattr(s, "read_rows") for s in sources)
         if virtual and not all(hasattr(s, "read_rows") for s in sources):
             raise ValueError("mixing virtual and raw channel sources")
-        canvas_dtype = np.float32 if virtual else np.uint16
+
+        def src_dtype(s):
+            # what read_rows actually yields: windowed sources declare it;
+            # raw float32 sources are parity-cast to uint16
+            if hasattr(s, "read_rows"):
+                return np.dtype(s.dtype)
+            dt = np.dtype(
+                s.dtype if isinstance(s, np.ndarray) else s[0].pages[s[1]].dtype
+            )
+            return np.dtype(np.uint16) if dt == np.float32 else dt
+
+        dtypes = {src_dtype(s) for s in sources}
+        if len(dtypes) != 1:
+            raise ValueError(f"channel sources disagree on dtype: {dtypes}")
+        canvas_dtype = dtypes.pop()
         jitted = self._get(plan, canvas_dtype, rescale, classes)
-        if not rescale and not virtual:
-            for s in sources:
-                dt = s.dtype if isinstance(s, np.ndarray) else s[0].pages[s[1]].dtype
-                if np.dtype(dt) not in (np.dtype(np.uint16), np.dtype(np.float32)):
-                    raise ValueError(
-                        "infer_stack(rescale=False) requires uint16 sources"
-                    )
+        if not rescale and canvas_dtype not in (
+            np.dtype(np.uint16), np.dtype(np.float32)
+        ):
+            raise ValueError(
+                "infer_stack(rescale=False) requires uint16 or unit-float "
+                "sources"
+            )
         if rescale:
             stats = [self.global_stats(s, outlier) for s in sources]
             lo = np.asarray([a for a, _ in stats], np.float32)
