@@ -140,6 +140,11 @@ class InferenceEngine:
         # count map is computed on-device from it.
         def run(params, canvas, win):
             # canvas: (canvas_h, canvas_w, C) raw float32 (zero padded).
+            # In bf16 mode, normalize once and store the canvas bf16: the
+            # first conv rounds its input to bf16 anyway, so this halves
+            # the unfold's HBM traffic with bit-identical results.
+            if compute_dtype is not None:
+                canvas = ((canvas - mean) / std).astype(compute_dtype)
             # Pre-split into overlapping stripes with pure reshapes; the
             # scan consumes them as xs.
             stripes = tiler._unfold_axis(canvas, n_stripes, R * sub, stripe_rows)
@@ -148,7 +153,10 @@ class InferenceEngine:
             def stripe_fold(s, stripe):
                 """One stripe's weighted fold; blend count fused as the
                 last channel -> (stripe_rows, canvas_w, n_cls + 1)."""
-                norm = (stripe - mean) / std
+                norm = (
+                    stripe if compute_dtype is not None
+                    else (stripe - mean) / std
+                )
                 tiles = tiler.unfold(norm, stripe_grid)  # (R,npc,P,P,C)
                 flat = tiles.reshape(tiles_per_stripe, patch, patch, n_ch)
                 if pad_tiles:
