@@ -14,6 +14,10 @@ device ``i``, the block that device ``(i - shift) mod n`` contributed —
 identical to ``jax.lax.ppermute(x, axis, [(j, (j + shift) % n) for j in
 range(n)])``.
 
+Mesh constraint: Mosaic's LOGICAL device-id lowering supports a single
+named mesh axis — run the kernel under a 1-axis mesh (slice the ring axis
+out of a larger mesh, as ``__graft_entry__.dryrun_multichip`` does).
+
 Measurement status (2026-08): this host exposes ONE physical TPU chip, so
 the ICI path cannot be timed here; correctness is pinned against ppermute
 on the CPU-simulated mesh (interpret mode) by ``tests/test_kernels.py``,
