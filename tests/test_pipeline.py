@@ -273,3 +273,32 @@ def test_stream_tail_margin_coverage(model, rng, height):
         )
         got = stream.infer(raw)
         assert np.abs(whole.astype(int) - got.astype(int)).max() <= 1
+
+
+def test_streaming_column_sharded_matches_single_device(model, rng):
+    """infer_sharded (per-stripe column sharding + halo seams over an
+    8-device mesh) == single-device streaming, uint8-exact to 1 level."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(devs[:8]), ("d",))
+    hp, params = model
+    raw = (rng.rand(155, 230) * 60000).astype(np.uint16)
+    stream = StreamingEngine(
+        hp, params, "legacy", 0.3, 0.2, compute_dtype=None,
+        stripe_tile_rows=2,
+    )
+    single = stream.infer(raw)
+    sharded = stream.infer_sharded(raw, mesh, axis="d")
+    assert sharded.shape == single.shape
+    assert np.abs(single.astype(int) - sharded.astype(int)).max() <= 1
+    # solo quirk path too (rescale=False)
+    single_nr = stream.infer(raw, rescale=False)
+    sharded_nr = stream.infer_sharded(raw, mesh, axis="d", rescale=False)
+    assert np.abs(single_nr.astype(int) - sharded_nr.astype(int)).max() <= 1
+    # class subset plumbing
+    sub = stream.infer_sharded(raw, mesh, axis="d", classes=(1, 2))
+    np.testing.assert_array_equal(sub[0], sharded[1])
+    np.testing.assert_array_equal(sub[1], sharded[2])

@@ -430,6 +430,203 @@ class StreamingEngine:
             self._drain(pending.pop(0), out, plan, m)
         return out
 
+    # -- column-sharded streaming (pod-scale mega-slides) ---------------------
+
+    def _build_sharded(self, plan: _StripePlan, mesh, axis: str,
+                       in_dtype, rescale: bool, classes=None):
+        """Per-stripe jit with the tile grid COLUMN-sharded over
+        ``mesh[axis]`` — rows stream stripe-by-stripe (bounded memory),
+        columns scale over devices with 2*margin halo seams exchanged via
+        ``ppermute`` (the width-direction transpose of
+        :func:`unmicst_tpu.runtime.halo.spatial_infer`).  All devices
+        cooperate on ONE slide: the production layout for 100k-class
+        slides on a pod slice.
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        hp = self.hp
+        inv_scale = 1.0 / {
+            np.dtype(np.uint8): 255.0,
+            np.dtype(np.uint16): 65535.0,
+            np.dtype(np.int16): 32767.0,
+            np.dtype(np.uint32): 4294967295.0,
+        }.get(np.dtype(in_dtype), 1.0)
+        patch, margin = hp.im_size, hp.margin
+        grid = plan.grid
+        sub = grid.sub
+        S = plan.S
+        npc = grid.npc
+        n_dev = mesh.shape[axis]
+        npc_pad = -(-npc // n_dev) * n_dev
+        c_dev = npc_pad // n_dev  # tile columns per device
+        rows_tiles = S + 1
+        tiles_dev = rows_tiles * c_dev
+        chunk = min(self.tile_batch, tiles_dev)
+        n_chunks = -(-tiles_dev // chunk)
+        pad_tiles = n_chunks * chunk - tiles_dev
+        n_ch, n_cls = hp.n_channels, hp.n_classes
+        mean, std = self.mean, self.std
+        compute_dtype = self.compute_dtype
+        precision = self.precision
+        variant = self.variant
+        two_m = 2 * margin
+        body_w = npc_pad * sub
+        dev_grid = tiler.make_grid(rows_tiles * sub, c_dev * sub, patch, margin)
+        arange_rows = np.arange(rows_tiles)
+        arange_cols = np.arange(c_dev)
+        band_h = S * sub
+
+        def forward(params, t):
+            return apply(params, t, hp, variant, compute_dtype=compute_dtype,
+                         precision=precision)
+
+        def band_fn(params, block, tail, s0, lo, hi, win):
+            # block: (in_rows, body_w / n_dev, C) raw; tail: (in_rows, 2m, C)
+            d = jax.lax.axis_index(axis)
+            x = block.astype(jnp.float32)
+            tail_x = tail.astype(jnp.float32)
+            if rescale:
+                x = jnp.clip(x, lo, hi)
+                x = (x - lo) / jnp.maximum(hi - lo, 1e-12) * 0.983
+                tail_x = jnp.clip(tail_x, lo, hi)
+                tail_x = (tail_x - lo) / jnp.maximum(hi - lo, 1e-12) * 0.983
+            else:
+                x = x * inv_scale
+                tail_x = tail_x * inv_scale
+            # input halo: first 2m columns of the RIGHT neighbor's block;
+            # the last device takes the replicated global tail
+            head = x[:, :two_m]
+            halo_in = jax.lax.ppermute(
+                head, axis, [(j, (j - 1) % n_dev) for j in range(n_dev)]
+            )
+            halo_in = jnp.where(d == n_dev - 1, tail_x, halo_in)
+            stripe = jnp.concatenate([x, halo_in], axis=1)
+            norm = (stripe - mean) / std
+
+            tiles = tiler.unfold(norm, dev_grid)  # (S+1, c_dev, P, P, C)
+            flat = tiles.reshape(tiles_dev, patch, patch, n_ch)
+            if pad_tiles:
+                flat = jnp.pad(flat, ((0, pad_tiles), (0, 0), (0, 0), (0, 0)))
+            chunks = flat.reshape(n_chunks, chunk, patch, patch, n_ch)
+            probs = jax.lax.map(lambda t: forward(params, t), chunks)
+            probs = probs.reshape(-1, patch, patch, n_cls)[:tiles_dev]
+            probs = probs.reshape(rows_tiles, c_dev, patch, patch, n_cls)
+            row_ids = s0 + arange_rows
+            col_ids = d * c_dev + arange_cols
+            rmask = ((row_ids >= 0) & (row_ids < grid.npr)).astype(jnp.float32)
+            cmask = (col_ids < npc).astype(jnp.float32)
+            w = (
+                win[None, None, :, :, None]
+                * rmask[:, None, None, None, None]
+                * cmask[None, :, None, None, None]
+            )
+            strip = tiler.fold(probs * w, dev_grid)
+            wcount = tiler.fold(
+                jnp.broadcast_to(
+                    w[..., 0], (rows_tiles, c_dev, patch, patch)
+                ),
+                dev_grid,
+            )
+            acc = jnp.concatenate([strip, wcount[..., None]], axis=-1)
+            # output halo: this device's fold tail (last 2m columns) lands
+            # on the RIGHT neighbor's head
+            tail_out = acc[:, c_dev * sub :]
+            recv = jax.lax.ppermute(
+                tail_out, axis, [(j, (j + 1) % n_dev) for j in range(n_dev)]
+            )
+            recv = jnp.where(d == 0, jnp.zeros_like(recv), recv)
+            acc = acc.at[:, :two_m].add(recv)
+            body = acc[:, : c_dev * sub]
+            # finished band rows [sub, sub + S*sub); divide and quantize
+            band = body[sub : sub + band_h]
+            pm = band[..., :n_cls] / jnp.maximum(band[..., n_cls:], 1e-12)
+            if classes is not None:
+                pm = pm[..., list(classes)]
+            band_u8 = (pm * 255.0).astype(jnp.uint8)
+            # the last device's tail columns are real output (canvas cols
+            # [body_w, body_w + 2m)); emit them too
+            tail_pm = acc[sub : sub + band_h, c_dev * sub :]
+            tail_u8 = (
+                tail_pm[..., :n_cls]
+                / jnp.maximum(tail_pm[..., n_cls:], 1e-12) * 255.0
+            ).astype(jnp.uint8)
+            if classes is not None:
+                tail_u8 = tail_u8[..., list(classes)]
+            return band_u8, tail_u8
+
+        fn = shard_map(
+            band_fn,
+            mesh=mesh,
+            in_specs=(P(), P(None, axis, None), P(), P(), P(), P(), P()),
+            out_specs=(P(None, axis, None), P(None, axis, None)),
+        )
+        jitted = jax.jit(fn)
+        return jitted, body_w, c_dev, n_dev
+
+    def infer_sharded(
+        self,
+        source,
+        mesh,
+        axis: str = "data",
+        outlier: float = -1,
+        rescale: bool = True,
+        out: Optional[np.ndarray] = None,
+        classes=None,
+    ) -> np.ndarray:
+        """Stream the slide with each stripe column-sharded over
+        ``mesh[axis]``; returns uint8 [K, H, W] like :meth:`infer`."""
+        if hasattr(source, "read_rows"):
+            height, width = source.height, source.width
+            in_dtype = source.dtype
+        elif isinstance(source, np.ndarray):
+            height, width = source.shape
+            in_dtype = source.dtype
+        else:
+            tf, page = source
+            height, width = tf.pages[page].height, tf.pages[page].width
+            in_dtype = tf.pages[page].dtype
+        if not hasattr(source, "read_rows") and np.dtype(in_dtype) == np.float32:
+            in_dtype = np.uint16
+        plan = self._plan(height, width)
+        jitted, body_w, c_dev, n_dev = self._build_sharded(
+            plan, mesh, axis, in_dtype, rescale,
+            tuple(int(c) for c in classes) if classes is not None else None,
+        )
+        if rescale:
+            lo, hi = self.global_stats(source, outlier)
+        else:
+            lo, hi = 0.0, 1.0
+        win = jnp.asarray(tiler.ramp_window(self.hp.im_size, self.hp.margin))
+        grid = plan.grid
+        m = grid.margin
+        n_out = len(classes) if classes is not None else self.hp.n_classes
+        if out is None:
+            out = np.empty((n_out, height, width), np.uint8)
+        two_m = 2 * m
+        for s in range(plan.n_stripes):
+            raw_r0 = (s * plan.S - 1) * grid.sub - m
+            rows = self._read_rows(source, raw_r0, plan.in_rows)
+            canvas = np.zeros(
+                (plan.in_rows, body_w + two_m, self.hp.n_channels), rows.dtype
+            )
+            canvas[:, m : m + width, :] = rows[:, :, None]
+            band, tails = jitted(
+                self.params, jnp.asarray(canvas[:, :body_w]),
+                jnp.asarray(canvas[:, body_w:]), jnp.int32(s * plan.S - 1),
+                jnp.float32(lo), jnp.float32(hi), win,
+            )
+            band = np.concatenate(
+                [np.asarray(band), np.asarray(tails)[:, -two_m:]], axis=1
+            )
+            p0 = s * plan.band_rows
+            a, b = max(p0, m), min(p0 + plan.band_rows, m + height)
+            if b <= a:
+                continue
+            sl = band[a - p0 : b - p0, m : m + width]
+            out[:, a - m : b - m, :] = np.moveaxis(sl, -1, 0)
+        return out
+
     def _drain(self, item, out, plan: _StripePlan, m: int) -> None:
         s, dev = item
         band = np.asarray(dev)  # (S*sub, W', K)
