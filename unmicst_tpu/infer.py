@@ -129,7 +129,7 @@ class InferenceEngine:
         # read-modify-write), but materializes extra canvas-sized buffers
         # that blew HBM at 16k/20k.  Accumulating into a carried canvas is
         # bounded-memory; pick by canvas footprint (~1 GB of stacked f32).
-        elem = jnp.zeros((), accum_dtype).dtype.itemsize
+        elem = np.dtype(accum_dtype).itemsize
         stack_bytes = n_stripes * stripe_rows * canvas_w * (n_cls + 1) * elem
         use_stack = stack_bytes <= self.stack_fold_max_bytes
 

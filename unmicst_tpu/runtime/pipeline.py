@@ -40,6 +40,36 @@ from unmicst_tpu.core.hp import HParams, ModelBundle
 from unmicst_tpu.core.unet import Params, apply
 
 
+# im2double/img_as_float dtype scale (io/preprocess.py semantics)
+_IM2DOUBLE_SCALE = {
+    np.dtype(np.uint8): 255.0,
+    np.dtype(np.uint16): 65535.0,
+    np.dtype(np.int16): 32767.0,
+    np.dtype(np.uint32): 4294967295.0,
+}
+
+
+def _source_dims(src) -> Tuple[int, int]:
+    """(height, width) of any streaming source kind."""
+    if hasattr(src, "read_rows"):
+        return src.height, src.width
+    if isinstance(src, np.ndarray):
+        return src.shape
+    tf, page = src
+    return tf.pages[page].height, tf.pages[page].width
+
+
+def _source_dtype(src) -> np.dtype:
+    """dtype the source's rows actually arrive as (after the float32
+    parity cast applied to raw arrays/TIFF pages)."""
+    if hasattr(src, "read_rows"):
+        return np.dtype(src.dtype)
+    dt = np.dtype(
+        src.dtype if isinstance(src, np.ndarray) else src[0].pages[src[1]].dtype
+    )
+    return np.dtype(np.uint16) if dt == np.float32 else dt
+
+
 @dataclasses.dataclass
 class _StripePlan:
     height: int
@@ -115,13 +145,7 @@ class StreamingEngine:
 
     def _build(self, plan: _StripePlan, in_dtype, rescale: bool, classes=None):
         hp = self.hp
-        # im2double/img_as_float dtype scale (io/preprocess.py semantics)
-        inv_scale = 1.0 / {
-            np.dtype(np.uint8): 255.0,
-            np.dtype(np.uint16): 65535.0,
-            np.dtype(np.int16): 32767.0,
-            np.dtype(np.uint32): 4294967295.0,
-        }.get(np.dtype(in_dtype), 1.0)
+        inv_scale = 1.0 / _IM2DOUBLE_SCALE.get(np.dtype(in_dtype), 1.0)
         patch, margin = hp.im_size, hp.margin
         grid = plan.grid
         sub = grid.sub
@@ -296,19 +320,9 @@ class StreamingEngine:
 
         ``classes``: optional tuple of class indexes to emit (that order).
         """
-        if hasattr(source, "read_rows"):
-            height, width = source.height, source.width
-            in_dtype = source.dtype  # float32 in [0,1]; inv_scale 1
-        elif isinstance(source, np.ndarray):
-            height, width = source.shape
-            in_dtype = source.dtype
-        else:
-            tf, page = source
-            height, width = tf.pages[page].height, tf.pages[page].width
-            in_dtype = tf.pages[page].dtype
+        height, width = _source_dims(source)
+        in_dtype = _source_dtype(source)
         plan = self._plan(height, width)
-        if not hasattr(source, "read_rows") and np.dtype(in_dtype) == np.float32:
-            in_dtype = np.uint16  # parity cast (see _cast_raw)
         jitted = self._get(plan, in_dtype, rescale, classes)
         if rescale:
             lo, hi = self.global_stats(source, outlier)
@@ -356,34 +370,12 @@ class StreamingEngine:
                 f"{len(sources)}"
             )
 
-        def dims(src):
-            if hasattr(src, "read_rows"):
-                return src.height, src.width
-            if isinstance(src, np.ndarray):
-                return src.shape
-            tf, page = src
-            return tf.pages[page].height, tf.pages[page].width
-
-        height, width = dims(sources[0])
+        height, width = _source_dims(sources[0])
         for s in sources[1:]:
-            if dims(s) != (height, width):
+            if _source_dims(s) != (height, width):
                 raise ValueError("channel sources must share dimensions")
         plan = self._plan(height, width)
-        virtual = any(hasattr(s, "read_rows") for s in sources)
-        if virtual and not all(hasattr(s, "read_rows") for s in sources):
-            raise ValueError("mixing virtual and raw channel sources")
-
-        def src_dtype(s):
-            # what read_rows actually yields: windowed sources declare it;
-            # raw float32 sources are parity-cast to uint16
-            if hasattr(s, "read_rows"):
-                return np.dtype(s.dtype)
-            dt = np.dtype(
-                s.dtype if isinstance(s, np.ndarray) else s[0].pages[s[1]].dtype
-            )
-            return np.dtype(np.uint16) if dt == np.float32 else dt
-
-        dtypes = {src_dtype(s) for s in sources}
+        dtypes = {_source_dtype(s) for s in sources}
         if len(dtypes) != 1:
             raise ValueError(f"channel sources disagree on dtype: {dtypes}")
         canvas_dtype = dtypes.pop()
@@ -446,12 +438,7 @@ class StreamingEngine:
         from jax.sharding import PartitionSpec as P
 
         hp = self.hp
-        inv_scale = 1.0 / {
-            np.dtype(np.uint8): 255.0,
-            np.dtype(np.uint16): 65535.0,
-            np.dtype(np.int16): 32767.0,
-            np.dtype(np.uint32): 4294967295.0,
-        }.get(np.dtype(in_dtype), 1.0)
+        inv_scale = 1.0 / _IM2DOUBLE_SCALE.get(np.dtype(in_dtype), 1.0)
         patch, margin = hp.im_size, hp.margin
         grid = plan.grid
         sub = grid.sub
@@ -484,25 +471,21 @@ class StreamingEngine:
         def band_fn(params, block, tail, s0, lo, hi, win):
             # block: (in_rows, body_w / n_dev, C) raw; tail: (in_rows, 2m, C)
             d = jax.lax.axis_index(axis)
-            x = block.astype(jnp.float32)
-            tail_x = tail.astype(jnp.float32)
+            # input halo FIRST, in the raw dtype (2 B/px over ICI for
+            # uint16): first 2m columns of the RIGHT neighbor's block;
+            # the last device takes the replicated global tail
+            halo_in = jax.lax.ppermute(
+                block[:, :two_m], axis,
+                [(j, (j - 1) % n_dev) for j in range(n_dev)],
+            )
+            halo_in = jnp.where(d == n_dev - 1, tail, halo_in)
+            x = jnp.concatenate([block, halo_in], axis=1).astype(jnp.float32)
             if rescale:
                 x = jnp.clip(x, lo, hi)
                 x = (x - lo) / jnp.maximum(hi - lo, 1e-12) * 0.983
-                tail_x = jnp.clip(tail_x, lo, hi)
-                tail_x = (tail_x - lo) / jnp.maximum(hi - lo, 1e-12) * 0.983
             else:
                 x = x * inv_scale
-                tail_x = tail_x * inv_scale
-            # input halo: first 2m columns of the RIGHT neighbor's block;
-            # the last device takes the replicated global tail
-            head = x[:, :two_m]
-            halo_in = jax.lax.ppermute(
-                head, axis, [(j, (j - 1) % n_dev) for j in range(n_dev)]
-            )
-            halo_in = jnp.where(d == n_dev - 1, tail_x, halo_in)
-            stripe = jnp.concatenate([x, halo_in], axis=1)
-            norm = (stripe - mean) / std
+            norm = (x - mean) / std
 
             tiles = tiler.unfold(norm, dev_grid)  # (S+1, c_dev, P, P, C)
             flat = tiles.reshape(tiles_dev, patch, patch, n_ch)
@@ -537,23 +520,19 @@ class StreamingEngine:
             )
             recv = jnp.where(d == 0, jnp.zeros_like(recv), recv)
             acc = acc.at[:, :two_m].add(recv)
-            body = acc[:, : c_dev * sub]
-            # finished band rows [sub, sub + S*sub); divide and quantize
-            band = body[sub : sub + band_h]
-            pm = band[..., :n_cls] / jnp.maximum(band[..., n_cls:], 1e-12)
-            if classes is not None:
-                pm = pm[..., list(classes)]
-            band_u8 = (pm * 255.0).astype(jnp.uint8)
-            # the last device's tail columns are real output (canvas cols
-            # [body_w, body_w + 2m)); emit them too
-            tail_pm = acc[sub : sub + band_h, c_dev * sub :]
-            tail_u8 = (
-                tail_pm[..., :n_cls]
-                / jnp.maximum(tail_pm[..., n_cls:], 1e-12) * 255.0
-            ).astype(jnp.uint8)
-            if classes is not None:
-                tail_u8 = tail_u8[..., list(classes)]
-            return band_u8, tail_u8
+
+            def quantize(a):
+                pm = a[..., :n_cls] / jnp.maximum(a[..., n_cls:], 1e-12)
+                if classes is not None:
+                    pm = pm[..., list(classes)]
+                return (pm * 255.0).astype(jnp.uint8)
+
+            # finished band rows [sub, sub + S*sub); the last device's
+            # tail columns are real output (canvas cols [body_w, +2m))
+            band = acc[sub : sub + band_h]
+            return quantize(band[:, : c_dev * sub]), quantize(
+                band[:, c_dev * sub :]
+            )
 
         fn = shard_map(
             band_fn,
@@ -576,18 +555,8 @@ class StreamingEngine:
     ) -> np.ndarray:
         """Stream the slide with each stripe column-sharded over
         ``mesh[axis]``; returns uint8 [K, H, W] like :meth:`infer`."""
-        if hasattr(source, "read_rows"):
-            height, width = source.height, source.width
-            in_dtype = source.dtype
-        elif isinstance(source, np.ndarray):
-            height, width = source.shape
-            in_dtype = source.dtype
-        else:
-            tf, page = source
-            height, width = tf.pages[page].height, tf.pages[page].width
-            in_dtype = tf.pages[page].dtype
-        if not hasattr(source, "read_rows") and np.dtype(in_dtype) == np.float32:
-            in_dtype = np.uint16
+        height, width = _source_dims(source)
+        in_dtype = _source_dtype(source)
         plan = self._plan(height, width)
         jitted, body_w, c_dev, n_dev = self._build_sharded(
             plan, mesh, axis, in_dtype, rescale,
