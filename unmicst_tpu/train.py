@@ -64,6 +64,10 @@ class TrainConfig:
     ckpt_every: int = 50  # UnMicst1-5.py:519
     seed: int = 0
     remat: bool = False  # jax.checkpoint the forward (HBM <- -> FLOPs trade)
+    # MXU pass count for the fwd/bwd convs: 'high' (3-pass f32 emulation)
+    # is gradient-accurate to ~1e-6 relative at ~2x the throughput of
+    # 'highest'; see BASELINE.md precision table
+    precision: str = "high"
     export_tf1: bool = True  # also write a Saver-compatible model.ckpt.*
 
     @classmethod
@@ -118,10 +122,10 @@ def loss_fn(
     """Weighted softmax CE + kernel regularization (``UnMicst1-5.py:367-373``)."""
     fwd = (
         jax.checkpoint(
-            lambda p, x, r: unet.apply(p, x, hp, cfg.variant, train=True, rng=r)
+            lambda p, x, r: unet.apply(p, x, hp, cfg.variant, train=True, rng=r, precision=cfg.precision)
         )
         if cfg.remat
-        else lambda p, x, r: unet.apply(p, x, hp, cfg.variant, train=True, rng=r)
+        else lambda p, x, r: unet.apply(p, x, hp, cfg.variant, train=True, rng=r, precision=cfg.precision)
     )
     probs, new_params = fwd(params, batch["image"], rng)
     log_p = jnp.log(jnp.clip(probs, EPS, 1 - EPS))
