@@ -95,3 +95,27 @@ def test_deploy_folder(tmp_path):
     for i in range(1, 4):
         assert (pm_dir / f"I{i:05d}_Im.png").exists()
         assert (pm_dir / f"I{i:05d}_PM.png").exists()
+
+
+def test_batch_device_path_matches_host_path(tmp_path, rng):
+    """The scale-1 device-side path (infer_slide) == the host-preprocess
+    path (preprocess_channel + infer + postprocess) within 1 uint8 level."""
+    import jax
+
+    from unmicst_tpu.core import unet
+    from unmicst_tpu.core.hp import HParams
+    from unmicst_tpu.infer import InferenceEngine
+    from unmicst_tpu.io import preprocess as pp
+
+    hp = HParams(im_size=32, n_channels=1, n_classes=3, n_out0=6, ks=3,
+                 n_extra_convs=0, n_layers=2, batch_size=8, std_dev0=0.5)
+    params = unet.init_params(jax.random.PRNGKey(2), hp, "legacy")
+    eng = InferenceEngine(hp, params, "legacy", 0.3, 0.2)
+    raw = (rng.rand(130, 90) * 60000).astype(np.uint16)
+    dev_c, dev_n = eng.infer_slide(raw, classes=(1, 2))
+    pc = pp.preprocess_channel(raw, 1.0, -1)
+    probs = eng.infer(pc.net_input.astype(np.float32))
+    host_c = pp.postprocess_pm(probs[1], pc.raw_shape)
+    host_n = pp.postprocess_pm(probs[2], pc.raw_shape)
+    assert np.abs(dev_c.astype(int) - host_c.astype(int)).max() <= 1
+    assert np.abs(dev_n.astype(int) - host_n.astype(int)).max() <= 1
