@@ -119,3 +119,48 @@ def test_batch_device_path_matches_host_path(tmp_path, rng):
     host_n = pp.postprocess_pm(probs[2], pc.raw_shape)
     assert np.abs(dev_c.astype(int) - host_c.astype(int)).max() <= 1
     assert np.abs(dev_n.astype(int) - host_n.astype(int)).max() <= 1
+
+
+def test_sweep_streams_large_slides(tmp_path, rng):
+    """stream_above_px forces the bounded-memory path; outputs match the
+    whole-image sweep within 1 uint8 level and the cursor still records."""
+    import jax
+
+    from unmicst_tpu import batch
+    from unmicst_tpu.core import unet
+    from unmicst_tpu.core.hp import HParams, save_pickle
+    from unmicst_tpu.core.checkpoint import save_native
+    from unmicst_tpu.io.tiff import imread, imwrite
+
+    hp = HParams(im_size=32, n_channels=1, n_classes=3, n_out0=6, ks=3,
+                 n_extra_convs=0, n_layers=2, batch_size=8, std_dev0=0.5)
+    params = unet.init_params(jax.random.PRNGKey(2), hp, "legacy")
+    mdir = tmp_path / "model"
+    mdir.mkdir()
+    save_native(str(mdir / "model.unmicst-tpu.msgpack"), params, hp,
+                "legacy", 0.3, 0.2)
+    save_pickle(hp.to_ref_dict(), str(mdir / "hp.data"))
+    save_pickle(0.3, str(mdir / "datasetMean.data"))
+    save_pickle(0.2, str(mdir / "datasetStDev.data"))
+
+    reg = tmp_path / "exemplar-1" / "registration"
+    reg.mkdir(parents=True)
+    raw = (rng.rand(140, 100) * 60000).astype(np.uint16)
+    imwrite(str(reg / "a.ome.tif"), raw, bigtiff=False)
+
+    slides = batch.discover_slides(str(tmp_path))
+    assert slides
+    out_a = tmp_path / "out_whole"
+    out_b = tmp_path / "out_stream"
+    rep_a = batch.run_sweep(slides, str(mdir), str(out_a), resume=False)
+    rep_b = batch.run_sweep(slides, str(mdir), str(out_b), resume=False,
+                            stream_above_px=1)
+    assert rep_a.completed and rep_b.completed and not rep_b.failed
+    for name in ("a_ContoursPM_1.tif", "a_NucleiPM_1.tif"):
+        x = imread(str(out_a / name))
+        y = imread(str(out_b / name))
+        assert np.abs(x.astype(int) - y.astype(int)).max() <= 1
+    # resumable: second run skips
+    rep_c = batch.run_sweep(slides, str(mdir), str(out_b),
+                            stream_above_px=1)
+    assert rep_c.skipped == slides

@@ -94,6 +94,22 @@ def _save_cursor(out_dir: str, cursor: dict, shard_index: int = 0) -> None:
     os.replace(tmp, path)
 
 
+def _record_done(my_done: dict, done_cache: dict, out_dir: str,
+                 shard_index: int, slide: str) -> None:
+    """Append a completed slide to this shard's resumable cursor file."""
+    if out_dir not in my_done:
+        # seed with this shard's prior records so a resumed run
+        # doesn't truncate its own cursor file
+        try:
+            with open(_cursor_path(out_dir, shard_index)) as f:
+                my_done[out_dir] = list(json.load(f).get("done", []))
+        except (OSError, ValueError):
+            my_done[out_dir] = []
+    my_done[out_dir].append(slide)
+    done_cache.setdefault(out_dir, set()).add(slide)
+    _save_cursor(out_dir, {"done": my_done[out_dir]}, shard_index)
+
+
 def run_sweep(
     slides: List[str],
     model_dir: str,
@@ -110,8 +126,14 @@ def run_sweep(
     num_shards: int = 1,
     resume: bool = True,
     verbose: bool = True,
+    stream_above_px: int = 64_000_000,
 ) -> BatchReport:
-    """Run the sweep over this shard's slides; resumable via cursor file."""
+    """Run the sweep over this shard's slides; resumable via cursor file.
+
+    Slides above ``stream_above_px`` pixels go through the bounded-memory
+    :class:`~unmicst_tpu.runtime.pipeline.StreamingEngine` (the CLI's auto
+    policy) instead of being materialized whole.
+    """
     import jax.numpy as jnp
 
     from unmicst_tpu.core.checkpoint import load_params_for_bundle
@@ -119,11 +141,17 @@ def run_sweep(
     from unmicst_tpu.infer import InferenceEngine
     from unmicst_tpu.io import preprocess as pp
     from unmicst_tpu.io.tiff import imread, imwrite
+    from unmicst_tpu.runtime.pipeline import StreamingEngine
 
     bundle = load_model_dir(model_dir, mean, std)
     params = load_params_for_bundle(bundle)
     engine = InferenceEngine.from_bundle(
         bundle, params, compute_dtype=compute_dtype, tile_batch=tile_batch
+    )
+    stream_engine = StreamingEngine.from_bundle(
+        bundle, params,
+        compute_dtype=compute_dtype, precision=None if compute_dtype else "high",
+        tile_batch=tile_batch,
     )
 
     report = BatchReport()
@@ -146,6 +174,58 @@ def run_sweep(
             continue
         stem = os.path.basename(slide).split(os.extsep, 1)[0]
         try:
+            from unmicst_tpu.io.slides import open_channel_source
+            from unmicst_tpu.io.tiff import TiffFile
+
+            with TiffFile(slide) as tf_probe:
+                page = tf_probe.pages[channel]
+                slide_px = page.height * page.width
+            if scaling_factor == 1 and slide_px > stream_above_px:
+                # mega-slide: bounded memory end to end
+                t0 = time.perf_counter()
+                with open_channel_source(slide, "tif", channel) as src:
+                    contours, nuclei = stream_engine.infer(
+                        src, outlier=outlier, classes=(1, 2)
+                    )
+                    # preview built chunk-wise at 1 B/px
+                    vmax = 0.0
+                    h, w = src.height, src.width
+                    chunk = max(1, (64 << 20) // max(1, w * 2))
+                    for r0 in range(0, h, chunk):
+                        vmax = max(
+                            vmax,
+                            float(src.read_rows(r0, min(chunk, h - r0)).max()),
+                        )
+                    raw_norm8 = np.empty((h, w), np.uint8)
+                    for r0 in range(0, h, chunk):
+                        rows = src.read_rows(r0, min(chunk, h - r0))
+                        raw_norm8[r0 : r0 + rows.shape[0]] = np.uint8(
+                            255 * rows.astype(np.float32) / max(vmax, 1e-12)
+                        )
+                dt = time.perf_counter() - t0
+                cfile = os.path.join(
+                    this_out, f"{stem}_ContoursPM_{channel + 1}.tif"
+                )
+                imwrite(cfile, contours)
+                imwrite(cfile, raw_norm8, append=True)
+                imwrite(
+                    os.path.join(
+                        this_out, f"{stem}_NucleiPM_{channel + 1}.tif"
+                    ),
+                    nuclei,
+                )
+                mpx = slide_px / 1e6
+                report.mpx_total += mpx
+                report.completed.append(slide)
+                _record_done(
+                    my_done, done_cache, this_out, shard_index, slide
+                )
+                if verbose:
+                    print(
+                        f"[sweep {shard_index}/{num_shards}] {slide} "
+                        f"(streamed): {mpx / dt:.1f} Mpx/s"
+                    )
+                continue
             raw = imread(slide, channel)
             t0 = time.perf_counter()
             if scaling_factor == 1:
@@ -179,17 +259,7 @@ def run_sweep(
             mpx = raw.shape[0] * raw.shape[1] / 1e6
             report.mpx_total += mpx
             report.completed.append(slide)
-            if this_out not in my_done:
-                # seed with this shard's prior records so a resumed run
-                # doesn't truncate its own cursor file
-                try:
-                    with open(_cursor_path(this_out, shard_index)) as f:
-                        my_done[this_out] = list(json.load(f).get("done", []))
-                except (OSError, ValueError):
-                    my_done[this_out] = []
-            my_done[this_out].append(slide)
-            done_cache.setdefault(this_out, set()).add(slide)
-            _save_cursor(this_out, {"done": my_done[this_out]}, shard_index)
+            _record_done(my_done, done_cache, this_out, shard_index, slide)
             if verbose:
                 print(f"[sweep] {slide}: {mpx:.1f} Mpx in {dt:.2f}s")
         except Exception:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
+import re
 from typing import Optional
 
 # Reference hp.data key order (UnMicst.py:38-49 setupWithHP).
@@ -142,12 +143,24 @@ class ModelBundle:
 
 
 def _sniff_variant(model_dir: str) -> Optional[str]:
-    """Infer the architecture generation from TF1 checkpoint variable names.
+    """Infer the architecture generation from the checkpoints present.
 
-    Legacy checkpoints contain ``downsampling/ld0/kernel1``; v2 checkpoints
-    contain ``downsampling/ld0/kernelD0`` (SURVEY #2.5).  Reads only the
-    index file, cheaply.
+    Native msgpack bundles embed their variant in the ``meta_json`` header
+    (serialized first — a 64 KB head read suffices).  TF1 checkpoints are
+    distinguished by variable names: legacy contains
+    ``downsampling/ld0/kernel1``, v2 ``downsampling/ld0/kernelD0``
+    (SURVEY #2.5).  Reads only headers/index, cheaply.
     """
+    native_path = os.path.join(model_dir, "model.unmicst-tpu.msgpack")
+    if os.path.exists(native_path):
+        try:
+            with open(native_path, "rb") as f:
+                head = f.read(65536)
+            m = re.search(rb'\\?"variant\\?":\s*\\?"(\w+)\\?"', head)
+            if m:
+                return m.group(1).decode("ascii")
+        except OSError:
+            pass
     index_path = os.path.join(model_dir, "model.ckpt.index")
     if not os.path.exists(index_path):
         return None
