@@ -174,3 +174,32 @@ def test_bad_parameters_get_400(server_url):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 400
+
+
+def test_large_posts_stream(tmp_path, rng):
+    """stream_above_px forces the bounded-memory path; response matches the
+    whole-image path within 1 uint8 level."""
+    srv_whole = ModelServer(
+        model_root=os.path.join(REFERENCE, "models"), precision="float32"
+    )
+    srv_stream = ModelServer(
+        model_root=os.path.join(REFERENCE, "models"), precision="float32",
+        stream_above_px=1,
+    )
+    raw = (rng.rand(100, 80) * 60000).astype(np.uint16)
+    src = str(tmp_path / "s.tif")
+    imwrite(src, raw, bigtiff=False)
+    a, meta_a = srv_whole.infer_tiff_path(src, "nucleiDAPI", 0, True, -1)
+    b, meta_b = srv_stream.infer_tiff_path(src, "nucleiDAPI", 0, True, -1)
+    assert meta_a["shape"] == meta_b["shape"] == [100, 80]
+    pa = str(tmp_path / "a.tif")
+    pb = str(tmp_path / "b.tif")
+    open(pa, "wb").write(a)
+    open(pb, "wb").write(b)
+    from unmicst_tpu.io.tiff import imread, num_pages
+
+    assert num_pages(pa) == num_pages(pb) == 3
+    for k in range(3):
+        x = imread(pa, k).astype(int)
+        y = imread(pb, k).astype(int)
+        assert np.abs(x - y).max() <= 1

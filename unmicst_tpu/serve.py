@@ -36,26 +36,30 @@ class ModelServer:
         model_root: Optional[str] = None,
         precision: str = "float32",
         max_body_bytes: int = 2 << 30,
+        stream_above_px: int = 64_000_000,
     ):
         self.model_root = model_root
         self.precision = precision
         self.max_body_bytes = int(max_body_bytes)
-        self._engines: Dict[Tuple[str, str], object] = {}
+        self.stream_above_px = int(stream_above_px)
+        self._engines: Dict[Tuple[str, str, str], object] = {}
         self._lock = threading.Lock()
 
-    def engine(self, model: str):
-        key = (model, self.precision)
+    def engine(self, model: str, kind: str = "whole"):
+        key = (model, self.precision, kind)
         with self._lock:
             if key not in self._engines:
                 from unmicst_tpu.cli import precision_mode, resolve_model_dir
                 from unmicst_tpu.core.checkpoint import load_params_for_bundle
                 from unmicst_tpu.core.hp import load_model_dir
                 from unmicst_tpu.infer import InferenceEngine
+                from unmicst_tpu.runtime.pipeline import StreamingEngine
 
                 bundle = load_model_dir(resolve_model_dir(model, self.model_root))
                 params = load_params_for_bundle(bundle)
                 dtype, mxu = precision_mode(self.precision)
-                self._engines[key] = InferenceEngine.from_bundle(
+                cls = StreamingEngine if kind == "stream" else InferenceEngine
+                self._engines[key] = cls.from_bundle(
                     bundle, params, compute_dtype=dtype, precision=mxu
                 )
             return self._engines[key]
@@ -79,11 +83,29 @@ class ModelServer:
         from unmicst_tpu.io.tiff import TiffFile, TiffWriter
 
         with TiffFile(path) as tf:
+            page = tf.pages[channel]
+            shape = (page.height, page.width)
+            if shape[0] * shape[1] > self.stream_above_px:
+                # mega-slide POST: bounded memory, windowed reads from the
+                # spooled temp file
+                t0 = time.perf_counter()
+                maps = self.engine(model, "stream").infer(
+                    (tf, channel), outlier=outlier, rescale=rescale
+                )
+                infer_s = time.perf_counter() - t0
+                raw_size = shape[0] * shape[1]
+                return self._encode(maps, model, shape, raw_size, infer_s)
             raw = tf.read_page(channel)
         eng = self.engine(model)
         t0 = time.perf_counter()
         maps = eng.infer_slide(raw, outlier=outlier, rescale=rescale)
         infer_s = time.perf_counter() - t0
+        return self._encode(maps, model, raw.shape, raw.size, infer_s)
+
+    def _encode(self, maps, model: str, shape, raw_size: int,
+                infer_s: float) -> Tuple[bytes, dict]:
+        from unmicst_tpu.io.tiff import TiffWriter
+
         buf = tempfile.NamedTemporaryFile(suffix=".tif", delete=False)
         buf.close()
         try:
@@ -96,10 +118,10 @@ class ModelServer:
             os.unlink(buf.name)
         meta = {
             "model": model,
-            "shape": list(raw.shape),
+            "shape": list(shape),
             "classes": int(maps.shape[0]),
             "infer_s": round(infer_s, 3),
-            "mpx_per_s": round(raw.size / 1e6 / infer_s, 2),
+            "mpx_per_s": round(raw_size / 1e6 / infer_s, 2),
         }
         return out, meta
 
