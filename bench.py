@@ -84,8 +84,7 @@ def main() -> None:
     # is individually blocked: chained async dispatch through the tunnel
     # acks early and inflates the naive measurement (this corrected r1's
     # 194.5 Mpx/s figure down to the real ~49 Mpx/s in HIGHEST mode).
-    key = ("slide", SIZE, SIZE, np.dtype(slide.dtype), -1, True, None)
-    jitted = engine._compiled[key]
+    jitted = engine._build_slide(SIZE, SIZE, np.dtype(slide.dtype), -1, True, None)
     from unmicst_tpu.core import tiler
 
     raw_dev = jnp.asarray(slide)

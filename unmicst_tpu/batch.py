@@ -121,6 +121,7 @@ def run_sweep(
     mean: float = -1,
     std: float = -1,
     compute_dtype=None,
+    precision: Optional[str] = None,
     tile_batch: int = 256,
     shard_index: int = 0,
     num_shards: int = 1,
@@ -132,7 +133,10 @@ def run_sweep(
 
     Slides above ``stream_above_px`` pixels go through the bounded-memory
     :class:`~unmicst_tpu.runtime.pipeline.StreamingEngine` (the CLI's auto
-    policy) instead of being materialized whole.
+    policy) instead of being materialized whole — at any scalingFactor
+    (off-scale mega-slides stream against a virtual resized source and the
+    maps upscale back at write).  Both engines share one MXU precision:
+    the CLI's parity default (HIGH) unless overridden.
     """
     import jax.numpy as jnp
 
@@ -145,12 +149,14 @@ def run_sweep(
 
     bundle = load_model_dir(model_dir, mean, std)
     params = load_params_for_bundle(bundle)
+    if precision is None and compute_dtype is None:
+        precision = "high"  # the CLI parity default (cli.precision_mode)
     engine = InferenceEngine.from_bundle(
-        bundle, params, compute_dtype=compute_dtype, tile_batch=tile_batch
+        bundle, params, compute_dtype=compute_dtype, precision=precision,
+        tile_batch=tile_batch,
     )
     stream_engine = StreamingEngine.from_bundle(
-        bundle, params,
-        compute_dtype=compute_dtype, precision=None if compute_dtype else "high",
+        bundle, params, compute_dtype=compute_dtype, precision=precision,
         tile_batch=tile_batch,
     )
 
@@ -174,34 +180,29 @@ def run_sweep(
             continue
         stem = os.path.basename(slide).split(os.extsep, 1)[0]
         try:
-            from unmicst_tpu.io.slides import open_channel_source
+            from unmicst_tpu.io.slides import open_channel_source, preview_u8
             from unmicst_tpu.io.tiff import TiffFile
 
             with TiffFile(slide) as tf_probe:
                 page = tf_probe.pages[channel]
                 slide_px = page.height * page.width
-            if scaling_factor == 1 and slide_px > stream_above_px:
-                # mega-slide: bounded memory end to end
+            if slide_px > stream_above_px:
+                # mega-slide: bounded memory end to end (any scale — the
+                # virtual resized source streams off-scale slides too)
                 t0 = time.perf_counter()
                 with open_channel_source(slide, "tif", channel) as src:
-                    contours, nuclei = stream_engine.infer(
-                        src, outlier=outlier, classes=(1, 2)
+                    net_src = (
+                        src if scaling_factor == 1
+                        else pp.ResampledSource(src, scaling_factor)
                     )
-                    # preview built chunk-wise at 1 B/px
-                    vmax = 0.0
-                    h, w = src.height, src.width
-                    chunk = max(1, (64 << 20) // max(1, w * 2))
-                    for r0 in range(0, h, chunk):
-                        vmax = max(
-                            vmax,
-                            float(src.read_rows(r0, min(chunk, h - r0)).max()),
-                        )
-                    raw_norm8 = np.empty((h, w), np.uint8)
-                    for r0 in range(0, h, chunk):
-                        rows = src.read_rows(r0, min(chunk, h - r0))
-                        raw_norm8[r0 : r0 + rows.shape[0]] = np.uint8(
-                            255 * rows.astype(np.float32) / max(vmax, 1e-12)
-                        )
+                    contours, nuclei = stream_engine.infer(
+                        net_src, outlier=outlier, classes=(1, 2)
+                    )
+                    if scaling_factor != 1:
+                        raw_shape = (src.height, src.width)
+                        contours = pp.upscale_pm(contours, raw_shape)
+                        nuclei = pp.upscale_pm(nuclei, raw_shape)
+                    raw_norm8 = preview_u8(src)
                 dt = time.perf_counter() - t0
                 cfile = os.path.join(
                     this_out, f"{stem}_ContoursPM_{channel + 1}.tif"

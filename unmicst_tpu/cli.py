@@ -218,7 +218,9 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
 
     from unmicst_tpu.core.checkpoint import load_params_for_bundle
     from unmicst_tpu.io import preprocess as pp
-    from unmicst_tpu.io.slides import ChannelSource, open_channel_source
+    from unmicst_tpu.io.slides import (
+        ChannelSource, open_channel_source, preview_u8,
+    )
     from unmicst_tpu.io.tiff import imwrite
     from unmicst_tpu.runtime.pipeline import StreamingEngine
 
@@ -228,23 +230,6 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
         bundle, params, compute_dtype=compute_dtype,
         precision=mxu_precision, tile_batch=args.tileBatch
     )
-    def preview_u8(src: "ChannelSource") -> np.ndarray:
-        """uint8(255 * im2double(raw)/max) built chunk-wise — the preview
-        is the one full-resolution host artifact, kept at 1 B/px instead
-        of materializing float64 copies of the slide."""
-        h, w = src.height, src.width
-        chunk = max(1, (64 << 20) // max(1, w * 2))
-        vmax = 0.0
-        for r0 in range(0, h, chunk):
-            vmax = max(vmax, float(src.read_rows(r0, min(chunk, h - r0)).max()))
-        out = np.empty((h, w), np.uint8)
-        for r0 in range(0, h, chunk):
-            rows = src.read_rows(r0, min(chunk, h - r0))
-            out[r0 : r0 + rows.shape[0]] = np.uint8(
-                255 * (rows.astype(np.float32) / max(vmax, 1e-12))
-            )
-        return out
-
     # non-stack output needs only the contour+nuclei planes; fetching just
     # those cuts a third of the device->host traffic
     classes = (

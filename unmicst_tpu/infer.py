@@ -25,9 +25,7 @@ Parity note: the reference accumulates in float16 (``PartitionOfImage.py:
 
 from __future__ import annotations
 
-import collections
 import functools
-import threading
 from typing import Optional
 
 import jax
@@ -37,6 +35,7 @@ import numpy as np
 from unmicst_tpu.core import tiler
 from unmicst_tpu.core.hp import HParams, ModelBundle
 from unmicst_tpu.core.unet import Params, apply
+from unmicst_tpu.utils.progcache import ProgramCache
 
 
 def _round_up(x: int, m: int) -> int:
@@ -79,10 +78,8 @@ class InferenceEngine:
         self.stack_fold_max_bytes = int(stack_fold_max_bytes)
         # bounded, thread-safe program cache: long-running services see
         # many slide geometries; each compiled program holds host+HBM
-        # memory, so evict FIFO beyond max_cached_programs
-        self.max_cached_programs = 16
-        self._compiled = collections.OrderedDict()
-        self._cache_lock = threading.Lock()
+        # memory, so evict FIFO beyond the cache bound
+        self._compiled = ProgramCache(max_entries=16)
 
     @classmethod
     def from_bundle(cls, bundle: ModelBundle, params: Params, **kw):
@@ -213,20 +210,10 @@ class InferenceEngine:
         jitted = jax.jit(run)
         return jitted, grid, canvas_h, canvas_w
 
-    def _cache_put(self, key, value):
-        with self._cache_lock:
-            self._compiled[key] = value
-            while len(self._compiled) > self.max_cached_programs:
-                self._compiled.popitem(last=False)
-        return value
-
     def _get(self, height: int, width: int):
-        key = (height, width)
-        with self._cache_lock:
-            hit = self._compiled.get(key)
-        if hit is None:
-            hit = self._cache_put(key, self._build(height, width))
-        return hit
+        return self._compiled.get_or_build(
+            (height, width), lambda: self._build(height, width)
+        )
 
     # -- public API ----------------------------------------------------------
 
@@ -337,15 +324,12 @@ class InferenceEngine:
         height, width = raw.shape
         key = ("slide", height, width, np.dtype(raw.dtype), outlier, rescale,
                classes)
-        with self._cache_lock:
-            jitted = self._compiled.get(key)
-        if jitted is None:
-            jitted = self._cache_put(
-                key,
-                self._build_slide(
-                    height, width, raw.dtype, outlier, rescale, classes
-                ),
-            )
+        jitted = self._compiled.get_or_build(
+            key,
+            lambda: self._build_slide(
+                height, width, raw.dtype, outlier, rescale, classes
+            ),
+        )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
         out = jitted(self.params, jnp.asarray(raw), jnp.asarray(window))
         return np.moveaxis(np.asarray(out), -1, 0)

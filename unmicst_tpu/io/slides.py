@@ -116,6 +116,24 @@ class ChannelSource:
         self.close()
 
 
+def preview_u8(src: "ChannelSource") -> np.ndarray:
+    """uint8(255 * raw/max) preview plane built chunk-wise (1 B/px host
+    footprint) — the qc Preview/raw page both CLI streaming and batch
+    sweeps attach (``UnMicst1-5.py:845-848`` raw page semantics)."""
+    h, w = src.height, src.width
+    chunk = max(1, (64 << 20) // max(1, w * 2))
+    vmax = 0.0
+    for r0 in range(0, h, chunk):
+        vmax = max(vmax, float(src.read_rows(r0, min(chunk, h - r0)).max()))
+    out = np.empty((h, w), np.uint8)
+    for r0 in range(0, h, chunk):
+        rows = src.read_rows(r0, min(chunk, h - r0))
+        out[r0 : r0 + rows.shape[0]] = np.uint8(
+            255 * (rows.astype(np.float32) / max(vmax, 1e-12))
+        )
+    return out
+
+
 def open_channel_source(image_path: str, file_type: str,
                         channel: int) -> ChannelSource:
     """Windowed streaming source for one channel of any supported format.

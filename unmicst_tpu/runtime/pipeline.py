@@ -38,6 +38,7 @@ import numpy as np
 from unmicst_tpu.core import tiler
 from unmicst_tpu.core.hp import HParams, ModelBundle
 from unmicst_tpu.core.unet import Params, apply
+from unmicst_tpu.utils.progcache import ProgramCache
 
 
 # im2double/img_as_float dtype scale (io/preprocess.py semantics)
@@ -108,7 +109,9 @@ class StreamingEngine:
         self.tile_batch = tile_batch
         self.stripe_tile_rows = stripe_tile_rows
         self.in_flight = in_flight
-        self._compiled = {}
+        # bounded + locked: serving routes mega-slides here, one compiled
+        # program per geometry must not accumulate forever
+        self._compiled = ProgramCache(max_entries=16)
 
     @classmethod
     def from_bundle(cls, bundle: ModelBundle, params: Params, **kw):
@@ -215,9 +218,9 @@ class StreamingEngine:
             classes = tuple(int(c) for c in classes)
         key = (plan.height, plan.width, plan.S, np.dtype(in_dtype), rescale,
                classes)
-        if key not in self._compiled:
-            self._compiled[key] = self._build(plan, in_dtype, rescale, classes)
-        return self._compiled[key]
+        return self._compiled.get_or_build(
+            key, lambda: self._build(plan, in_dtype, rescale, classes)
+        )
 
     # -- host-side stripe assembly ------------------------------------------
 

@@ -166,7 +166,8 @@ def make_train_step(hp: HParams, cfg: TrainConfig, tx, donate: bool = True):
 def make_eval_step(hp: HParams, cfg: TrainConfig):
     @jax.jit
     def eval_step(params, batch):
-        probs = unet.apply(params, batch["image"], hp, cfg.variant)
+        probs = unet.apply(params, batch["image"], hp, cfg.variant,
+                           precision=cfg.precision)
         errors = per_class_error(probs, batch["labels"])
         return {"errors": errors, "mean_error": jnp.mean(errors)}
 
@@ -458,7 +459,7 @@ def render_test_montages(
     if classes is None:
         classes = {"Nuc": 2, "Con": 1}
     os.makedirs(pm_path, exist_ok=True)
-    fwd = jax.jit(lambda p, x: unet.apply(p, x, hp, cfg.variant))
+    fwd = jax.jit(lambda p, x: unet.apply(p, x, hp, cfg.variant, precision=cfg.precision))
     n_aug = corpus.images.shape[3]
     for a in range(n_aug):
         x = corpus.images[:, :, :, a, :]  # (n, S, S, C)
