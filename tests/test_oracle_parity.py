@@ -148,3 +148,36 @@ def test_train_step_matches_reference_graph():
         tfv["downsampling/ld0/kernel1/Momentum"],
         atol=1e-5, rtol=1e-4,
     )
+
+
+def test_optax_adam_matches_tf_adam_live():
+    """optax.adam == tf.train.AdamOptimizer bit-for-bit on a fixed-gradient
+    toy (the v2 tools' optimizer, UnMicst1-5.py:374) — runs only where
+    TensorFlow is installed (this dev host; skipped elsewhere)."""
+    tf_mod = pytest.importorskip("tensorflow.compat.v1")
+    import os as _os
+
+    _os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+    tf_mod.disable_v2_behavior()
+    tf_mod.reset_default_graph()
+    import optax
+
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(0, 1, (7,)).astype(np.float32)
+    g = rng.normal(0, 1, (7,)).astype(np.float32)
+    w = tf_mod.Variable(w0)
+    loss = tf_mod.reduce_sum(w * tf_mod.constant(g))
+    op = tf_mod.train.AdamOptimizer(learning_rate=5e-5).minimize(loss)
+    with tf_mod.Session() as sess:
+        sess.run(tf_mod.global_variables_initializer())
+        for _ in range(5):
+            sess.run(op)
+        w_tf = sess.run(w)
+
+    tx = optax.adam(5e-5)
+    p = jnp.asarray(w0)
+    st = tx.init(p)
+    for _ in range(5):
+        up, st = tx.update(jnp.asarray(g), st, p)
+        p = optax.apply_updates(p, up)
+    np.testing.assert_array_equal(np.asarray(p), w_tf)
