@@ -302,3 +302,26 @@ def test_streaming_column_sharded_matches_single_device(model, rng):
     sub = stream.infer_sharded(raw, mesh, axis="d", classes=(1, 2))
     np.testing.assert_array_equal(sub[0], sharded[1])
     np.testing.assert_array_equal(sub[1], sharded[2])
+
+
+def test_streaming_column_sharded_duo_stack(rng):
+    """infer_sharded_stack == single-device infer_stack (per-channel ranges,
+    8-device column sharding)."""
+    import dataclasses as dc
+
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(devs[:8]), ("d",))
+    hp = HParams(im_size=32, n_channels=2, n_classes=3, n_out0=6, ks=3,
+                 n_layers=1, std_dev0=0.5)
+    params = unet.init_params(jax.random.PRNGKey(5), hp, "duo")
+    a = (rng.rand(110, 210) * 60000).astype(np.uint16)
+    b = (rng.rand(110, 210) * 30000).astype(np.uint16)
+    stream = StreamingEngine(hp, params, "duo", 0.18, 0.17,
+                             compute_dtype=None, stripe_tile_rows=2)
+    single = stream.infer_stack([a, b])
+    sharded = stream.infer_sharded_stack([a, b], mesh, axis="d")
+    assert np.abs(single.astype(int) - sharded.astype(int)).max() <= 1

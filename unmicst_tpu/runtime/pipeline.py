@@ -558,17 +558,61 @@ class StreamingEngine:
     ) -> np.ndarray:
         """Stream the slide with each stripe column-sharded over
         ``mesh[axis]``; returns uint8 [K, H, W] like :meth:`infer`."""
-        height, width = _source_dims(source)
-        in_dtype = _source_dtype(source)
+        if rescale:
+            lo, hi = self.global_stats(source, outlier)
+        else:
+            lo, hi = 0.0, 1.0
+        return self._run_sharded(
+            [source] * self.hp.n_channels, mesh, axis, rescale,
+            np.float32(lo), np.float32(hi), out, classes,
+            broadcast=True,
+        )
+
+    def infer_sharded_stack(
+        self,
+        sources,
+        mesh,
+        axis: str = "data",
+        outlier: float = -1,
+        rescale: bool = True,
+        out: Optional[np.ndarray] = None,
+        classes=None,
+    ) -> np.ndarray:
+        """Multi-channel (duo) column-sharded streaming — per-channel
+        global ranges (``UnMicst2.py:784-788``), otherwise
+        :meth:`infer_sharded` semantics."""
+        if len(sources) != self.hp.n_channels:
+            raise ValueError(
+                f"model expects {self.hp.n_channels} channels, got "
+                f"{len(sources)}"
+            )
+        if rescale:
+            stats = [self.global_stats(s, outlier) for s in sources]
+            lo = np.asarray([a for a, _ in stats], np.float32)
+            hi = np.asarray([b for _, b in stats], np.float32)
+        else:
+            lo = np.zeros(len(sources), np.float32)
+            hi = np.ones(len(sources), np.float32)
+        return self._run_sharded(
+            list(sources), mesh, axis, rescale, lo, hi, out, classes,
+            broadcast=False,
+        )
+
+    def _run_sharded(self, sources, mesh, axis, rescale, lo, hi, out,
+                     classes, *, broadcast: bool) -> np.ndarray:
+        height, width = _source_dims(sources[0])
+        for s in sources[1:]:
+            if _source_dims(s) != (height, width):
+                raise ValueError("channel sources must share dimensions")
+        dtypes = {_source_dtype(s) for s in sources}
+        if len(dtypes) != 1:
+            raise ValueError(f"channel sources disagree on dtype: {dtypes}")
+        in_dtype = dtypes.pop()
         plan = self._plan(height, width)
         jitted, body_w, c_dev, n_dev = self._build_sharded(
             plan, mesh, axis, in_dtype, rescale,
             tuple(int(c) for c in classes) if classes is not None else None,
         )
-        if rescale:
-            lo, hi = self.global_stats(source, outlier)
-        else:
-            lo, hi = 0.0, 1.0
         win = jnp.asarray(tiler.ramp_window(self.hp.im_size, self.hp.margin))
         grid = plan.grid
         m = grid.margin
@@ -578,15 +622,26 @@ class StreamingEngine:
         two_m = 2 * m
         for s in range(plan.n_stripes):
             raw_r0 = (s * plan.S - 1) * grid.sub - m
-            rows = self._read_rows(source, raw_r0, plan.in_rows)
-            canvas = np.zeros(
-                (plan.in_rows, body_w + two_m, self.hp.n_channels), rows.dtype
-            )
-            canvas[:, m : m + width, :] = rows[:, :, None]
+            if broadcast:
+                rows = self._read_rows(sources[0], raw_r0, plan.in_rows)
+                canvas = np.zeros(
+                    (plan.in_rows, body_w + two_m, self.hp.n_channels),
+                    rows.dtype,
+                )
+                canvas[:, m : m + width, :] = rows[:, :, None]
+            else:
+                canvas = np.zeros(
+                    (plan.in_rows, body_w + two_m, self.hp.n_channels),
+                    in_dtype,
+                )
+                for c, src in enumerate(sources):
+                    canvas[:, m : m + width, c] = self._read_rows(
+                        src, raw_r0, plan.in_rows
+                    )
             band, tails = jitted(
                 self.params, jnp.asarray(canvas[:, :body_w]),
                 jnp.asarray(canvas[:, body_w:]), jnp.int32(s * plan.S - 1),
-                jnp.float32(lo), jnp.float32(hi), win,
+                jnp.asarray(lo), jnp.asarray(hi), win,
             )
             band = np.concatenate(
                 [np.asarray(band), np.asarray(tails)[:, -two_m:]], axis=1
