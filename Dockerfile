@@ -11,7 +11,7 @@ COPY pyproject.toml README.md ./
 COPY unmicst_tpu ./unmicst_tpu
 COPY native ./native
 
-RUN pip install --no-cache-dir "jax[tpu]" flax optax numpy scipy pillow \
+RUN pip install --no-cache-dir "jax[tpu]" flax optax numpy scipy pillow zstandard \
     && pip install --no-cache-dir . \
     && python native/build.py
 

@@ -37,11 +37,32 @@ def _dir_entry(pixel_type, file_pos, compression, dims) -> bytes:
     return out
 
 
-def write_czi(path, planes, pixel_type=1, compression=0, tile_split=None):
+def _encode_pixels(pix: bytes, compression: int, hilo: bool) -> bytes:
+    """Compress fixture pixel bytes per the ZISRAW compression id."""
+    if compression not in (5, 6):
+        return pix  # uncompressed, or deliberately-unsupported ids verbatim
+    import zstandard
+
+    payload = pix
+    if compression == 6 and hilo:
+        a = np.frombuffer(pix, np.uint8).reshape(-1, 2)
+        payload = a[:, 0].tobytes() + a[:, 1].tobytes()
+    frame = zstandard.ZstdCompressor().compress(payload)
+    if compression == 5:
+        return frame
+    # zstd1: size-1 header (no params) or size-3 header w/ hi-lo chunk
+    return (b"\x03\x01\x01" if hilo else b"\x01") + frame
+
+
+def write_czi(path, planes, pixel_type=1, compression=0, tile_split=None,
+              hilo=False):
     """planes: list of 2-D arrays, one per channel (single scene/time).
 
     ``tile_split``: optional column index — splits each plane into two
     mosaic sub-blocks to exercise mosaic assembly.
+    ``compression``: ZISRAW id (0 none, 5 zstd0, 6 zstd1; others written
+    verbatim to test rejection); ``hilo`` packs 16-bit hi/lo byte planes
+    under zstd1.
     """
     blocks = []  # (entry_dims, pixel bytes)
     for c, plane in enumerate(planes):
@@ -56,7 +77,9 @@ def write_czi(path, planes, pixel_type=1, compression=0, tile_split=None):
                 "Y": (0, piece.shape[0]),
                 "C": (c, 1),
             }
-            blocks.append((dims, piece.astype("<u2").tobytes()))
+            blocks.append((dims, _encode_pixels(
+                piece.astype("<u2").tobytes(), compression, hilo
+            )))
 
     file_header = struct.pack(
         "<ii8x16s16si", 1, 0, b"\x00" * 16, b"\x00" * 16, 0
@@ -147,6 +170,79 @@ def test_czi_mosaic_assembly(tmp_path, rng):
     path = str(tmp_path / "m.czi")
     write_czi(path, [plane], tile_split=20)
     np.testing.assert_array_equal(read_czi_channel(path, 0), plane)
+
+
+def test_czi_zstd0_roundtrip(tmp_path, rng):
+    """zstd0 (bare-frame) sub-blocks decode identically, whole-plane and
+    windowed (modern ZEN default export compression)."""
+    pytest.importorskip("zstandard")
+    planes = [(rng.rand(40, 60) * 60000).astype(np.uint16) for _ in range(2)]
+    path = str(tmp_path / "z0.czi")
+    write_czi(path, planes, compression=5, tile_split=25)
+    for c in range(2):
+        np.testing.assert_array_equal(read_czi_channel(path, c), planes[c])
+    from unmicst_tpu.io.slides import open_channel_source
+
+    with open_channel_source(path, "czi", 1) as src:
+        got = np.concatenate([src.read_rows(r, 9) for r in range(0, 40, 9)])
+        np.testing.assert_array_equal(got[:40], planes[1])
+
+
+def test_czi_zstd1_roundtrip(tmp_path, rng):
+    """zstd1 decodes for both header shapes: size-1 (no params) and size-3
+    with the hi-lo byte-packing parameter chunk."""
+    pytest.importorskip("zstandard")
+    plane = (rng.rand(33, 47) * 60000).astype(np.uint16)
+    for hilo in (False, True):
+        path = str(tmp_path / f"z1_{hilo}.czi")
+        write_czi(path, [plane], compression=6, hilo=hilo, tile_split=20)
+        np.testing.assert_array_equal(read_czi_channel(path, 0), plane)
+
+
+def test_czi_zstd1_bad_header(tmp_path, rng):
+    """Corrupt zstd1 headers (unknown chunk id) raise a clean ValueError."""
+    pytest.importorskip("zstandard")
+    import zstandard
+
+    plane = (rng.rand(8, 8) * 100).astype(np.uint16)
+    frame = zstandard.ZstdCompressor().compress(plane.astype("<u2").tobytes())
+    path = str(tmp_path / "bad1.czi")
+    write_czi(path, [plane], compression=6)  # payload = b"\x01" + frame
+    raw = bytearray(open(path, "rb").read())
+    k = bytes(raw).index(b"\x01" + frame[:8])
+    raw[k] = 3  # now declares a 3-byte header whose chunk id is the zstd
+    with open(path, "wb") as f:  # magic's first byte (0x28) — undefined
+        f.write(bytes(raw))
+    with pytest.raises(ValueError, match="zstd1"):
+        read_czi_channel(path, 0)
+
+
+def test_czi_zstd_corrupt_frame(tmp_path, rng):
+    """A valid container with a garbage zstd frame errors cleanly."""
+    pytest.importorskip("zstandard")
+    import zstandard
+
+    plane = (rng.rand(12, 12) * 100).astype(np.uint16)
+    frame = zstandard.ZstdCompressor().compress(plane.astype("<u2").tobytes())
+    path = str(tmp_path / "cf.czi")
+    write_czi(path, [plane], compression=5)
+    blob = bytearray(open(path, "rb").read())
+    k = bytes(blob).index(frame)
+    blob[k : k + 4] = b"\xde\xad\xbe\xef"
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(ValueError, match="zstd"):
+        read_czi_channel(path, 0)
+
+
+def test_zstd_unpack_hilo_inverse():
+    from unmicst_tpu.io import zstd as z
+
+    data = bytes(range(16))
+    a = np.frombuffer(data, np.uint8).reshape(-1, 2)
+    packed = a[:, 0].tobytes() + a[:, 1].tobytes()
+    assert z.unpack_hilo(packed, 2) == data
+    assert z.unpack_hilo(data, 1) == data  # non-16-bit passthrough
 
 
 def test_czi_compressed_rejected(tmp_path, rng):

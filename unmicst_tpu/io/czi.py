@@ -18,9 +18,11 @@ ZISRAW container layout (public Zeiss spec):
 * each ``ZISRAWSUBBLOCK`` repeats its directory entry, followed by XML
   metadata and the pixel payload at offset ``max(256, entry_size + 16)``.
 
-Only uncompressed (compression == 0) gray sub-blocks are supported; that is
-what the upstream microscope exports in the UnMicst workflows.  Compressed
-blocks raise ``NotImplementedError`` with the compression id.
+Supported sub-block encodings: uncompressed (compression == 0) and the two
+zstd flavors modern ZEN writes — "zstd0" (5, a bare zstd frame) and "zstd1"
+(6, a small header possibly declaring hi-lo byte packing, then the frame);
+see `io/zstd.py` for backends.  JPEG/JPEG-XR blocks raise
+``NotImplementedError`` with the compression id.
 """
 
 from __future__ import annotations
@@ -31,7 +33,15 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from . import zstd as _zstd
+
 _SEG_HEADER = struct.Struct("<16sqq")
+COMP_NONE = 0
+COMP_ZSTD0 = 5
+COMP_ZSTD1 = 6
+_SUPPORTED_COMPRESSIONS = (COMP_NONE, COMP_ZSTD0, COMP_ZSTD1)
+# decompressed sub-blocks kept for windowed (streaming) reads
+_BLOCK_CACHE_BYTES = 256 << 20
 _PIXEL_DTYPES = {
     0: np.dtype(np.uint8),  # Gray8
     1: np.dtype(np.uint16),  # Gray16
@@ -85,6 +95,56 @@ def _parse_directory_entry(buf: bytes, pos: int) -> Tuple[SubBlockEntry, int]:
     return entry, p
 
 
+def _parse_zstd1_header(data: bytes) -> Tuple[int, bool]:
+    """Parse a "zstd1" payload header -> (frame offset, hi-lo packed).
+
+    Layout (libCZI's documented format): byte 0 is the total header size
+    (>= 1, includes itself); the remaining header bytes are chunks of
+    [1-byte id, payload].  The only defined chunk id is 1, a 1-byte
+    bitfield whose bit 0 signals hi-lo byte-packing preprocessing.
+    """
+    if not data:
+        raise ValueError("empty zstd1 payload")
+    hsize = data[0]
+    if hsize < 1 or hsize > len(data):
+        raise ValueError(f"corrupt zstd1 header size {hsize}")
+    hilo = False
+    p = 1
+    while p < hsize:
+        chunk = data[p]
+        if chunk == 1:
+            if p + 1 >= hsize:
+                raise ValueError("truncated zstd1 parameter chunk")
+            hilo = bool(data[p + 1] & 1)
+            p += 2
+        else:
+            raise ValueError(f"unknown zstd1 header chunk {chunk}")
+    return hsize, hilo
+
+
+def _decode_pixels(raw: bytes, entry: SubBlockEntry,
+                   dtype: np.dtype) -> bytes:
+    """Raw sub-block payload -> uncompressed little-endian pixel bytes."""
+    if entry.compression == COMP_NONE:
+        return raw
+    h = entry.dims["Y"][1]
+    w = entry.dims["X"][1]
+    # untrusted-header allocation guard (zstd output size is header-derived)
+    if not (0 < h <= 1 << 20 and 0 < w <= 1 << 20 and h * w <= 1 << 30):
+        raise ValueError(f"implausible CZI sub-block {h}x{w}")
+    nbytes = h * w * dtype.itemsize
+    if entry.compression == COMP_ZSTD0:
+        return _zstd.decompress(raw, nbytes)
+    if entry.compression == COMP_ZSTD1:
+        off, hilo = _parse_zstd1_header(raw)
+        out = _zstd.decompress(raw[off:], nbytes)
+        return _zstd.unpack_hilo(out, dtype.itemsize) if hilo else out
+    raise NotImplementedError(
+        f"compressed CZI sub-blocks (compression="
+        f"{entry.compression}) are not supported"
+    )
+
+
 class CziFile:
     """Windowless plane reader over the sub-block directory."""
 
@@ -102,6 +162,8 @@ class CziFile:
             dir_pos, = struct.unpack_from("<q", header, 52)
             self.entries = self._read_directory(dir_pos)
             self._layouts = {}
+            self._block_cache: Dict[int, bytes] = {}  # LRU by insertion
+            self._block_cache_bytes = 0
         except Exception:
             self._f.close()
             raise
@@ -140,11 +202,6 @@ class CziFile:
         return 1 + max(e.dim("C") for e in self.entries)
 
     def _read_subblock(self, entry: SubBlockEntry) -> np.ndarray:
-        if entry.compression != 0:
-            raise NotImplementedError(
-                f"compressed CZI sub-blocks (compression="
-                f"{entry.compression}) are not supported"
-            )
         dtype = _PIXEL_DTYPES.get(entry.pixel_type)
         if dtype is None:
             raise NotImplementedError(
@@ -160,7 +217,9 @@ class CziFile:
         data_off = max(256, entry_end) + meta_size
         h = entry.dims["Y"][1]
         w = entry.dims["X"][1]
-        raw = buf[data_off : data_off + data_size]
+        raw = _decode_pixels(
+            buf[data_off : data_off + data_size], entry, dtype
+        )
         return np.frombuffer(
             raw, dtype.newbyteorder("<"), count=h * w
         ).reshape(h, w).astype(dtype)
@@ -194,9 +253,9 @@ class CziFile:
             )
         return h, w
 
-    def _data_position(self, entry: SubBlockEntry) -> int:
-        """Absolute file offset of a sub-block's pixel payload."""
-        if entry.compression != 0:
+    def _payload_span(self, entry: SubBlockEntry) -> Tuple[int, int]:
+        """Absolute file offset and byte size of a sub-block's payload."""
+        if entry.compression not in _SUPPORTED_COMPRESSIONS:
             raise NotImplementedError(
                 f"compressed CZI sub-blocks (compression="
                 f"{entry.compression}) are not supported"
@@ -206,9 +265,31 @@ class CziFile:
         if not sid.startswith(b"ZISRAWSUBBLOCK"):
             raise ValueError("directory entry does not point at a sub-block")
         head = self._f.read(528)  # 16 fixed + entry (32 + 20/dim, <=24 dims)
-        meta_size, _attach, _dsize = struct.unpack_from("<iiq", head, 0)
+        meta_size, _attach, data_size = struct.unpack_from("<iiq", head, 0)
         _, entry_end = _parse_directory_entry(head, 16)
-        return entry.file_position + 32 + max(256, entry_end) + meta_size
+        pos = entry.file_position + 32 + max(256, entry_end) + meta_size
+        if not 0 <= data_size <= self._file_size:
+            raise ValueError(f"{self.path}: corrupt sub-block size {data_size}")
+        return pos, data_size
+
+    def _decoded_block(self, entry: SubBlockEntry, data_pos: int,
+                       data_size: int, dtype: np.dtype) -> bytes:
+        """Pixel bytes of one compressed sub-block, via a bounded LRU —
+        streaming stripes revisit the same block across adjacent windows."""
+        cached = self._block_cache.pop(data_pos, None)
+        if cached is not None:
+            self._block_cache[data_pos] = cached  # refresh recency
+            return cached
+        self._f.seek(data_pos)
+        raw = _decode_pixels(self._f.read(data_size), entry, dtype)
+        self._block_cache[data_pos] = raw
+        self._block_cache_bytes += len(raw)
+        while self._block_cache_bytes > _BLOCK_CACHE_BYTES and len(
+            self._block_cache
+        ) > 1:
+            oldest = next(iter(self._block_cache))
+            self._block_cache_bytes -= len(self._block_cache.pop(oldest))
+        return raw
 
     def _channel_layout(self, channel: int):
         """Cached per-channel geometry: (picks+payload offsets, y0, x0,
@@ -227,7 +308,7 @@ class CziFile:
                 f"CZI pixel type {picks[0].pixel_type} not supported"
             )
         layout = (
-            [(e, self._data_position(e)) for e in picks], y0, x0, h, w, dtype,
+            [(e, *self._payload_span(e)) for e in picks], y0, x0, h, w, dtype,
         )
         self._layouts[channel] = layout
         return layout
@@ -239,15 +320,19 @@ class CziFile:
         picks, y0, x0, h, w, dtype = self._channel_layout(channel)
         out = np.zeros((nrows, w), dtype)
         lo, hi = max(r0, 0), min(r0 + nrows, h)
-        for e, data_pos in picks:
+        for e, data_pos, data_size in picks:
             ty, th = e.dim("Y") - y0, e.dims["Y"][1]
             a, b = max(lo, ty), min(hi, ty + th)
             if b <= a:
                 continue
             tw = e.dims["X"][1]
             row_bytes = tw * dtype.itemsize
-            self._f.seek(data_pos + (a - ty) * row_bytes)
-            raw = self._f.read((b - a) * row_bytes)
+            if e.compression == COMP_NONE:
+                self._f.seek(data_pos + (a - ty) * row_bytes)
+                raw = self._f.read((b - a) * row_bytes)
+            else:
+                block = self._decoded_block(e, data_pos, data_size, dtype)
+                raw = block[(a - ty) * row_bytes : (b - ty) * row_bytes]
             rows = np.frombuffer(
                 raw, dtype.newbyteorder("<"), count=(b - a) * tw
             ).reshape(b - a, tw).astype(dtype)
