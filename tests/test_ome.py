@@ -1,0 +1,102 @@
+"""OME-XML plane selection (io/ome.py) over the native TIFF stack.
+
+The reference reads OME-TIFF channels as bare page indexes
+(``UnMicst1-5.py:795-797``); for SizeZ==SizeT==1 files (the MCMICRO case)
+these tests pin identical behavior, and for real Z/T stacks they pin the
+documented divergence: ``--channel c`` selects plane (C=c, Z=0, T=0) per
+the OME DimensionOrder instead of an arbitrary mid-stack page.
+"""
+
+import numpy as np
+import pytest
+
+from unmicst_tpu.io import ome
+from unmicst_tpu.io.slides import (
+    n_channels, open_channel_source, read_channel,
+)
+from unmicst_tpu.io.tiff import TiffFile, TiffWriter
+
+
+def _ome_xml(order, c, z, t):
+    return (
+        '<?xml version="1.0"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0"><Pixels ID="Pixels:0" '
+        f'DimensionOrder="{order}" SizeC="{c}" SizeZ="{z}" SizeT="{t}" '
+        'SizeX="24" SizeY="16" Type="uint16">'
+        "</Pixels></Image></OME>"
+    )
+
+
+def _write_stack(path, planes, description):
+    with TiffWriter(str(path), bigtiff=False) as tw:
+        for i, p in enumerate(planes):
+            tw.write(p, description=description if i == 0 else None)
+
+
+def test_description_roundtrip(tmp_path, rng):
+    img = (rng.rand(16, 24) * 60000).astype(np.uint16)
+    path = tmp_path / "d.ome.tif"
+    _write_stack(path, [img], "hello OME")
+    with TiffFile(str(path)) as tf:
+        assert tf.pages[0].description == "hello OME"
+        np.testing.assert_array_equal(tf.read_page(0), img)
+
+
+@pytest.mark.parametrize("order,expected_page", [
+    ("XYCZT", 1),  # C fastest: page = c
+    ("XYZCT", 2),  # Z fastest: page = c * SizeZ
+    ("XYZTC", 4),  # Z then T: page = c * SizeZ * SizeT
+])
+def test_plane_index_orders(order, expected_page):
+    xml = _ome_xml(order, c=3, z=2, t=2)
+    assert ome.plane_index(xml, 0, 12) == 0
+    assert ome.plane_index(xml, 1, 12) == expected_page
+
+
+def test_plane_index_fallbacks():
+    # no OME-XML, malformed XML, inconsistent page count -> page == channel
+    assert ome.plane_index("", 3, 8) == 3
+    assert ome.plane_index("<OME><broken", 3, 8) == 3
+    assert ome.plane_index(_ome_xml("XYZCT", 2, 2, 1), 3, 9) == 3
+    # consistent metadata rejects out-of-range channels
+    with pytest.raises(IndexError):
+        ome.plane_index(_ome_xml("XYCZT", 2, 2, 1), 3, 4)
+
+
+def test_read_channel_zstack(tmp_path, rng):
+    """XYZCT with SizeZ=2: channel 1 must be page 2 (Z=0 of C=1), not the
+    reference's page 1 (which is Z=1 of C=0)."""
+    planes = [(rng.rand(16, 24) * 60000).astype(np.uint16) for _ in range(4)]
+    path = tmp_path / "z.ome.tif"
+    _write_stack(path, planes, _ome_xml("XYZCT", c=2, z=2, t=1))
+    np.testing.assert_array_equal(
+        read_channel(str(path), "ome.tif", 1), planes[2]
+    )
+    assert n_channels(str(path)) == 2
+    with open_channel_source(str(path), "ome.tif", 1) as src:
+        np.testing.assert_array_equal(src.read_rows(0, 16), planes[2])
+
+
+def test_read_channel_plain_multipage(tmp_path, rng):
+    """No OME-XML: page == channel, byte-identical to the reference read."""
+    planes = [(rng.rand(16, 24) * 60000).astype(np.uint16) for _ in range(3)]
+    path = tmp_path / "p.tif"
+    _write_stack(path, planes, None)
+    for c in range(3):
+        np.testing.assert_array_equal(
+            read_channel(str(path), "tif", c), planes[c]
+        )
+    assert n_channels(str(path)) == 3
+
+
+def test_mcmicro_shape_ome_is_identity(tmp_path, rng):
+    """SizeC=n, SizeZ=SizeT=1 (the CI exemplar shape): OME-aware selection
+    equals the reference's page==channel for every channel."""
+    planes = [(rng.rand(16, 24) * 60000).astype(np.uint16) for _ in range(4)]
+    path = tmp_path / "m.ome.tif"
+    _write_stack(path, planes, _ome_xml("XYCZT", c=4, z=1, t=1))
+    for c in range(4):
+        np.testing.assert_array_equal(
+            read_channel(str(path), "ome.tif", c), planes[c]
+        )

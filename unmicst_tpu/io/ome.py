@@ -1,0 +1,86 @@
+"""OME-XML plane selection for OME-TIFF inputs.
+
+The reference reads OME-TIFF channels as bare page indexes
+(``tifffile.imread(imagePath, key=args.channel)``, ``UnMicst1-5.py:795-797``)
+— correct for the MCMICRO registration stacks it targets (C is the only
+non-XY dimension), but silently wrong for OME-TIFFs carrying Z or T stacks,
+where page order is dictated by the OME ``DimensionOrder``.
+
+Here the first page's ImageDescription is parsed (stdlib ElementTree,
+namespace-agnostic); when it is well-formed OME-XML whose C*Z*T matches the
+page count, ``--channel c`` selects the page of plane (C=c, Z=0, T=0).  For
+SizeZ == SizeT == 1 this is exactly the reference's page index; for real
+Z/T stacks it is a documented deliberate divergence (PARITY.md) — the
+reference would read an arbitrary mid-stack plane.  Malformed or
+inconsistent metadata falls back to page == channel.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Optional, Tuple
+
+
+def parse_pixels(description: str) -> Optional[Tuple[str, dict]]:
+    """OME-XML ImageDescription -> (DimensionOrder, {C/Z/T: size}) or None.
+
+    Only the first Image's Pixels element is considered (multi-Image OME
+    companions are out of scope, as they are for the reference)."""
+    if not description or "<OME" not in description:
+        return None
+    try:
+        root = ET.fromstring(description)
+    except ET.ParseError:
+        return None
+    pixels = next(
+        (el for el in root.iter()
+         if el.tag == "Pixels" or el.tag.endswith("}Pixels")),
+        None,
+    )
+    if pixels is None:
+        return None
+    order = pixels.get("DimensionOrder", "XYCZT")
+    if sorted(order) != sorted("XYCZT"):
+        return None
+    try:
+        sizes = {d: int(pixels.get("Size" + d) or 1) for d in "CZT"}
+    except ValueError:
+        return None
+    if any(s < 1 for s in sizes.values()):
+        return None
+    return order, sizes
+
+
+def plane_index(description: str, channel: int, n_pages: int) -> int:
+    """IFD page index of plane (C=channel, Z=0, T=0).
+
+    Falls back to ``channel`` (the reference's page==channel read) when the
+    description isn't consistent OME-XML.  Raises IndexError when the OME
+    metadata says the channel doesn't exist."""
+    meta = parse_pixels(description)
+    if meta is None:
+        return channel
+    order, sizes = meta
+    if sizes["C"] * sizes["Z"] * sizes["T"] != n_pages:
+        return channel  # metadata inconsistent with the actual page chain
+    if not 0 <= channel < sizes["C"]:
+        raise IndexError(
+            f"channel {channel} not present (OME SizeC={sizes['C']})"
+        )
+    stride = 1
+    for d in order[2:]:  # post-XY dims, fastest-varying first
+        if d == "C":
+            break
+        stride *= sizes[d]
+    return channel * stride
+
+
+def channel_count(description: str, n_pages: int) -> int:
+    """SizeC when consistent OME-XML is present, else the page count."""
+    meta = parse_pixels(description)
+    if meta is None:
+        return n_pages
+    order, sizes = meta
+    if sizes["C"] * sizes["Z"] * sizes["T"] != n_pages:
+        return n_pages
+    return sizes["C"]

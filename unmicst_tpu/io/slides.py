@@ -15,14 +15,28 @@ from typing import Tuple
 
 import numpy as np
 
-from unmicst_tpu.io.tiff import TiffFile, imread, num_pages
+from unmicst_tpu.io.tiff import TiffFile, imread
 
 TIFF_LIKE = ("ome.tif", "ome.tiff", "btf", "tif", "tiff")
 
 
+def _tiff_plane(image_path: str, channel: int) -> int:
+    """channel -> IFD page: OME-XML DimensionOrder-aware when present
+    (``io/ome.py``); page == channel otherwise (the reference's
+    ``tifffile.imread(key=channel)`` read, ``UnMicst1-5.py:795-797``)."""
+    from unmicst_tpu.io import ome
+
+    try:
+        with TiffFile(image_path) as tf:
+            desc = tf.pages[0].description if tf.pages else ""
+            return ome.plane_index(desc, channel, len(tf.pages))
+    except (ValueError, NotImplementedError):
+        return channel  # exotic container; imread's PIL fallback handles it
+
+
 def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
     if file_type in TIFF_LIKE:
-        return imread(image_path, channel)
+        return imread(image_path, _tiff_plane(image_path, channel))
     if file_type == "czi":
         from unmicst_tpu.io.czi import read_czi_channel
 
@@ -143,12 +157,16 @@ def open_channel_source(image_path: str, file_type: str,
     for long-lived callers (serve, batch sweeps).
     """
     if file_type in TIFF_LIKE:
+        from unmicst_tpu.io import ome
+
         tf = TiffFile(image_path)
         try:
-            page = tf.pages[channel]
+            desc = tf.pages[0].description if tf.pages else ""
+            plane = ome.plane_index(desc, channel, len(tf.pages))
+            page = tf.pages[plane]
             return ChannelSource(
                 page.height, page.width, page.dtype,
-                lambda r0, n: tf.read_region(channel, r0, 0, n, page.width),
+                lambda r0, n: tf.read_region(plane, r0, 0, n, page.width),
                 closer=tf.close,
             )
         except Exception:
@@ -191,9 +209,15 @@ def open_channel_source(image_path: str, file_type: str,
 def slide_shape(image_path: str, channel: int = 0) -> Tuple[int, int]:
     """(H, W) without decoding pixel data (TIFF-like only)."""
     with TiffFile(image_path) as tf:
-        page = tf.pages[channel]
+        page = tf.pages[_tiff_plane(image_path, channel)]
         return page.height, page.width
 
 
 def n_channels(image_path: str) -> int:
-    return num_pages(image_path)
+    """Channel count: OME SizeC when consistent OME-XML is present, else
+    the page count (the reference's implicit page==channel model)."""
+    from unmicst_tpu.io import ome
+
+    with TiffFile(image_path) as tf:
+        desc = tf.pages[0].description if tf.pages else ""
+        return ome.channel_count(desc, len(tf.pages))

@@ -36,6 +36,7 @@ TAG_IMAGE_LENGTH = 257
 TAG_BITS_PER_SAMPLE = 258
 TAG_COMPRESSION = 259
 TAG_PHOTOMETRIC = 262
+TAG_IMAGE_DESCRIPTION = 270
 TAG_STRIP_OFFSETS = 273
 TAG_SAMPLES_PER_PIXEL = 277
 TAG_ROWS_PER_STRIP = 278
@@ -211,6 +212,7 @@ class TiffPage:
     tile_length: int = 0
     tile_offsets: Optional[np.ndarray] = None
     tile_counts: Optional[np.ndarray] = None
+    description: str = ""  # ImageDescription (OME-XML lives on page 0)
 
     @property
     def tiled(self) -> bool:
@@ -332,6 +334,10 @@ class TiffFile:
             rows_per_strip=scalar(TAG_ROWS_PER_STRIP, height),
             strip_offsets=np.atleast_1d(tags.get(TAG_STRIP_OFFSETS, np.array([], np.int64))).astype(np.int64),
             strip_counts=np.atleast_1d(tags.get(TAG_STRIP_BYTE_COUNTS, np.array([], np.int64))).astype(np.int64),
+            description=(
+                tags[TAG_IMAGE_DESCRIPTION]
+                if isinstance(tags.get(TAG_IMAGE_DESCRIPTION), str) else ""
+            ),
         )
         if TAG_TILE_OFFSETS in tags:
             page.tile_width = scalar(TAG_TILE_WIDTH)
@@ -482,8 +488,11 @@ class TiffWriter:
         self._last_ifd_ptr_pos = ptr_pos
         fh.seek(0, os.SEEK_END)
 
-    def write(self, image: np.ndarray) -> None:
-        """Append one grayscale page (uint8/uint16/float32)."""
+    def write(self, image: np.ndarray, description: Optional[str] = None) -> None:
+        """Append one grayscale page (uint8/uint16/float32).
+
+        ``description`` writes an ImageDescription tag (e.g. OME-XML on the
+        first page of an OME-TIFF)."""
         image = np.ascontiguousarray(image)
         if image.ndim != 2:
             raise ValueError("TiffWriter writes single-sample 2D pages")
@@ -523,6 +532,15 @@ class TiffWriter:
             off_type, off_char, inline = 4, "I", 1
         so_ptr, _ = maybe_outline(strip_offsets, off_char, inline)
         sc_ptr, _ = maybe_outline(strip_counts, off_char, inline)
+        desc_ptr = desc_len = 0
+        if description is not None:
+            desc = description.encode("ascii", "replace") + b"\x00"
+            # keep it out-of-line unconditionally (pad past the inline slot)
+            desc += b"\x00" * max(0, (9 if self.big else 5) - len(desc))
+            if fh.tell() % 2:
+                fh.write(b"\0")
+            desc_ptr, desc_len = fh.tell(), len(desc)
+            fh.write(desc)
 
         entries = [
             (TAG_IMAGE_WIDTH, 4, 1, [w]),
@@ -546,6 +564,9 @@ class TiffWriter:
             ),
             (TAG_SAMPLE_FORMAT, 3, 1, [sample_format]),
         ]
+        if description is not None:
+            # tag order: 270 sits between PHOTOMETRIC (262) and 273
+            entries.insert(5, (TAG_IMAGE_DESCRIPTION, 2, desc_len, [desc_ptr]))
 
         if fh.tell() % 2:
             fh.write(b"\0")
@@ -554,14 +575,17 @@ class TiffWriter:
             buf = struct.pack("<Q", len(entries))
             for tag, ftype, count, values in entries:
                 ch, _ = _FIELD_TYPES[ftype]
-                payload = struct.pack(f"<{len(values)}{ch}", *values).ljust(8, b"\0")
                 is_ptr = (
                     tag in (TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS)
                     and count > 1
+                ) or tag == TAG_IMAGE_DESCRIPTION
+                payload = (
+                    struct.pack("<Q", values[0]) if is_ptr
+                    else struct.pack(
+                        f"<{len(values)}{ch}", *values
+                    ).ljust(8, b"\0")
                 )
-                buf += struct.pack("<HHQ", tag, ftype, count) + (
-                    struct.pack("<Q", values[0]) if is_ptr else payload
-                )
+                buf += struct.pack("<HHQ", tag, ftype, count) + payload
             buf += struct.pack("<Q", 0)
         else:
             buf = struct.pack("<H", len(entries))
@@ -570,11 +594,14 @@ class TiffWriter:
                 is_ptr = (
                     tag in (TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS)
                     and count > 1
+                ) or tag == TAG_IMAGE_DESCRIPTION
+                payload = (
+                    struct.pack("<I", values[0]) if is_ptr
+                    else struct.pack(
+                        f"<{len(values)}{ch}", *values
+                    ).ljust(4, b"\0")
                 )
-                payload = struct.pack(f"<{len(values)}{ch}", *values).ljust(4, b"\0")
-                buf += struct.pack("<HHI", tag, ftype, count) + (
-                    struct.pack("<I", values[0]) if is_ptr else payload
-                )
+                buf += struct.pack("<HHI", tag, ftype, count) + payload
             buf += struct.pack("<I", 0)
         fh.write(buf)
 
