@@ -35,11 +35,48 @@ import numpy as np
 from unmicst_tpu.core import tiler
 from unmicst_tpu.core.hp import HParams, ModelBundle
 from unmicst_tpu.core.unet import Params, apply
+from unmicst_tpu.utils.batching import chunked_forward
 from unmicst_tpu.utils.progcache import ProgramCache
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def plan_stripes(npr: int, npc: int, tile_batch: int) -> tuple:
+    """Choose the stripe geometry: (R tile-rows per stripe, forward chunk).
+
+    The r1 policy (R = tile_batch // npc, forward chunks padded up to
+    tile_batch) left 10-40% of the device-resident wall on the table
+    (BASELINE.md stripe-autotune table): chunk padding (16k legacy: 171
+    tiles/stripe in chunks of 128 pads to 256, +33% forward FLOPs),
+    phantom stripe rows (npr % R), and sub-full chunks (the measured
+    per-tile rate at chunk 256 is ~25% better than at 171).
+
+    The engine runs each stripe as full tile_batch-sized ``lax.map``
+    chunks plus ONE static remainder batch (`utils/batching.py`), so
+    chunk padding is zero by construction.  The R policy is fit to the
+    v5e A/B table in BASELINE.md rather than a cost model — the measured
+    landscape is: one whole-image "stripe" wins while total tiles fit a
+    small multiple of tile_batch (no scan, no carried-canvas RMW); beyond
+    that, the SMALLEST R whose remainder batch is a sliver (<= 10% of
+    stripe tiles) wins, and growing stripes further always lost
+    (presumably unfold/probs buffers start evicting the canvas from HBM
+    locality).  Verified picks: 4k->whole, 8k->R3, 12k->R2, 16k->R3,
+    20k->R4 on the legacy net at tile_batch 256.
+    """
+    if npr * npc <= 8 * tile_batch:
+        return npr, min(tile_batch, npr * npc)
+    r0 = max(1, -(-tile_batch // npc))  # smallest R reaching a full chunk
+    best = None
+    for r in range(r0, min(r0 + 3, npr) + 1):
+        tiles = r * npc
+        rem_frac = (tiles % tile_batch) / tiles
+        if rem_frac <= 0.10:
+            return r, tile_batch
+        if best is None or rem_frac < best[0]:
+            best = (rem_frac, r)
+    return best[1], tile_batch
 
 
 class InferenceEngine:
@@ -95,15 +132,11 @@ class InferenceEngine:
         grid = tiler.make_grid(height, width, patch, margin)
         sub = grid.sub
         npc = grid.npc
-        # stripe = R tile-rows, sized so a stripe holds >= one forward batch
-        R = max(1, min(grid.npr, self.tile_batch // max(1, npc)))
+        R, chunk = plan_stripes(grid.npr, npc, self.tile_batch)
         npr_pad = _round_up(grid.npr, R)
         n_stripes = npr_pad // R
         stripe_grid = tiler.make_grid(R * sub, width, patch, margin)
         tiles_per_stripe = R * npc
-        chunk = min(self.tile_batch, tiles_per_stripe)
-        n_chunks = -(-tiles_per_stripe // chunk)
-        pad_tiles = n_chunks * chunk - tiles_per_stripe
         canvas_h = npr_pad * sub + 2 * margin  # >= grid.padded_height
         canvas_w = grid.padded_width
         n_ch, n_cls = hp.n_channels, hp.n_classes
@@ -156,11 +189,9 @@ class InferenceEngine:
                 )
                 tiles = tiler.unfold(norm, stripe_grid)  # (R,npc,P,P,C)
                 flat = tiles.reshape(tiles_per_stripe, patch, patch, n_ch)
-                if pad_tiles:
-                    flat = jnp.pad(flat, ((0, pad_tiles), (0, 0), (0, 0), (0, 0)))
-                chunks = flat.reshape(n_chunks, chunk, patch, patch, n_ch)
-                probs = jax.lax.map(lambda t: forward(params, t), chunks)
-                probs = probs.reshape(-1, patch, patch, n_cls)[:tiles_per_stripe]
+                probs = chunked_forward(
+                    lambda t: forward(params, t), flat, chunk
+                )
                 probs = probs.reshape(R, npc, patch, patch, n_cls)
                 row_ids = s * R + arange_r
                 mask = (row_ids < grid.npr).astype(accum_dtype)

@@ -21,6 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # public API since jax 0.8; experimental path removed later
@@ -30,6 +31,7 @@ except ImportError:  # pragma: no cover
 
 from unmicst_tpu.core import tiler, unet
 from unmicst_tpu.core.hp import HParams
+from unmicst_tpu.utils.batching import chunked_forward
 
 
 def _round_up(x: int, m: int) -> int:
@@ -71,8 +73,6 @@ def spatial_infer(
     npc = grid.npc
     tiles_per_band = R * npc
     chunk = min(tile_batch, tiles_per_band)
-    n_chunks = -(-tiles_per_band // chunk)
-    pad_tiles = n_chunks * chunk - tiles_per_band
     n_ch, n_cls = hp.n_channels, hp.n_classes
     window = tiler.ramp_window(patch, margin)
 
@@ -121,11 +121,8 @@ def spatial_infer(
         # --- local tile pipeline
         tiles = tiler.unfold(stripe, band_grid)
         flat = tiles.reshape(tiles_per_band, patch, patch, n_ch)
-        if pad_tiles:
-            flat = jnp.pad(flat, ((0, pad_tiles), (0, 0), (0, 0), (0, 0)))
-        chunks = flat.reshape(n_chunks, chunk, patch, patch, n_ch)
-        probs = jax.lax.map(forward, chunks)
-        probs = probs.reshape(-1, patch, patch, n_cls)[:tiles_per_band]
+        # full chunks + one static remainder: zero forward padding
+        probs = chunked_forward(forward, flat, chunk)
         probs = probs.reshape(R, npc, patch, patch, n_cls)
         row_ids = d * R + jnp.arange(R)
         mask = (row_ids < grid.npr).astype(jnp.float32)

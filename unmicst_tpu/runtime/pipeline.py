@@ -38,6 +38,7 @@ import numpy as np
 from unmicst_tpu.core import tiler
 from unmicst_tpu.core.hp import HParams, ModelBundle
 from unmicst_tpu.core.unet import Params, apply
+from unmicst_tpu.utils.batching import chunked_forward
 from unmicst_tpu.utils.progcache import ProgramCache
 
 
@@ -157,8 +158,6 @@ class StreamingEngine:
         rows_tiles = S + 1
         n_tiles = rows_tiles * npc
         chunk = min(self.tile_batch, n_tiles)
-        n_chunks = -(-n_tiles // chunk)
-        pad_tiles = n_chunks * chunk - n_tiles
         n_ch, n_cls = hp.n_channels, hp.n_classes
         mean, std = self.mean, self.std
         compute_dtype = self.compute_dtype
@@ -187,11 +186,8 @@ class StreamingEngine:
             norm = (x - mean) / std
             tiles = tiler.unfold(norm, band_grid)  # (S+1, npc, P, P, C)
             flat = tiles.reshape(n_tiles, patch, patch, n_ch)
-            if pad_tiles:
-                flat = jnp.pad(flat, ((0, pad_tiles), (0, 0), (0, 0), (0, 0)))
-            chunks = flat.reshape(n_chunks, chunk, patch, patch, n_ch)
-            probs = jax.lax.map(lambda t: forward(params, t), chunks)
-            probs = probs.reshape(-1, patch, patch, n_cls)[:n_tiles]
+            # full chunks + one static remainder: zero forward padding
+            probs = chunked_forward(lambda t: forward(params, t), flat, chunk)
             probs = probs.reshape(rows_tiles, npc, patch, patch, n_cls)
             row_ids = s0 + arange_rows
             mask = ((row_ids >= 0) & (row_ids < grid.npr)).astype(jnp.float32)
@@ -453,8 +449,6 @@ class StreamingEngine:
         rows_tiles = S + 1
         tiles_dev = rows_tiles * c_dev
         chunk = min(self.tile_batch, tiles_dev)
-        n_chunks = -(-tiles_dev // chunk)
-        pad_tiles = n_chunks * chunk - tiles_dev
         n_ch, n_cls = hp.n_channels, hp.n_classes
         mean, std = self.mean, self.std
         compute_dtype = self.compute_dtype
@@ -492,11 +486,7 @@ class StreamingEngine:
 
             tiles = tiler.unfold(norm, dev_grid)  # (S+1, c_dev, P, P, C)
             flat = tiles.reshape(tiles_dev, patch, patch, n_ch)
-            if pad_tiles:
-                flat = jnp.pad(flat, ((0, pad_tiles), (0, 0), (0, 0), (0, 0)))
-            chunks = flat.reshape(n_chunks, chunk, patch, patch, n_ch)
-            probs = jax.lax.map(lambda t: forward(params, t), chunks)
-            probs = probs.reshape(-1, patch, patch, n_cls)[:tiles_dev]
+            probs = chunked_forward(lambda t: forward(params, t), flat, chunk)
             probs = probs.reshape(rows_tiles, c_dev, patch, patch, n_cls)
             row_ids = s0 + arange_rows
             col_ids = d * c_dev + arange_cols
