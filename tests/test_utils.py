@@ -64,3 +64,40 @@ def test_unet_flops_cross_checked_vs_xla():
         ours = unet_flops_per_tile(hp, variant)
         assert xla is not None
         assert abs(ours - xla) / xla < 0.25, (variant, ours, xla)
+
+
+def test_chunked_forward_matches_direct():
+    """Full chunks + static remainder == one direct batch, for n < chunk,
+    n == k*chunk, and n == k*chunk + rem."""
+    import jax.numpy as jnp
+
+    from unmicst_tpu.utils.batching import chunked_forward
+
+    def fwd_pure(t):  # per-element op (UNet forwards are batch-invariant)
+        return t * 2.0 + 1.0
+
+    rng = np.random.RandomState(0)
+    for n, chunk in [(5, 8), (16, 8), (21, 8), (1, 4), (8, 8)]:
+        x = jnp.asarray(rng.rand(n, 3, 3).astype(np.float32))
+        got = np.asarray(chunked_forward(fwd_pure, x, chunk))
+        np.testing.assert_allclose(got, np.asarray(x) * 2.0 + 1.0, rtol=1e-6)
+        assert got.shape == (n, 3, 3)
+
+
+def test_plan_stripes_policy():
+    from unmicst_tpu.infer import plan_stripes
+
+    # whole image in one stripe while tiles fit 8x tile_batch
+    assert plan_stripes(43, 43, 256) == (43, 256)
+    assert plan_stripes(10, 10, 256) == (10, 100)  # chunk capped at tiles
+    # beyond: smallest R with remainder <= 10% of stripe tiles
+    assert plan_stripes(86, 86, 256) == (3, 256)    # 258 = 256 + 2
+    assert plan_stripes(128, 128, 256) == (2, 256)  # exact
+    assert plan_stripes(171, 171, 256) == (3, 256)  # 513 = 2x256 + 1
+    assert plan_stripes(209, 209, 256) == (4, 256)  # 836 = 3x256 + 68 (8%)
+    # invariants across geometries
+    for npr, npc, tb in [(1, 1, 256), (500, 2, 64), (3, 3000, 256),
+                         (77, 13, 128), (1024, 7, 256)]:
+        r, chunk = plan_stripes(npr, npc, tb)
+        assert 1 <= r <= npr
+        assert 1 <= chunk <= tb
