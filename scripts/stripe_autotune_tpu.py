@@ -1,13 +1,17 @@
-"""Stripe-plan A/B on the real chip: r1 policy vs the balanced planner.
+"""Stripe-plan A/B on the real chip: r1 R-policy vs `infer.plan_stripes`.
 
-r1 policy: R = tile_batch // npc, forward chunks saturated at tile_batch
-(pad-heavy whenever tiles_per_stripe % tile_batch is small — e.g. legacy
-16k: 171 tiles -> 2 x 128 = +33% padded forward FLOPs).
-New policy (`infer.plan_stripes`): enumerate R, balance chunks
-(ceil(tiles/n_chunks)), minimize padded tiles + per-dispatch overhead.
+Labeling caveat: the "old" arm restores only r1's *R policy*
+(R = tile_batch // npc, chunk saturated at tile_batch); the engine's
+forward is always the current zero-padding remainder-split, which cannot
+reproduce r1's pad-to-full-chunk forwards (e.g. legacy 16k: 171
+tiles/stripe -> 2 x 128 = +33% padded FLOPs under true r1).  The "old"
+numbers therefore UNDERSTATE the full gain vs the genuine r1 engine; the
+true-r1 per-size row lives in BASELINE.md ("Whole-image ceiling removed",
+146/164/241/174/218 Mpx/s).
 
 Run on the real chip:  python - < scripts/stripe_autotune_tpu.py
-Writes scripts/stripe_autotune_report.json (consumed by BASELINE.md).
+Writes scripts/stripe_autotune_report.json (consumed by BASELINE.md);
+the iteration history is scripts/stripe_autotune_history.json.
 """
 
 import json

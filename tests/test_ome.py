@@ -59,6 +59,10 @@ def test_plane_index_fallbacks():
     assert ome.plane_index("", 3, 8) == 3
     assert ome.plane_index("<OME><broken", 3, 8) == 3
     assert ome.plane_index(_ome_xml("XYZCT", 2, 2, 1), 3, 9) == 3
+    # spec-invalid orders not leading with XY must fall back, not KeyError
+    # (r2 review finding: the stride walk would hit 'Y')
+    assert ome.plane_index(_ome_xml("XCYZT", 2, 2, 1), 3, 4) == 3
+    assert ome.plane_index(_ome_xml("CZTXY", 2, 2, 1), 1, 4) == 1
     # consistent metadata rejects out-of-range channels
     with pytest.raises(IndexError):
         ome.plane_index(_ome_xml("XYCZT", 2, 2, 1), 3, 4)
@@ -100,3 +104,32 @@ def test_mcmicro_shape_ome_is_identity(tmp_path, rng):
         np.testing.assert_array_equal(
             read_channel(str(path), "ome.tif", c), planes[c]
         )
+
+
+def test_serve_and_batch_use_ome_plane(tmp_path, rng):
+    """serve's infer path and batch's probe resolve the same OME-aware
+    plane the CLI does (r2 review finding: they bypassed the facade)."""
+    import os
+
+    from tests.conftest import REFERENCE
+    from unmicst_tpu.io.slides import tiff_plane
+
+    planes = [(rng.rand(64, 72) * 60000).astype(np.uint16) for _ in range(4)]
+    path = tmp_path / "s.ome.tif"
+    _write_stack(path, planes, _ome_xml("XYZCT", c=2, z=2, t=1))
+    with TiffFile(str(path)) as tf:
+        assert tiff_plane(tf, 1) == 2
+    if not os.path.isdir(os.path.join(REFERENCE, "models")):
+        pytest.skip("reference model zoo unavailable")
+    from unmicst_tpu.serve import ModelServer
+
+    srv = ModelServer(model_root=os.path.join(REFERENCE, "models"),
+                      precision="float32")
+    body, meta = srv.infer_tiff_path(str(path), "nucleiDAPI", 1, True, -1)
+    assert meta["shape"] == [64, 72]
+    # equal to running on the bare (C=1, Z=0) plane directly
+    solo = tmp_path / "solo.tif"
+    with TiffWriter(str(solo), bigtiff=False) as tw:
+        tw.write(planes[2])
+    body2, _ = srv.infer_tiff_path(str(solo), "nucleiDAPI", 0, True, -1)
+    assert body == body2

@@ -180,11 +180,13 @@ def run_sweep(
             continue
         stem = os.path.basename(slide).split(os.extsep, 1)[0]
         try:
-            from unmicst_tpu.io.slides import open_channel_source, preview_u8
+            from unmicst_tpu.io.slides import (
+                open_channel_source, preview_u8, tiff_plane,
+            )
             from unmicst_tpu.io.tiff import TiffFile
 
             with TiffFile(slide) as tf_probe:
-                page = tf_probe.pages[channel]
+                page = tf_probe.pages[tiff_plane(tf_probe, channel)]
                 slide_px = page.height * page.width
             if slide_px > stream_above_px:
                 # mega-slide: bounded memory end to end (any scale — the
@@ -227,7 +229,9 @@ def run_sweep(
                         f"(streamed): {mpx / dt:.1f} Mpx/s"
                     )
                 continue
-            raw = imread(slide, channel)
+            from unmicst_tpu.io.slides import read_channel
+
+            raw = read_channel(slide, "tif", channel)  # OME-plane-aware
             t0 = time.perf_counter()
             if scaling_factor == 1:
                 # device-side preprocess + uint8 maps: the link carries

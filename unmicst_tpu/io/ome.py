@@ -40,7 +40,10 @@ def parse_pixels(description: str) -> Optional[Tuple[str, dict]]:
     if pixels is None:
         return None
     order = pixels.get("DimensionOrder", "XYCZT")
-    if sorted(order) != sorted("XYCZT"):
+    # the OME spec's DimensionOrder enum always leads with XY; anything
+    # else (malformed writer) falls back to page==channel rather than
+    # crashing the stride walk below
+    if sorted(order) != sorted("XYCZT") or not order.startswith("XY"):
         return None
     try:
         sizes = {d: int(pixels.get("Size" + d) or 1) for d in "CZT"}

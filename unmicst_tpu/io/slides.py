@@ -15,28 +15,38 @@ from typing import Tuple
 
 import numpy as np
 
-from unmicst_tpu.io.tiff import TiffFile, imread
+from unmicst_tpu.io.tiff import TiffFile
 
 TIFF_LIKE = ("ome.tif", "ome.tiff", "btf", "tif", "tiff")
 
 
-def _tiff_plane(image_path: str, channel: int) -> int:
-    """channel -> IFD page: OME-XML DimensionOrder-aware when present
-    (``io/ome.py``); page == channel otherwise (the reference's
-    ``tifffile.imread(key=channel)`` read, ``UnMicst1-5.py:795-797``)."""
+def tiff_plane(tf: TiffFile, channel: int) -> int:
+    """channel -> IFD page of an open TIFF: OME-XML DimensionOrder-aware
+    when present (``io/ome.py``); page == channel otherwise (the
+    reference's ``tifffile.imread(key=channel)`` read,
+    ``UnMicst1-5.py:795-797``)."""
     from unmicst_tpu.io import ome
 
-    try:
-        with TiffFile(image_path) as tf:
-            desc = tf.pages[0].description if tf.pages else ""
-            return ome.plane_index(desc, channel, len(tf.pages))
-    except (ValueError, NotImplementedError):
-        return channel  # exotic container; imread's PIL fallback handles it
+    desc = tf.pages[0].description if tf.pages else ""
+    return ome.plane_index(desc, channel, len(tf.pages))
 
 
 def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
     if file_type in TIFF_LIKE:
-        return imread(image_path, _tiff_plane(image_path, channel))
+        try:
+            with TiffFile(image_path) as tf:
+                arr = tf.read_page(tiff_plane(tf, channel))
+            if arr.dtype.byteorder not in ("=", "|"):
+                arr = arr.astype(arr.dtype.newbyteorder("="))
+            return arr
+        except (NotImplementedError, ValueError):
+            # exotic codec: PIL fallback, page == channel (no OME mapping
+            # for containers our native parser cannot walk)
+            from PIL import Image
+
+            im = Image.open(image_path)
+            im.seek(channel)
+            return np.asarray(im)
     if file_type == "czi":
         from unmicst_tpu.io.czi import read_czi_channel
 
@@ -157,12 +167,9 @@ def open_channel_source(image_path: str, file_type: str,
     for long-lived callers (serve, batch sweeps).
     """
     if file_type in TIFF_LIKE:
-        from unmicst_tpu.io import ome
-
         tf = TiffFile(image_path)
         try:
-            desc = tf.pages[0].description if tf.pages else ""
-            plane = ome.plane_index(desc, channel, len(tf.pages))
+            plane = tiff_plane(tf, channel)
             page = tf.pages[plane]
             return ChannelSource(
                 page.height, page.width, page.dtype,
@@ -209,7 +216,7 @@ def open_channel_source(image_path: str, file_type: str,
 def slide_shape(image_path: str, channel: int = 0) -> Tuple[int, int]:
     """(H, W) without decoding pixel data (TIFF-like only)."""
     with TiffFile(image_path) as tf:
-        page = tf.pages[_tiff_plane(image_path, channel)]
+        page = tf.pages[tiff_plane(tf, channel)]
         return page.height, page.width
 
 

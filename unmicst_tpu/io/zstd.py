@@ -36,10 +36,13 @@ def _load_backend() -> None:
     try:
         import zstandard
 
-        dctx = zstandard.ZstdDecompressor()
-
         def _py(data: bytes, max_out: int) -> bytes:
-            return dctx.decompress(data, max_output_size=max_out)
+            # ZstdDecompressor instances are documented as not thread-safe;
+            # construction is cheap next to a sub-block decompress, so make
+            # one per call (concurrent CZI readers, threaded serving)
+            return zstandard.ZstdDecompressor().decompress(
+                data, max_output_size=max_out
+            )
 
         _backend = _py
         return

@@ -80,22 +80,24 @@ class ModelServer:
         self, path: str, model: str, channel: int, rescale: bool,
         outlier: float,
     ) -> Tuple[bytes, dict]:
+        from unmicst_tpu.io.slides import tiff_plane
         from unmicst_tpu.io.tiff import TiffFile, TiffWriter
 
         with TiffFile(path) as tf:
-            page = tf.pages[channel]
+            plane = tiff_plane(tf, channel)  # OME-aware, like the CLI
+            page = tf.pages[plane]
             shape = (page.height, page.width)
             if shape[0] * shape[1] > self.stream_above_px:
                 # mega-slide POST: bounded memory, windowed reads from the
                 # spooled temp file
                 t0 = time.perf_counter()
                 maps = self.engine(model, "stream").infer(
-                    (tf, channel), outlier=outlier, rescale=rescale
+                    (tf, plane), outlier=outlier, rescale=rescale
                 )
                 infer_s = time.perf_counter() - t0
                 raw_size = shape[0] * shape[1]
                 return self._encode(maps, model, shape, raw_size, infer_s)
-            raw = tf.read_page(channel)
+            raw = tf.read_page(plane)
         eng = self.engine(model)
         t0 = time.perf_counter()
         maps = eng.infer_slide(raw, outlier=outlier, rescale=rescale)
