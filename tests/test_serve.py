@@ -203,3 +203,52 @@ def test_large_posts_stream(tmp_path, rng):
         x = imread(pa, k).astype(int)
         y = imread(pb, k).astype(int)
         assert np.abs(x - y).max() <= 1
+
+
+def test_infer_czi_and_nd2_bodies(server_url, tmp_path, rng):
+    """POST bodies are sniffed by magic bytes: CZI and ND2 containers work
+    end-to-end and match the TIFF result for identical pixels."""
+    from tests.test_slides_czi_nd2 import write_czi, write_nd2
+
+    plane = (rng.rand(70, 90) * 60000).astype(np.uint16)
+    paths = {"tif": str(tmp_path / "a.tif"),
+             "czi": str(tmp_path / "a.czi"),
+             "nd2": str(tmp_path / "a.nd2")}
+    imwrite(paths["tif"], plane, bigtiff=False)
+    write_czi(paths["czi"], [plane])
+    write_nd2(paths["nd2"], [plane[:, :, None]])
+    bodies = {}
+    for fmt, path in paths.items():
+        req = urllib.request.Request(
+            server_url + "/infer?model=nucleiDAPI&channel=0",
+            data=open(path, "rb").read(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            bodies[fmt] = r.read()
+            meta = json.loads(r.headers["X-UnMicst-Meta"])
+        assert meta["shape"] == [70, 90], fmt
+    assert bodies["czi"] == bodies["tif"]
+    assert bodies["nd2"] == bodies["tif"]
+
+
+def test_infer_garbage_body_400(server_url):
+    req = urllib.request.Request(
+        server_url + "/infer?model=nucleiDAPI&channel=0",
+        data=b"\x00" * 256, method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+
+
+def test_infer_missing_channel_400(server_url, tmp_path, rng):
+    raw = (rng.rand(40, 40) * 60000).astype(np.uint16)
+    src = str(tmp_path / "c.tif")
+    imwrite(src, raw, bigtiff=False)
+    req = urllib.request.Request(
+        server_url + "/infer?model=nucleiDAPI&channel=5",
+        data=open(src, "rb").read(), method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400

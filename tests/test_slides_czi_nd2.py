@@ -500,10 +500,19 @@ def test_readers_survive_fuzz(tmp_path, rng):
     frame = (rng.rand(16, 24, 1) * 60000).astype(np.uint16)
     nd2_ok = tmp_path / "ok.nd2"
     write_nd2(str(nd2_ok), [frame])
+    sources = [(czi_ok, read_czi_channel), (nd2_ok, read_nd2_channel)]
+    try:  # compressed sub-block path fuzzes too when a backend exists
+        import zstandard  # noqa: F401
+
+        czi_z = tmp_path / "okz.czi"
+        write_czi(str(czi_z), [plane], compression=6, hilo=True)
+        sources.append((czi_z, read_czi_channel))
+    except ImportError:
+        pass
     allowed = (ValueError, NotImplementedError, IndexError, KeyError,
                struct.error, EOFError, OSError)
     r = np.random.RandomState(7)
-    for src, reader in ((czi_ok, read_czi_channel), (nd2_ok, read_nd2_channel)):
+    for src, reader in sources:
         blob = bytearray(open(src, "rb").read())
         for trial in range(60):
             mutated = bytearray(blob)

@@ -20,6 +20,24 @@ from unmicst_tpu.io.tiff import TiffFile
 TIFF_LIKE = ("ome.tif", "ome.tiff", "btf", "tif", "tiff")
 
 
+def sniff_format(path: str) -> str:
+    """Detect the container from magic bytes (extension-independent):
+    classic/BigTIFF in either byte order, ZISRAW (CZI), or an ND2
+    chunk-map file.  Used by the HTTP server, where uploads carry no
+    trustworthy filename."""
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if head.startswith((b"II*\x00", b"II+\x00", b"MM\x00*", b"MM\x00+")):
+        return "tif"
+    if head.startswith(b"ZISRAWFILE"):
+        return "czi"
+    if head[:4] == b"\xda\xce\xbe\x0a":  # ND2 chunk magic 0x0ABECEDA LE
+        return "nd2"
+    raise ValueError(
+        "unrecognized container (expected TIFF/BigTIFF, CZI, or ND2)"
+    )
+
+
 def tiff_plane(tf: TiffFile, channel: int) -> int:
     """channel -> IFD page of an open TIFF: OME-XML DimensionOrder-aware
     when present (``io/ome.py``); page == channel otherwise (the

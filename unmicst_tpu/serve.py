@@ -5,8 +5,9 @@ The reference is strictly batch CLI (model setup cost paid per invocation,
 module keeps the model resident and serves slides over HTTP:
 
 * ``POST /infer?model=nucleiDAPI&channel=0&tool=unmicst-legacy`` with a
-  TIFF body -> multi-page TIFF response (the ``_Probabilities`` page stack,
-  reversed class order, uint8);
+  TIFF, CZI, or ND2 body (container sniffed from magic bytes; OME-aware
+  channel mapping) -> multi-page TIFF response (the ``_Probabilities``
+  page stack, reversed class order, uint8);
 * ``GET /models`` -> zoo availability;
 * ``GET /healthz`` -> liveness + device info.
 
@@ -80,29 +81,31 @@ class ModelServer:
         self, path: str, model: str, channel: int, rescale: bool,
         outlier: float,
     ) -> Tuple[bytes, dict]:
-        from unmicst_tpu.io.slides import tiff_plane
-        from unmicst_tpu.io.tiff import TiffFile, TiffWriter
+        """Run one channel of any supported container (TIFF/CZI/ND2 —
+        sniffed from magic bytes, uploads carry no trustworthy name)
+        through the resident model; OME-aware channel mapping like the
+        CLI.  Name kept from when only TIFF bodies were accepted."""
+        from unmicst_tpu.io.slides import open_channel_source, sniff_format
 
-        with TiffFile(path) as tf:
-            plane = tiff_plane(tf, channel)  # OME-aware, like the CLI
-            page = tf.pages[plane]
-            shape = (page.height, page.width)
+        fmt = sniff_format(path)
+        with open_channel_source(path, fmt, channel) as src:
+            shape = (src.height, src.width)
+            t0 = time.perf_counter()
             if shape[0] * shape[1] > self.stream_above_px:
                 # mega-slide POST: bounded memory, windowed reads from the
                 # spooled temp file
-                t0 = time.perf_counter()
                 maps = self.engine(model, "stream").infer(
-                    (tf, plane), outlier=outlier, rescale=rescale
+                    src, outlier=outlier, rescale=rescale
                 )
-                infer_s = time.perf_counter() - t0
-                raw_size = shape[0] * shape[1]
-                return self._encode(maps, model, shape, raw_size, infer_s)
-            raw = tf.read_page(plane)
-        eng = self.engine(model)
-        t0 = time.perf_counter()
-        maps = eng.infer_slide(raw, outlier=outlier, rescale=rescale)
-        infer_s = time.perf_counter() - t0
-        return self._encode(maps, model, raw.shape, raw.size, infer_s)
+            else:
+                raw = src.read_rows(0, shape[0])
+                maps = self.engine(model).infer_slide(
+                    raw, outlier=outlier, rescale=rescale
+                )
+            infer_s = time.perf_counter() - t0
+        return self._encode(
+            maps, model, shape, shape[0] * shape[1], infer_s
+        )
 
     def _encode(self, maps, model: str, shape, raw_size: int,
                 infer_s: float) -> Tuple[bytes, dict]:
@@ -202,6 +205,11 @@ def make_handler(server: ModelServer):
                     )
             except FileNotFoundError as e:
                 self._json(404, {"error": str(e)})
+                return
+            except (ValueError, NotImplementedError, IndexError) as e:
+                # bad upload: unrecognized/corrupt container, unsupported
+                # codec, or a channel the file doesn't have
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
             except Exception as e:  # surface, don't kill the server
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
