@@ -160,3 +160,54 @@ def test_big_endian_input(tmp_path, rng):
     fn = str(tmp_path / "be.tif")
     Image.fromarray(x.astype("u2")).save(fn)
     assert np.array_equal(imread(fn), x.astype("u2"))
+
+
+def test_subifd_pyramid_levels_ignored(tmp_path, rng):
+    """OME-TIFF pyramids hang downsampled levels off tag 330 (SubIFDs);
+    the page chain must expose only full-resolution pages and read_page
+    must return full-res data (ROADMAP: pyramidal/subIFD behavior)."""
+    import struct
+
+    from unmicst_tpu.io.tiff import TiffFile
+
+    full = (rng.rand(16, 24) * 60000).astype("<u2")
+    down = full[::2, ::2].copy()
+
+    def ifd(entries, next_off):
+        buf = struct.pack("<H", len(entries))
+        for tag, ftype, count, value in entries:
+            buf += struct.pack("<HHI", tag, ftype, count)
+            buf += struct.pack("<I", value)
+        return buf + struct.pack("<I", next_off)
+
+    def page_entries(h, w, data_off, nbytes, extra=()):
+        base = [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+            (262, 3, 1, 1), (273, 4, 1, data_off), (277, 3, 1, 1),
+            (278, 4, 1, h), (279, 4, 1, nbytes), (339, 3, 1, 1),
+        ]
+        return sorted(base + list(extra))
+
+    # layout: header | full px | down px | sub-IFD | main IFD0 | main IFD1
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 0))
+    full_off = len(out); out += full.tobytes()
+    down_off = len(out); out += down.tobytes()
+    sub_pos = len(out)
+    out += ifd(page_entries(8, 12, down_off, down.nbytes), 0)
+    ifd0_pos = len(out)
+    # second full-res page reuses the same pixel data
+    ifd1_pos = ifd0_pos + len(ifd(page_entries(16, 24, full_off, full.nbytes,
+                                               [(330, 4, 1, sub_pos)]), 0))
+    out += ifd(page_entries(16, 24, full_off, full.nbytes,
+                            [(330, 4, 1, sub_pos)]), ifd1_pos)
+    out += ifd(page_entries(16, 24, full_off, full.nbytes), 0)
+    struct.pack_into("<I", out, 4, ifd0_pos)
+    path = str(tmp_path / "pyr.tif")
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+    with TiffFile(path) as tf:
+        assert len(tf.pages) == 2  # the SubIFD level is NOT a page
+        assert (tf.pages[0].height, tf.pages[0].width) == (16, 24)
+        np.testing.assert_array_equal(tf.read_page(0), full)
+        np.testing.assert_array_equal(tf.read_page(1), full)

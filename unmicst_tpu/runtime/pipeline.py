@@ -131,6 +131,16 @@ class StreamingEngine:
         else:
             # aim for >= tile_batch tiles and >= ~1024 rows per stripe
             S = max(1, self.tile_batch // max(1, grid.npc), -(-1024 // sub))
+            # nudge S so the per-stripe forward ((S+1)*npc tiles) splits
+            # into full tile_batch chunks plus a sliver remainder — full
+            # chunks are ~25% faster per tile (BASELINE.md stripe-autotune
+            # landscape); bigger stripes also amortize host round-trips
+            if grid.npc:
+                S = min(
+                    range(S, S + 4),
+                    key=lambda s: ((s + 1) * grid.npc) % self.tile_batch
+                    / ((s + 1) * grid.npc),
+                )
         S = min(S, grid.npr)
         # stripes must cover every VALID padded row [margin, margin+height):
         # the last tile-row's window tail extends margin rows past npr*sub,
