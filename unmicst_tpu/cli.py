@@ -434,15 +434,33 @@ def main(argv: Optional[List[str]] = None) -> int:
             # (duo preview shows the LAST channel read — UnMicst2.py:776,792)
         net_image = np.stack(planes).astype(np.float32)
         channel_mode = "stack"
+        slide_raw = None
     else:
         raw = read_channel(args.imagePath, file_type, dapi_channel)
         use_rescaled = tool != "unmicst-solo"  # the v2-solo quirk
-        pc = pp.preprocess_channel(
-            raw, args.scalingFactor, args.outlier, use_rescaled=use_rescaled
+        # scale-1 integer slides take the device-side path: preprocessing
+        # and uint8 quantization run on-chip, so the host link carries raw
+        # uint16 up and uint8 maps down (~3x fewer bytes than the float32
+        # canvas/probs round trip); measured <= 1 uint8 level vs the host
+        # path and vs the reference goldens
+        slide_raw = (
+            raw if args.scalingFactor == 1
+            and raw.dtype in (np.uint8, np.uint16) else None
         )
-        net_image = pc.net_input.astype(np.float32)
-        raw_norm, raw_shape = pc.raw_norm, pc.raw_shape
-        channel_mode = "broadcast"
+        if slide_raw is not None:
+            raw_d = pp.im2double(raw)
+            vmax = raw_d.max()
+            raw_norm = raw_d / vmax if vmax > 0 else raw_d
+            net_image, raw_shape = raw, raw.shape
+            channel_mode = "broadcast"
+        else:
+            pc = pp.preprocess_channel(
+                raw, args.scalingFactor, args.outlier,
+                use_rescaled=use_rescaled,
+            )
+            net_image = pc.net_input.astype(np.float32)
+            raw_norm, raw_shape = pc.raw_norm, pc.raw_shape
+            channel_mode = "broadcast"
 
     # ---- inference (single pass, all classes) -----------------------------
     t_pre = time.perf_counter()
@@ -453,13 +471,33 @@ def main(argv: Optional[List[str]] = None) -> int:
         precision=mxu_precision, tile_batch=args.tileBatch
     )
     t_load = time.perf_counter()
+
+    def run_inference():
+        if slide_raw is not None:
+            # non-stack output needs only contours+nuclei; fetching just
+            # those planes cuts a third of the D2H bytes
+            classes = (
+                None if args.stackOutput or len(class_order) < 3
+                else (class_order[1], class_order[2])
+            )
+            maps = engine.infer_slide(
+                slide_raw, outlier=args.outlier, rescale=use_rescaled,
+                classes=classes,
+            )
+            idx = (
+                {c: i for i, c in enumerate(classes)} if classes else None
+            )
+            return maps, (lambda c: maps[idx[c] if idx else c])
+        probs = engine.infer(net_image, channel_mode)
+        return probs, (lambda c: pp.postprocess_pm(probs[c], raw_shape))
+
     if args.trace:
         from unmicst_tpu.utils.profiling import trace as profiler_trace
 
         with profiler_trace(args.trace):
-            probs = engine.infer(net_image, channel_mode)
+            probs, get_page = run_inference()
     else:
-        probs = engine.infer(net_image, channel_mode)
+        probs, get_page = run_inference()
     if args.check_numerics:
         from unmicst_tpu.utils.profiling import check_numerics
 
@@ -470,7 +508,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     # ---- outputs ----------------------------------------------------------
     _write_outputs(
         args, stem, out_path, cyto, dapi_channel, class_order,
-        lambda c: pp.postprocess_pm(probs[c], raw_shape),
+        get_page,
         np.uint8(255 * raw_norm),
     )
     t_write = time.perf_counter()
