@@ -69,3 +69,24 @@ def test_postprocess_double_quantization():
     out = pp.postprocess_pm(pm, (10, 10))
     assert out.dtype == np.uint8
     assert abs(int(out[0, 0]) - 127) <= 1
+
+
+def test_preview_u8_from_raw_matches_float_path(rng):
+    """LUT preview == uint8(255 * raw_norm) bit-for-bit (uint16/uint8),
+    and the float fallback handles other dtypes."""
+    from unmicst_tpu.io import preprocess as pp
+
+    for dtype, scale in ((np.uint16, 60000), (np.uint8, 255)):
+        raw = (rng.rand(64, 80) * scale).astype(dtype)
+        pc = pp.preprocess_channel(raw, 1.0, -1)
+        expect = np.uint8(255 * pc.raw_norm)
+        np.testing.assert_array_equal(pp.preview_u8_from_raw(raw), expect)
+    # all-zero plane: no division blowup
+    z = np.zeros((8, 8), np.uint16)
+    assert pp.preview_u8_from_raw(z).sum() == 0
+    # float32 input: both paths apply the uint16 parity cast first
+    f = (rng.rand(16, 16) * 40000).astype(np.float32)
+    pcf = pp.preprocess_channel(f, 1.0, -1)
+    np.testing.assert_array_equal(
+        pp.preview_u8_from_raw(f), np.uint8(255 * pcf.raw_norm)
+    )

@@ -94,7 +94,7 @@ def test_plan_stripes_policy():
     assert plan_stripes(86, 86, 256) == (3, 256)    # 258 = 256 + 2
     assert plan_stripes(128, 128, 256) == (2, 256)  # exact
     assert plan_stripes(171, 171, 256) == (3, 256)  # 513 = 2x256 + 1
-    assert plan_stripes(209, 209, 256) == (4, 256)  # 836 = 3x256 + 68 (8%)
+    assert plan_stripes(209, 209, 256) == (3, 256)  # 627 = 2x256 + 115 (18%)
     # invariants across geometries
     for npr, npc, tb in [(1, 1, 256), (500, 2, 64), (3, 3000, 256),
                          (77, 13, 128), (1024, 7, 256)]:

@@ -240,23 +240,21 @@ def run_sweep(
                 contours, nuclei = engine.infer_slide(
                     raw, outlier=outlier, classes=(1, 2)
                 )
-                raw_d = pp.im2double(
+                preview = pp.preview_u8_from_raw(
                     raw.astype(np.uint16) if raw.dtype == np.float32 else raw
                 )
-                vmax = raw_d.max()
-                raw_norm = raw_d / vmax if vmax > 0 else raw_d
             else:
                 pc = pp.preprocess_channel(raw, scaling_factor, outlier)
                 probs = engine.infer(pc.net_input.astype(np.float32))
                 contours = pp.postprocess_pm(probs[1], pc.raw_shape)
                 nuclei = pp.postprocess_pm(probs[2], pc.raw_shape)
-                raw_norm = pc.raw_norm
+                preview = np.uint8(255 * pc.raw_norm)
             dt = time.perf_counter() - t0
             # batch walker output contract (batchUnMicst.py:570-587):
             # ContoursPM is a 2-page stack [contours PM, normalized raw]
             cfile = os.path.join(this_out, f"{stem}_ContoursPM_{channel + 1}.tif")
             imwrite(cfile, contours)
-            imwrite(cfile, np.uint8(255 * raw_norm), append=True)
+            imwrite(cfile, preview, append=True)
             imwrite(
                 os.path.join(this_out, f"{stem}_NucleiPM_{channel + 1}.tif"),
                 nuclei,

@@ -435,6 +435,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         net_image = np.stack(planes).astype(np.float32)
         channel_mode = "stack"
         slide_raw = None
+        preview = np.uint8(255 * raw_norm)
     else:
         raw = read_channel(args.imagePath, file_type, dapi_channel)
         use_rescaled = tool != "unmicst-solo"  # the v2-solo quirk
@@ -448,9 +449,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             and raw.dtype in (np.uint8, np.uint16) else None
         )
         if slide_raw is not None:
-            raw_d = pp.im2double(raw)
-            vmax = raw_d.max()
-            raw_norm = raw_d / vmax if vmax > 0 else raw_d
+            preview = pp.preview_u8_from_raw(raw)  # LUT path, no float64 pass
             net_image, raw_shape = raw, raw.shape
             channel_mode = "broadcast"
         else:
@@ -459,8 +458,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 use_rescaled=use_rescaled,
             )
             net_image = pc.net_input.astype(np.float32)
-            raw_norm, raw_shape = pc.raw_norm, pc.raw_shape
+            raw_shape = pc.raw_shape
             channel_mode = "broadcast"
+            preview = np.uint8(255 * pc.raw_norm)
 
     # ---- inference (single pass, all classes) -----------------------------
     t_pre = time.perf_counter()
@@ -509,7 +509,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     _write_outputs(
         args, stem, out_path, cyto, dapi_channel, class_order,
         get_page,
-        np.uint8(255 * raw_norm),
+        preview,
     )
     t_write = time.perf_counter()
 
