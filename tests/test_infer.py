@@ -117,3 +117,31 @@ def test_carry_fold_branch_matches_stacked(model_bundle_or_none=None):
         hp, params, "legacy", 0.3, 0.2, stack_fold_max_bytes=0
     ).infer_slide(raw)
     np.testing.assert_array_equal(stacked, carried)
+
+
+def test_infer_slide_stack_matches_host_path(small_model, rng):
+    """Device-side duo stack (per-channel on-chip ranges) == the host
+    preprocess + float infer path within 1 uint8 level."""
+    from unmicst_tpu.io import preprocess as pp
+
+    hp, params = small_model
+    import dataclasses
+
+    hp2 = dataclasses.replace(hp, n_channels=2)
+    from unmicst_tpu.core import unet
+
+    params2 = unet.init_params(jax.random.PRNGKey(3), hp2, "duo")
+    eng = InferenceEngine(hp2, params2, "duo", 0.2, 0.2, tile_batch=16)
+    a = (rng.rand(70, 90) * 60000).astype(np.uint16)
+    b = (rng.rand(70, 90) * 30000).astype(np.uint16)
+    maps = eng.infer_slide_stack([a, b])
+    host = np.stack([
+        pp.preprocess_channel(x, 1.0, -1).net_input for x in (a, b)
+    ]).astype(np.float32)
+    probs = eng.infer(host, "stack")
+    expect = np.uint8(255 * probs)
+    assert np.abs(maps.astype(int) - expect.astype(int)).max() <= 1
+    # classes selection returns requested planes in order
+    sub = eng.infer_slide_stack([a, b], classes=(2, 0))
+    assert np.abs(sub[0].astype(int) - maps[2].astype(int)).max() == 0
+    assert np.abs(sub[1].astype(int) - maps[0].astype(int)).max() == 0

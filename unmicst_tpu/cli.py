@@ -425,17 +425,32 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if tool == "unmicst-duo":
         chans = channels0 if len(channels0) == 2 else [dapi_channel, dapi_channel]
-        planes, raw_norm, raw_shape = [], None, None
-        for c in chans:
-            raw = read_channel(args.imagePath, file_type, c)
-            pc = pp.preprocess_channel(raw, args.scalingFactor, args.outlier)
-            planes.append(pc.net_input)
-            raw_norm, raw_shape = pc.raw_norm, pc.raw_shape  # last channel wins
-            # (duo preview shows the LAST channel read — UnMicst2.py:776,792)
-        net_image = np.stack(planes).astype(np.float32)
+        raw_by_chan = {
+            c: read_channel(args.imagePath, file_type, c)
+            for c in dict.fromkeys(chans)
+        }
+        raw_planes = [raw_by_chan[c] for c in chans]
+        use_rescaled = True  # the un-rescaled-input quirk is solo-only
+        if args.scalingFactor == 1 and all(
+            r.dtype in (np.uint8, np.uint16) for r in raw_planes
+        ):
+            # device-side stack path: per-channel ranges computed on-chip
+            slide_raw = raw_planes
+            net_image, raw_shape = None, raw_planes[-1].shape
+            # duo preview shows the LAST channel read (UnMicst2.py:776,792)
+            preview = pp.preview_u8_from_raw(raw_planes[-1])
+        else:
+            slide_raw = None
+            planes, raw_norm = [], None
+            for c in chans:
+                pc = pp.preprocess_channel(
+                    raw_by_chan[c], args.scalingFactor, args.outlier
+                )
+                planes.append(pc.net_input)
+                raw_norm, raw_shape = pc.raw_norm, pc.raw_shape  # last wins
+            net_image = np.stack(planes).astype(np.float32)
+            preview = np.uint8(255 * raw_norm)
         channel_mode = "stack"
-        slide_raw = None
-        preview = np.uint8(255 * raw_norm)
     else:
         raw = read_channel(args.imagePath, file_type, dapi_channel)
         use_rescaled = tool != "unmicst-solo"  # the v2-solo quirk
@@ -480,10 +495,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                 None if args.stackOutput or len(class_order) < 3
                 else (class_order[1], class_order[2])
             )
-            maps = engine.infer_slide(
-                slide_raw, outlier=args.outlier, rescale=use_rescaled,
-                classes=classes,
-            )
+            if channel_mode == "stack":
+                maps = engine.infer_slide_stack(
+                    slide_raw, outlier=args.outlier, classes=classes,
+                )
+            else:
+                maps = engine.infer_slide(
+                    slide_raw, outlier=args.outlier, rescale=use_rescaled,
+                    classes=classes,
+                )
             idx = (
                 {c: i for i, c in enumerate(classes)} if classes else None
             )

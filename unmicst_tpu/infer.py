@@ -367,3 +367,75 @@ class InferenceEngine:
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
         out = jitted(self.params, jnp.asarray(raw), jnp.asarray(window))
         return np.moveaxis(np.asarray(out), -1, 0)
+
+    # -- device-side multi-channel (duo) slide path --------------------------
+
+    def _build_slide_stack(self, height: int, width: int, in_dtype,
+                           outlier: float, rescale: bool, classes=None):
+        """Jitted raw-stack pipeline: [C, H, W] uint16 in, uint8 maps out.
+
+        Per-channel intensity ranges, matching the duo CLI's per-channel
+        ``rescale_intensity`` (``UnMicst2.py:760-788``)."""
+        hp = self.hp
+        grid = tiler.make_grid(height, width, hp.im_size, hp.margin)
+        scale = {np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0}.get(
+            np.dtype(in_dtype), 1.0
+        )
+        core, _, canvas_h, canvas_w = self._get(height, width)
+        n_ch = hp.n_channels
+        m = grid.margin
+
+        def run(params, raw, win):
+            x = raw.astype(jnp.float32) / scale  # im2double, [C, H, W]
+            if rescale:
+                lo = jnp.min(x, axis=(1, 2), keepdims=True)
+                hi = (
+                    jnp.percentile(x, outlier, axis=(1, 2), keepdims=True)
+                    if outlier != -1
+                    else jnp.max(x, axis=(1, 2), keepdims=True)
+                )
+                x = jnp.clip(x, lo, hi)
+                x = (x - lo) / jnp.maximum(hi - lo, 1e-12) * 0.983
+            canvas = jnp.zeros((canvas_h, canvas_w, n_ch), jnp.float32)
+            canvas = jax.lax.dynamic_update_slice(
+                canvas, jnp.moveaxis(x, 0, -1), (m, m, 0)
+            )
+            probs = core(params, canvas, win)
+            if classes is not None:
+                probs = probs[..., list(classes)]
+            return (probs * 255.0).astype(jnp.uint8)
+
+        return jax.jit(run)
+
+    def infer_slide_stack(
+        self,
+        raws,
+        outlier: float = -1,
+        rescale: bool = True,
+        classes=None,
+    ) -> np.ndarray:
+        """Raw [C] channel planes -> uint8 [K, H, W] maps (duo plumbing,
+        per-channel ranges); otherwise :meth:`infer_slide` semantics."""
+        planes = [
+            r.astype(np.uint16) if r.dtype == np.float32 else r for r in raws
+        ]
+        if len(planes) != self.hp.n_channels:
+            raise ValueError(
+                f"model expects {self.hp.n_channels} channels, got "
+                f"{len(planes)}"
+            )
+        raw = np.stack(planes)
+        if classes is not None:
+            classes = tuple(int(c) for c in classes)
+        _, height, width = raw.shape
+        key = ("slide_stack", height, width, np.dtype(raw.dtype), outlier,
+               rescale, classes)
+        jitted = self._compiled.get_or_build(
+            key,
+            lambda: self._build_slide_stack(
+                height, width, raw.dtype, outlier, rescale, classes
+            ),
+        )
+        window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
+        out = jitted(self.params, jnp.asarray(raw), jnp.asarray(window))
+        return np.moveaxis(np.asarray(out), -1, 0)
