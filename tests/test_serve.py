@@ -252,3 +252,32 @@ def test_infer_missing_channel_400(server_url, tmp_path, rng):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=60)
     assert ei.value.code == 400
+
+
+def test_serve_duo_two_channel(tmp_path, rng):
+    """channel=0,1 routes a two-channel (duo) read through
+    infer_slide_stack; channel count mismatches get a clean error."""
+    from tests.test_cli_variants import _make_model_dir
+    from unmicst_tpu.core.hp import HParams
+
+    zoo = str(tmp_path / "zoo")
+    os.makedirs(zoo)
+    _make_model_dir(
+        zoo, "duoTest",
+        HParams(im_size=32, n_channels=2, n_classes=3, n_out0=4, ks=3,
+                n_layers=2),
+        "duo",
+    )
+    srv = ModelServer(model_root=zoo, precision="float32")
+    src = str(tmp_path / "in.tif")
+    for i in range(3):
+        imwrite(src, (rng.rand(60, 72) * 60000).astype(np.uint16),
+                bigtiff=False, append=i > 0)
+    body, meta = srv.infer_tiff_path(src, "duoTest", [0, 2], True, -1)
+    assert meta["shape"] == [60, 72] and meta["classes"] == 3
+    # order matters: distinct planes feed distinct net channels
+    body2, _ = srv.infer_tiff_path(src, "duoTest", [2, 0], True, -1)
+    assert body != body2
+    # 3 channels into a 2-channel model -> ValueError (handler maps to 400)
+    with pytest.raises(ValueError):
+        srv.infer_tiff_path(src, "duoTest", [0, 1, 2], True, -1)

@@ -78,30 +78,56 @@ class ModelServer:
             )
 
     def infer_tiff_path(
-        self, path: str, model: str, channel: int, rescale: bool,
+        self, path: str, model: str, channel, rescale: bool,
         outlier: float,
     ) -> Tuple[bytes, dict]:
-        """Run one channel of any supported container (TIFF/CZI/ND2 —
+        """Run channel(s) of any supported container (TIFF/CZI/ND2 —
         sniffed from magic bytes, uploads carry no trustworthy name)
         through the resident model; OME-aware channel mapping like the
-        CLI.  Name kept from when only TIFF bodies were accepted."""
+        CLI.  ``channel``: one index, or a 2-sequence for duo-style
+        2-channel models.  Name kept from when only TIFF bodies were
+        accepted."""
+        import contextlib
+
         from unmicst_tpu.io.slides import open_channel_source, sniff_format
 
         fmt = sniff_format(path)
-        with open_channel_source(path, fmt, channel) as src:
-            shape = (src.height, src.width)
+        channels = (
+            list(channel) if isinstance(channel, (list, tuple))
+            else [channel]
+        )
+        with contextlib.ExitStack() as stack:
+            srcs = [
+                stack.enter_context(open_channel_source(path, fmt, c))
+                for c in channels
+            ]
+            shape = (srcs[0].height, srcs[0].width)
+            if any((s.height, s.width) != shape for s in srcs):
+                raise ValueError("channel planes disagree on dimensions")
             t0 = time.perf_counter()
             if shape[0] * shape[1] > self.stream_above_px:
                 # mega-slide POST: bounded memory, windowed reads from the
                 # spooled temp file
-                maps = self.engine(model, "stream").infer(
-                    src, outlier=outlier, rescale=rescale
-                )
+                eng = self.engine(model, "stream")
+                if len(srcs) > 1:
+                    maps = eng.infer_stack(
+                        srcs, outlier=outlier, rescale=rescale
+                    )
+                else:
+                    maps = eng.infer(
+                        srcs[0], outlier=outlier, rescale=rescale
+                    )
             else:
-                raw = src.read_rows(0, shape[0])
-                maps = self.engine(model).infer_slide(
-                    raw, outlier=outlier, rescale=rescale
-                )
+                raws = [s.read_rows(0, shape[0]) for s in srcs]
+                eng = self.engine(model)
+                if len(raws) > 1:
+                    maps = eng.infer_slide_stack(
+                        raws, outlier=outlier, rescale=rescale
+                    )
+                else:
+                    maps = eng.infer_slide(
+                        raws[0], outlier=outlier, rescale=rescale
+                    )
             infer_s = time.perf_counter() - t0
         return self._encode(
             maps, model, shape, shape[0] * shape[1], infer_s
@@ -173,7 +199,14 @@ def make_handler(server: ModelServer):
             model = q.get("model", ["nucleiDAPI"])[0]
             rescale = q.get("rescale", ["1"])[0] != "0"
             try:
-                channel = int(q.get("channel", ["0"])[0])
+                # repeated channel params or "0,1" select a 2-channel
+                # (duo) read
+                chan_vals = [
+                    int(x)
+                    for v in q.get("channel", ["0"])
+                    for x in v.split(",") if x != ""
+                ]
+                channel = chan_vals[0] if len(chan_vals) == 1 else chan_vals
                 outlier = float(q.get("outlier", ["-1"])[0])
                 length = int(self.headers.get("Content-Length", "0"))
             except ValueError as e:
