@@ -145,3 +145,17 @@ def test_infer_slide_stack_matches_host_path(small_model, rng):
     sub = eng.infer_slide_stack([a, b], classes=(2, 0))
     assert np.abs(sub[0].astype(int) - maps[2].astype(int)).max() == 0
     assert np.abs(sub[1].astype(int) - maps[0].astype(int)).max() == 0
+
+
+def test_infer_slide_rescale_false_rejects_unknown_dtype(small_model, rng):
+    """rescale=False needs a known im2double scale; other dtypes raise
+    (the streaming engine applies the same guard) instead of silently
+    feeding unnormalized values."""
+    hp, params = small_model
+    eng = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8)
+    bad = (rng.rand(40, 40) * 1000).astype(np.int16)
+    with pytest.raises(ValueError, match="uint8/uint16"):
+        eng.infer_slide(bad, rescale=False)
+    # with rescale the data-derived range normalizes any dtype
+    ok = eng.infer_slide(bad, rescale=True)
+    assert ok.dtype == np.uint8

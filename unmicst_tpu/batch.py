@@ -240,9 +240,7 @@ def run_sweep(
                 contours, nuclei = engine.infer_slide(
                     raw, outlier=outlier, classes=(1, 2)
                 )
-                preview = pp.preview_u8_from_raw(
-                    raw.astype(np.uint16) if raw.dtype == np.float32 else raw
-                )
+                preview = pp.preview_u8_from_raw(raw)  # parity-casts float32
             else:
                 pc = pp.preprocess_channel(raw, scaling_factor, outlier)
                 probs = engine.infer(pc.net_input.astype(np.float32))

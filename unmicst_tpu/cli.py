@@ -431,12 +431,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         }
         raw_planes = [raw_by_chan[c] for c in chans]
         use_rescaled = True  # the un-rescaled-input quirk is solo-only
-        if args.scalingFactor == 1 and all(
+        if args.scalingFactor == 1 and not args.check_numerics and all(
             r.dtype in (np.uint8, np.uint16) for r in raw_planes
         ):
             # device-side stack path: per-channel ranges computed on-chip
             slide_raw = raw_planes
-            net_image, raw_shape = None, raw_planes[-1].shape
+            net_image, raw_shape = raw_planes[-1], raw_planes[-1].shape
             # duo preview shows the LAST channel read (UnMicst2.py:776,792)
             preview = pp.preview_u8_from_raw(raw_planes[-1])
         else:
@@ -459,8 +459,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         # uint16 up and uint8 maps down (~3x fewer bytes than the float32
         # canvas/probs round trip); measured <= 1 uint8 level vs the host
         # path and vs the reference goldens
+        # --check-numerics must see float maps (uint8 would hide NaN/Inf
+        # behind the device quantization), so it pins the float path
         slide_raw = (
-            raw if args.scalingFactor == 1
+            raw if args.scalingFactor == 1 and not args.check_numerics
             and raw.dtype in (np.uint8, np.uint16) else None
         )
         if slide_raw is not None:

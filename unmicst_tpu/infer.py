@@ -59,11 +59,12 @@ def plan_stripes(npr: int, npc: int, tile_batch: int) -> tuple:
     v5e A/B table in BASELINE.md rather than a cost model — the measured
     landscape is: one whole-image "stripe" wins while total tiles fit a
     small multiple of tile_batch (no scan, no carried-canvas RMW); beyond
-    that, the SMALLEST R whose remainder batch is a sliver (<= 10% of
-    stripe tiles) wins, and growing stripes further always lost
-    (presumably unfold/probs buffers start evicting the canvas from HBM
-    locality).  Verified picks: 4k->whole, 8k->R3, 12k->R2, 16k->R3,
-    20k->R4 on the legacy net at tile_batch 256.
+    that, the SMALLEST R whose remainder batch is at most ~20% of stripe
+    tiles wins, and growing stripes further always lost (presumably
+    unfold/probs buffers start evicting the canvas from HBM locality).
+    Verified picks: 4k->whole, 8k->R3, 12k->R2, 16k->R3, 20k->R3 on the
+    legacy net at tile_batch 256 (in BOTH precision modes for the
+    threshold-deciding 20k case).
     """
     if npr * npc <= 8 * tile_batch:
         return npr, min(tile_batch, npr * npc)
@@ -296,8 +297,8 @@ class InferenceEngine:
     # -- device-side end-to-end slide path -----------------------------------
 
     def _build_slide(self, height: int, width: int, in_dtype, outlier: float,
-                     rescale: bool, classes=None):
-        """Jitted raw-slide pipeline: uint16 in, uint8 maps out.
+                     rescale: bool, classes=None, n_in: int = 0):
+        """Jitted raw-slide pipeline: uint8/uint16 in, uint8 maps out.
 
         Fuses the host preprocessing (``UnMicst1-5.py:817-821``:
         ``rescale_intensity(in=(min, max|percentile), out=(0, 0.983))`` +
@@ -305,29 +306,49 @@ class InferenceEngine:
         onto the device, so the host link carries raw pixels in (2 B/px)
         and uint8 maps out (K B/px) instead of float32 both ways — the
         dominant cost on PCIe/tunnel-attached hosts.
+
+        ``n_in == 0``: a single [H, W] plane broadcast into every net
+        channel (solo/legacy/cyto).  ``n_in > 0``: an [n_in, H, W] stack
+        with per-channel intensity ranges (duo, ``UnMicst2.py:760-788``).
         """
         hp = self.hp
         grid = tiler.make_grid(height, width, hp.im_size, hp.margin)
         scale = {np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0}.get(
-            np.dtype(in_dtype), 1.0
+            np.dtype(in_dtype)
         )
+        if scale is None and not rescale:
+            # with rescale the data-derived (lo, hi) normalizes any dtype;
+            # without it the im2double scale must be known (the streaming
+            # engine applies the same guard)
+            raise ValueError(
+                f"device slide path (rescale=False) requires uint8/uint16 "
+                f"input, got {np.dtype(in_dtype)}"
+            )
         core, _, canvas_h, canvas_w = self._get(height, width)
         n_ch = hp.n_channels
         m = grid.margin
 
         def run(params, raw, win):
-            x = raw.astype(jnp.float32) / scale  # im2double
+            x = raw.astype(jnp.float32)
+            if scale is not None:
+                x = x / scale  # im2double
+            planes = x[None] if n_in == 0 else x  # [C0, H, W]
             if rescale:
-                lo = jnp.min(x)
-                hi = jnp.percentile(x, outlier) if outlier != -1 else jnp.max(x)
-                x = jnp.clip(x, lo, hi)
-                x = (x - lo) / jnp.maximum(hi - lo, 1e-12) * 0.983
+                lo = jnp.min(planes, axis=(1, 2), keepdims=True)
+                hi = (
+                    jnp.percentile(planes, outlier, axis=(1, 2), keepdims=True)
+                    if outlier != -1
+                    else jnp.max(planes, axis=(1, 2), keepdims=True)
+                )
+                planes = jnp.clip(planes, lo, hi)
+                planes = (planes - lo) / jnp.maximum(hi - lo, 1e-12) * 0.983
+            body = jnp.moveaxis(planes, 0, -1)  # [H, W, C0]
+            if body.shape[-1] != n_ch:
+                body = jnp.broadcast_to(
+                    body[..., :1], (height, width, n_ch)
+                )
             canvas = jnp.zeros((canvas_h, canvas_w, n_ch), jnp.float32)
-            canvas = jax.lax.dynamic_update_slice(
-                canvas,
-                jnp.broadcast_to(x[:, :, None], (height, width, n_ch)),
-                (m, m, 0),
-            )
+            canvas = jax.lax.dynamic_update_slice(canvas, body, (m, m, 0))
             probs = core(params, canvas, win)  # (H, W, K) f32 — inlined jit
             if classes is not None:
                 # only the requested planes ride the link back (non-stack
@@ -370,43 +391,6 @@ class InferenceEngine:
 
     # -- device-side multi-channel (duo) slide path --------------------------
 
-    def _build_slide_stack(self, height: int, width: int, in_dtype,
-                           outlier: float, rescale: bool, classes=None):
-        """Jitted raw-stack pipeline: [C, H, W] uint16 in, uint8 maps out.
-
-        Per-channel intensity ranges, matching the duo CLI's per-channel
-        ``rescale_intensity`` (``UnMicst2.py:760-788``)."""
-        hp = self.hp
-        grid = tiler.make_grid(height, width, hp.im_size, hp.margin)
-        scale = {np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0}.get(
-            np.dtype(in_dtype), 1.0
-        )
-        core, _, canvas_h, canvas_w = self._get(height, width)
-        n_ch = hp.n_channels
-        m = grid.margin
-
-        def run(params, raw, win):
-            x = raw.astype(jnp.float32) / scale  # im2double, [C, H, W]
-            if rescale:
-                lo = jnp.min(x, axis=(1, 2), keepdims=True)
-                hi = (
-                    jnp.percentile(x, outlier, axis=(1, 2), keepdims=True)
-                    if outlier != -1
-                    else jnp.max(x, axis=(1, 2), keepdims=True)
-                )
-                x = jnp.clip(x, lo, hi)
-                x = (x - lo) / jnp.maximum(hi - lo, 1e-12) * 0.983
-            canvas = jnp.zeros((canvas_h, canvas_w, n_ch), jnp.float32)
-            canvas = jax.lax.dynamic_update_slice(
-                canvas, jnp.moveaxis(x, 0, -1), (m, m, 0)
-            )
-            probs = core(params, canvas, win)
-            if classes is not None:
-                probs = probs[..., list(classes)]
-            return (probs * 255.0).astype(jnp.uint8)
-
-        return jax.jit(run)
-
     def infer_slide_stack(
         self,
         raws,
@@ -432,8 +416,9 @@ class InferenceEngine:
                rescale, classes)
         jitted = self._compiled.get_or_build(
             key,
-            lambda: self._build_slide_stack(
-                height, width, raw.dtype, outlier, rescale, classes
+            lambda: self._build_slide(
+                height, width, raw.dtype, outlier, rescale, classes,
+                n_in=len(planes),
             ),
         )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)

@@ -136,8 +136,11 @@ class StreamingEngine:
             # chunks are ~25% faster per tile (BASELINE.md stripe-autotune
             # landscape); bigger stripes also amortize host round-trips
             if grid.npc:
+                # candidates capped at npr so the clamp below never
+                # discards the minimized pick for short slides
+                lo = min(S, grid.npr)
                 S = min(
-                    range(S, S + 4),
+                    range(lo, min(S + 4, grid.npr + 1)),
                     key=lambda s: ((s + 1) * grid.npc) % self.tile_batch
                     / ((s + 1) * grid.npc),
                 )

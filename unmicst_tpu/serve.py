@@ -119,6 +119,9 @@ class ModelServer:
                     )
             else:
                 raws = [s.read_rows(0, shape[0]) for s in srcs]
+                # meta's infer_s/mpx_per_s time only engine work, not the
+                # container decode above (keeps the metric comparable)
+                t0 = time.perf_counter()
                 eng = self.engine(model)
                 if len(raws) > 1:
                     maps = eng.infer_slide_stack(
