@@ -33,7 +33,7 @@ BASELINE_CPU_MPX_S = float(os.environ.get("UNMICST_BASELINE_MPX_S", "0.121"))
 
 SIZE = int(os.environ.get("BENCH_SIZE", "4096"))
 PRECISION = os.environ.get("BENCH_PRECISION", "float32")
-TILE_BATCH = int(os.environ.get("BENCH_TILE_BATCH", "256"))
+TILE_BATCH = int(os.environ.get("BENCH_TILE_BATCH", "0"))  # 0 = per-model optimum
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 PEAK_BF16 = 197e12  # TPU v5e MXU peak (bf16 pass)
 
@@ -61,7 +61,7 @@ def main() -> None:
     compute_dtype, mxu_precision = precision_mode(PRECISION)
     engine = InferenceEngine.from_bundle(
         bundle, params, compute_dtype=compute_dtype, precision=mxu_precision,
-        tile_batch=TILE_BATCH,
+        tile_batch=TILE_BATCH or None,
     )
 
     rng = np.random.RandomState(0)

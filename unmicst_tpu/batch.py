@@ -122,7 +122,7 @@ def run_sweep(
     std: float = -1,
     compute_dtype=None,
     precision: Optional[str] = None,
-    tile_batch: int = 256,
+    tile_batch: Optional[int] = None,
     shard_index: int = 0,
     num_shards: int = 1,
     resume: bool = True,

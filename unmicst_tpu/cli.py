@@ -98,7 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
         "extreme pixels — the single-pass MXU rounding, distributed "
         "across layers, see scripts/precision_bisect_report.json)",
     )
-    p.add_argument("--tileBatch", type=int, default=256)  # measured MXU-optimal (BASELINE.md sweep)
+    p.add_argument(
+        "--tileBatch", type=int, default=0,
+        help="tiles per forward batch; 0 = per-model optimum (measured: "
+        "256 for 128-px tiles, 128 for 64-px tiles, BASELINE.md)",
+    )
     p.add_argument("--stats", action="store_true", help="print stage timings + Mpx/s")
     p.add_argument(
         "--engine", choices=["auto", "whole", "streaming"], default="auto",
@@ -228,7 +232,7 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
     compute_dtype, mxu_precision = precision_mode(args.precision)
     stream = StreamingEngine.from_bundle(
         bundle, params, compute_dtype=compute_dtype,
-        precision=mxu_precision, tile_batch=args.tileBatch
+        precision=mxu_precision, tile_batch=args.tileBatch or None
     )
     # non-stack output needs only the contour+nuclei planes; fetching just
     # those cuts a third of the device->host traffic
@@ -485,7 +489,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     compute_dtype, mxu_precision = precision_mode(args.precision)
     engine = InferenceEngine.from_bundle(
         bundle, params, compute_dtype=compute_dtype,
-        precision=mxu_precision, tile_batch=args.tileBatch
+        precision=mxu_precision, tile_batch=args.tileBatch or None
     )
     t_load = time.perf_counter()
 

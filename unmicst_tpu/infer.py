@@ -43,6 +43,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def default_tile_batch(im_size: int) -> int:
+    """Measured MXU-optimal forward batch per tile size (BASELINE.md
+    sweeps on v5e): 256 for 128^2-tile models (legacy), 128 for
+    64^2-tile models (the v2 solo default: 118.8 vs 108.1 TFLOP/s at
+    8192^2 bf16).  Callers pass tile_batch=None to get this."""
+    return 128 if im_size <= 64 else 256
+
+
 def plan_stripes(npr: int, npc: int, tile_batch: int) -> tuple:
     """Choose the stripe geometry: (R tile-rows per stripe, forward chunk).
 
@@ -103,7 +111,7 @@ class InferenceEngine:
         *,
         compute_dtype=None,
         precision=None,
-        tile_batch: int = 128,
+        tile_batch: Optional[int] = None,
         accum_dtype=jnp.float32,
         stack_fold_max_bytes: int = 1 << 30,
     ):
@@ -114,7 +122,7 @@ class InferenceEngine:
         self.std = float(std)
         self.compute_dtype = compute_dtype
         self.precision = precision
-        self.tile_batch = int(tile_batch)
+        self.tile_batch = int(tile_batch or default_tile_batch(hp.im_size))
         self.accum_dtype = accum_dtype
         self.stack_fold_max_bytes = int(stack_fold_max_bytes)
         # bounded, thread-safe program cache: long-running services see

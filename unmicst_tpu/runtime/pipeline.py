@@ -96,7 +96,7 @@ class StreamingEngine:
         *,
         compute_dtype=jnp.bfloat16,
         precision=None,
-        tile_batch: int = 256,
+        tile_batch: Optional[int] = None,
         stripe_tile_rows: Optional[int] = None,
         in_flight: int = 4,
     ):
@@ -107,7 +107,9 @@ class StreamingEngine:
         self.std = float(std)
         self.compute_dtype = compute_dtype
         self.precision = precision
-        self.tile_batch = tile_batch
+        from unmicst_tpu.infer import default_tile_batch
+
+        self.tile_batch = int(tile_batch or default_tile_batch(hp.im_size))
         self.stripe_tile_rows = stripe_tile_rows
         self.in_flight = in_flight
         # bounded + locked: serving routes mega-slides here, one compiled
