@@ -43,12 +43,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def default_tile_batch(im_size: int) -> int:
-    """Measured MXU-optimal forward batch per tile size (BASELINE.md
-    sweeps on v5e): 256 for 128^2-tile models (legacy), 128 for
-    64^2-tile models (the v2 solo default: 118.8 vs 108.1 TFLOP/s at
-    8192^2 bf16).  Callers pass tile_batch=None to get this."""
-    return 128 if im_size <= 64 else 256
+def default_tile_batch(im_size: int, compute_dtype=None) -> int:
+    """Measured MXU-optimal forward batch (BASELINE.md sweeps on v5e).
+
+    256 everywhere except 64^2-tile models in bf16, where 128 wins
+    (118.8 vs 108.1 TFLOP/s at 8192^2); in the HIGH parity mode the same
+    model prefers 256 again (47.6 vs 45.7 TFLOP/s) — the optimum depends
+    on both tile size and MXU pass count.  Callers pass tile_batch=None
+    to get this."""
+    if im_size <= 64 and compute_dtype == jnp.bfloat16:
+        return 128
+    return 256
 
 
 def plan_stripes(npr: int, npc: int, tile_batch: int) -> tuple:
@@ -122,7 +127,9 @@ class InferenceEngine:
         self.std = float(std)
         self.compute_dtype = compute_dtype
         self.precision = precision
-        self.tile_batch = int(tile_batch or default_tile_batch(hp.im_size))
+        self.tile_batch = int(
+            tile_batch or default_tile_batch(hp.im_size, compute_dtype)
+        )
         self.accum_dtype = accum_dtype
         self.stack_fold_max_bytes = int(stack_fold_max_bytes)
         # bounded, thread-safe program cache: long-running services see

@@ -109,7 +109,9 @@ class StreamingEngine:
         self.precision = precision
         from unmicst_tpu.infer import default_tile_batch
 
-        self.tile_batch = int(tile_batch or default_tile_batch(hp.im_size))
+        self.tile_batch = int(
+            tile_batch or default_tile_batch(hp.im_size, compute_dtype)
+        )
         self.stripe_tile_rows = stripe_tile_rows
         self.in_flight = in_flight
         # bounded + locked: serving routes mega-slides here, one compiled
