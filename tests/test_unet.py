@@ -174,3 +174,34 @@ def test_precision_modes_accepted():
     assert precision_mode("float32") == (None, "high")
     assert precision_mode("highest") == (None, "highest")
     assert precision_mode("bfloat16")[0] == jnp.bfloat16
+
+
+@pytest.mark.parametrize("variant,extra", [
+    ("v2", 0), ("legacy", 0), ("duo", 0), ("legacy", 1),
+])
+def test_residual_fusion_matches_unfused(variant, extra, rng):
+    """Inference folds conv(x,K1)+conv(x,shortcut) into one conv when no
+    extra convs exist (ks x ks add for v2, center-tap embed for the 1x1
+    legacy shortcut); the unfused graph (fusion disabled) is the oracle,
+    and extras must leave the graph unfused entirely."""
+    hp = HParams(im_size=32, n_channels=2 if variant == "duo" else 1,
+                 n_classes=3, n_out0=4, ks=3, n_layers=2,
+                 n_extra_convs=extra, std_dev0=0.3)
+    params = unet.init_params(jax.random.PRNGKey(0), hp, variant)
+    x = jnp.asarray(
+        rng.randn(2, 32, 32, hp.n_channels).astype(np.float32)
+    )
+    layer0 = params["down"][0]
+    fusible = unet._fuse_residual(layer0, train=False)
+    assert (fusible is None) == (extra > 0)
+    assert unet._fuse_residual(layer0, train=True) is None
+    fused_out = unet.apply(params, x, hp, variant)
+    orig = unet._fuse_residual
+    unet._fuse_residual = lambda layer, train: None
+    try:
+        unfused_out = unet.apply(params, x, hp, variant)
+    finally:
+        unet._fuse_residual = orig
+    np.testing.assert_allclose(
+        np.asarray(fused_out), np.asarray(unfused_out), atol=2e-5
+    )

@@ -308,6 +308,24 @@ def init_params(
 # ---------------------------------------------------------------------------
 
 
+def _fuse_residual(layer, train: bool):
+    """Inference-time kernel for ``conv(h,K1) + conv(h,shortcut)`` as one
+    conv, or None when the fold doesn't apply (extras break linearity;
+    training needs the kernels separate for grads/regularizers).
+
+    A 1x1 legacy shortcut embeds at the center tap of an odd ks x ks
+    kernel (exactly equal under SAME padding)."""
+    if train or layer["extra"]:
+        return None
+    k1, ks = layer["kernel1"], layer["shortcut"]
+    if k1.shape == ks.shape:
+        return k1 + ks
+    kh, kw = k1.shape[:2]
+    if ks.shape[:2] == (1, 1) and kh % 2 and kw % 2:
+        return k1.at[kh // 2, kw // 2].add(ks[0, 0])
+    return None
+
+
 def apply(
     params: Params,
     x: jnp.ndarray,
@@ -353,11 +371,20 @@ def apply(
     h = x
     for i, layer in enumerate(params["down"]):
         skips.append(h)
-        c = conv_p(h, layer["kernel1"], compute_dtype)
-        for ke in layer["extra"]:
-            c = conv_p(act(c), ke, compute_dtype)
-        short = conv_p(h, layer["shortcut"], compute_dtype)
-        pre = c + short
+        fused = _fuse_residual(layer, train)
+        if fused is not None:
+            # conv(h,K1)+conv(h,Ks) == conv(h,K1+Ks) by linearity: with no
+            # extra convs both kernels see the same input, so the residual
+            # add folds into the weights — half the down-path conv FLOPs
+            # for every v2 zoo model (nExtraConvs=0). Inference only:
+            # training needs separate grads/regularizers per kernel.
+            pre = conv_p(h, fused, compute_dtype)
+        else:
+            c = conv_p(h, layer["kernel1"], compute_dtype)
+            for ke in layer["extra"]:
+                c = conv_p(act(c), ke, compute_dtype)
+            short = conv_p(h, layer["shortcut"], compute_dtype)
+            pre = c + short
 
         def set_down_bn(nb, i=i):
             new_params["down"][i]["bn"] = nb

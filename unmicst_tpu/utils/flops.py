@@ -12,11 +12,18 @@ from unmicst_tpu.core.hp import HParams
 from unmicst_tpu.core.unet import get_variant
 
 
-def unet_flops_per_tile(hp: HParams, variant: str = "legacy") -> int:
-    """FLOPs of one forward pass over a single ``im_size`` x ``im_size`` tile."""
+def unet_flops_per_tile(hp: HParams, variant: str = "legacy",
+                        fused_residual: bool = True) -> int:
+    """FLOPs of one INFERENCE forward over an ``im_size`` x ``im_size`` tile.
+
+    ``fused_residual``: with no extra convs, `core/unet.py` folds the
+    down-layer shortcut into kernel1 at inference (linearity), so the
+    shortcut conv costs nothing; pass False for the training graph /
+    pre-fusion accounting."""
     widths = hp.n_out_x
     ks2 = hp.ks * hp.ks
     legacy = get_variant(variant).legacy
+    fused = fused_residual and hp.n_extra_convs == 0
     s = hp.im_size
     total = 0
     # down path
@@ -25,8 +32,9 @@ def unet_flops_per_tile(hp: HParams, variant: str = "legacy") -> int:
         hw = res * res
         total += 2 * hw * ks2 * widths[i] * widths[i + 1]  # kernel1
         total += 2 * hw * ks2 * widths[i + 1] * widths[i + 1] * hp.n_extra_convs
-        sc_k2 = 1 if legacy else ks2  # 1x1 legacy / ks x ks v2 shortcut
-        total += 2 * hw * sc_k2 * widths[i] * widths[i + 1]
+        if not fused:
+            sc_k2 = 1 if legacy else ks2  # 1x1 legacy / ks x ks v2 shortcut
+            total += 2 * hw * sc_k2 * widths[i] * widths[i + 1]
         res //= hp.down_samp_fact
     # bottom
     total += 2 * res * res * ks2 * widths[hp.n_layers] * widths[hp.n_layers + 1]
