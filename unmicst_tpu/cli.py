@@ -175,6 +175,18 @@ def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
     return _read(image_path, file_type, channel)
 
 
+def _device_slide_ok(args, planes) -> bool:
+    """Gate for the device-side scale-1 slide path (shared by the solo/
+    legacy/cyto and duo branches): on-chip preprocessing requires scale 1
+    and a known im2double dtype; --check-numerics must see float maps
+    (uint8 would quantize NaN/Inf away), so it pins the float path."""
+    return (
+        args.scalingFactor == 1
+        and not args.check_numerics
+        and all(p.dtype in (np.uint8, np.uint16) for p in planes)
+    )
+
+
 def _write_outputs(args, stem, out_path, cyto, dapi_channel, class_order,
                    get_page, raw_preview_u8) -> None:
     """The output-file contract, shared by both engines.
@@ -435,9 +447,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         }
         raw_planes = [raw_by_chan[c] for c in chans]
         use_rescaled = True  # the un-rescaled-input quirk is solo-only
-        if args.scalingFactor == 1 and not args.check_numerics and all(
-            r.dtype in (np.uint8, np.uint16) for r in raw_planes
-        ):
+        if _device_slide_ok(args, raw_planes):
             # device-side stack path: per-channel ranges computed on-chip
             slide_raw = raw_planes
             net_image, raw_shape = raw_planes[-1], raw_planes[-1].shape
@@ -463,12 +473,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         # uint16 up and uint8 maps down (~3x fewer bytes than the float32
         # canvas/probs round trip); measured <= 1 uint8 level vs the host
         # path and vs the reference goldens
-        # --check-numerics must see float maps (uint8 would hide NaN/Inf
-        # behind the device quantization), so it pins the float path
-        slide_raw = (
-            raw if args.scalingFactor == 1 and not args.check_numerics
-            and raw.dtype in (np.uint8, np.uint16) else None
-        )
+        slide_raw = raw if _device_slide_ok(args, [raw]) else None
         if slide_raw is not None:
             preview = pp.preview_u8_from_raw(raw)  # LUT path, no float64 pass
             net_image, raw_shape = raw, raw.shape

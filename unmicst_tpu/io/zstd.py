@@ -78,6 +78,8 @@ def _load_backend() -> None:
 
 def available() -> bool:
     """True when some zstd backend (package or system library) exists."""
+    if _backend is not None:  # lock-free fast path (per-sub-block call)
+        return True
     with _lock:
         if _backend is None and _backend_err is None:
             _load_backend()
