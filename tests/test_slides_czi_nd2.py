@@ -529,3 +529,16 @@ def test_readers_survive_fuzz(tmp_path, rng):
                 assert out.size <= 1 << 34  # guarded allocation
             except allowed:
                 pass
+
+
+def test_preview_u8_lut_matches_float(tmp_path, rng):
+    """The integer-LUT preview equals the per-pixel float32 formula."""
+    from unmicst_tpu.io.slides import ChannelSource, preview_u8
+
+    plane = (rng.rand(50, 60) * 60000).astype(np.uint16)
+    src = ChannelSource(50, 60, np.uint16,
+                        lambda r0, n: plane[r0 : r0 + n])
+    got = preview_u8(src)
+    vmax = float(plane.max())
+    expect = np.uint8(255 * (plane.astype(np.float32) / vmax))
+    np.testing.assert_array_equal(got, expect)

@@ -161,17 +161,28 @@ class ChannelSource:
 def preview_u8(src: "ChannelSource") -> np.ndarray:
     """uint8(255 * raw/max) preview plane built chunk-wise (1 B/px host
     footprint) — the qc Preview/raw page both CLI streaming and batch
-    sweeps attach (``UnMicst1-5.py:845-848`` raw page semantics)."""
+    sweeps attach (``UnMicst1-5.py:845-848`` raw page semantics).
+
+    Integer sources scale through a value lookup table (bit-identical to
+    the per-pixel float32 math; the float pass over a 400 Mpx slide costs
+    tens of seconds on weak hosts)."""
     h, w = src.height, src.width
     chunk = max(1, (64 << 20) // max(1, w * 2))
     vmax = 0.0
     for r0 in range(0, h, chunk):
         vmax = max(vmax, float(src.read_rows(r0, min(chunk, h - r0)).max()))
+    dt = np.dtype(src.dtype)
+    lut = None
+    if dt in (np.dtype(np.uint8), np.dtype(np.uint16)):
+        values = np.arange(65536 if dt == np.uint16 else 256, dtype=dt)
+        lut = np.uint8(255 * (values.astype(np.float32) / max(vmax, 1e-12)))
     out = np.empty((h, w), np.uint8)
     for r0 in range(0, h, chunk):
         rows = src.read_rows(r0, min(chunk, h - r0))
-        out[r0 : r0 + rows.shape[0]] = np.uint8(
-            255 * (rows.astype(np.float32) / max(vmax, 1e-12))
+        out[r0 : r0 + rows.shape[0]] = (
+            lut[rows] if lut is not None else np.uint8(
+                255 * (rows.astype(np.float32) / max(vmax, 1e-12))
+            )
         )
     return out
 
