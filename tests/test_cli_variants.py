@@ -155,3 +155,22 @@ def test_solo_ome_stem_and_classorder(zoo, tmp_path, rng):
     )
     assert rc == 0
     assert num_pages(str(out / "a.b_Probabilities_1.tif")) == 3
+
+
+def test_cyto2_streaming_shared_stats_matches_whole(zoo, tmp_path, rng):
+    """Single-channel non-solo streaming at scale 1 threads the shared
+    histogram stats into the engine (stats= scalar path) — equality with
+    the whole-image engine pins it."""
+    img = tmp_path / "s" / "registration" / "c.ome.tif"
+    img.parent.mkdir(parents=True)
+    _write_stack(str(img), 1, rng, shape=(140, 90))
+    base = [str(img), "--tool", "UnMicstCyto2", "--model", "cytoTest",
+            "--modelRoot", zoo, "--stackOutput", "--outlier", "99.0"]
+    assert cli.main(base + ["--outputPath", str(tmp_path / "w"),
+                            "--engine", "whole"]) == 0
+    assert cli.main(base + ["--outputPath", str(tmp_path / "st"),
+                            "--engine", "streaming"]) == 0
+    for k in range(2):
+        a = imread(str(tmp_path / "w" / "c_Probabilities_0.tif"), k).astype(int)
+        b = imread(str(tmp_path / "st" / "c_Probabilities_0.tif"), k).astype(int)
+        assert np.abs(a - b).max() <= 1

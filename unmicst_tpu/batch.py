@@ -193,18 +193,24 @@ def run_sweep(
                 # virtual resized source streams off-scale slides too)
                 t0 = time.perf_counter()
                 with open_channel_source(slide, "tif", channel) as src:
-                    net_src = (
-                        src if scaling_factor == 1
-                        else pp.ResampledSource(src, scaling_factor)
-                    )
-                    contours, nuclei = stream_engine.infer(
-                        net_src, outlier=outlier, classes=(1, 2)
-                    )
-                    if scaling_factor != 1:
+                    if scaling_factor == 1:
+                        # one histogram pass serves the rescale range AND
+                        # the preview max (one less full-slide read)
+                        lo_s, hi_s, vm_s = src.stats(outlier, with_max=True)
+                        contours, nuclei = stream_engine.infer(
+                            src, outlier=outlier, classes=(1, 2),
+                            stats=(lo_s, hi_s),
+                        )
+                        raw_norm8 = preview_u8(src, vmax=vm_s)
+                    else:
+                        net_src = pp.ResampledSource(src, scaling_factor)
+                        contours, nuclei = stream_engine.infer(
+                            net_src, outlier=outlier, classes=(1, 2)
+                        )
                         raw_shape = (src.height, src.width)
                         contours = pp.upscale_pm(contours, raw_shape)
                         nuclei = pp.upscale_pm(nuclei, raw_shape)
-                    raw_norm8 = preview_u8(src)
+                        raw_norm8 = preview_u8(src)
                 dt = time.perf_counter() - t0
                 cfile = os.path.join(
                     this_out, f"{stem}_ContoursPM_{channel + 1}.tif"

@@ -273,6 +273,15 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
     try:
         for c in dict.fromkeys(chans):
             srcs[c] = open_channel_source(args.imagePath, file_type, c)
+        # at scale 1 one histogram pass per channel yields BOTH the rescale
+        # range and the preview max — the slide is read once less (matters
+        # for multi-hundred-Mpx streams on slow disks)
+        shared_stats, vmaxes = {}, {}
+        if sf == 1 and tool != "unmicst-solo":
+            for c, s in srcs.items():
+                lo_c, hi_c, vm_c = s.stats(args.outlier, with_max=True)
+                shared_stats[c] = (lo_c, hi_c)
+                vmaxes[c] = vm_c
         with trace_ctx:
             # --scalingFactor != 1: stream against a virtual resized slide
             # (row-exact resize_rows blocks, UnMicst1-5.py:813-815
@@ -285,6 +294,10 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
                 maps = stream.infer_stack(
                     [wrap(srcs[c]) for c in chans], outlier=args.outlier,
                     classes=classes,
+                    stats=(
+                        [shared_stats[c] for c in chans]
+                        if shared_stats else None
+                    ),
                 )
             else:
                 maps = stream.infer(
@@ -292,11 +305,12 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
                     outlier=args.outlier,
                     rescale=tool != "unmicst-solo",  # the v2-solo quirk
                     classes=classes,
+                    stats=shared_stats.get(dapi_channel),
                 )
             t_infer = time.perf_counter()
             raw_src = srcs[chans[-1]]  # duo preview = last channel
             raw_shape = (raw_src.height, raw_src.width)
-            raw_u8 = preview_u8(raw_src)
+            raw_u8 = preview_u8(raw_src, vmax=vmaxes.get(chans[-1]))
     finally:
         for s in srcs.values():
             s.close()

@@ -79,13 +79,15 @@ def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
 
 
 def _streamed_int_stats(read_rows, height: int, width: int, dtype,
-                        outlier: float) -> Tuple[float, float]:
-    """Exact (min, max | percentile) over a windowed integer source.
+                        outlier: float, with_max: bool = False):
+    """Exact (min, max | percentile[, max]) over a windowed integer source.
 
     64k-bin histogram over row chunks; percentile uses np.percentile's
     linear interpolation on the exact order statistics (integer values
     make the histogram lossless).  Mirrors the streaming engine's TIFF
-    stats path (``runtime/pipeline.py::global_stats``).
+    stats path (``runtime/pipeline.py::global_stats``).  ``with_max``
+    appends the true max — one histogram pass serves both the rescale
+    range and the preview scale (streamed slides are read once less).
     """
     dtype = np.dtype(dtype)
     if dtype == np.int16:
@@ -101,16 +103,19 @@ def _streamed_int_stats(read_rows, height: int, width: int, dtype,
         hist += np.bincount(rows.ravel(), minlength=65536)[:65536]
     nz = np.nonzero(hist)[0]
     lo = float(nz[0]) - offset
+    vmax = float(nz[-1]) - offset
     if outlier == -1:
-        return lo, float(nz[-1]) - offset
-    n = int(hist.sum())
-    pos = (n - 1) * outlier / 100.0
-    k = int(np.floor(pos))
-    frac = pos - k
-    cum = np.cumsum(hist)
-    v_k = float(np.searchsorted(cum, k + 1))
-    v_k1 = float(np.searchsorted(cum, k + 2)) if frac > 0 else v_k
-    return lo, v_k + frac * (v_k1 - v_k) - offset
+        hi = vmax
+    else:
+        n = int(hist.sum())
+        pos = (n - 1) * outlier / 100.0
+        k = int(np.floor(pos))
+        frac = pos - k
+        cum = np.cumsum(hist)
+        v_k = float(np.searchsorted(cum, k + 1))
+        v_k1 = float(np.searchsorted(cum, k + 2)) if frac > 0 else v_k
+        hi = v_k + frac * (v_k1 - v_k) - offset
+    return (lo, hi, vmax) if with_max else (lo, hi)
 
 
 class ChannelSource:
@@ -141,10 +146,11 @@ class ChannelSource:
             out[a - r0 : b - r0] = rows[: b - a]
         return out
 
-    def stats(self, outlier: float = -1) -> Tuple[float, float]:
+    def stats(self, outlier: float = -1, with_max: bool = False):
         return _streamed_int_stats(
             lambda r0, n: self.read_rows(r0, n),
             self.height, self.width, self.dtype, outlier,
+            with_max=with_max,
         )
 
     def close(self) -> None:
@@ -158,19 +164,24 @@ class ChannelSource:
         self.close()
 
 
-def preview_u8(src: "ChannelSource") -> np.ndarray:
+def preview_u8(src: "ChannelSource", vmax: float = None) -> np.ndarray:
     """uint8(255 * raw/max) preview plane built chunk-wise (1 B/px host
     footprint) — the qc Preview/raw page both CLI streaming and batch
     sweeps attach (``UnMicst1-5.py:845-848`` raw page semantics).
 
     Integer sources scale through a value lookup table (bit-identical to
     the per-pixel float32 math; the float pass over a 400 Mpx slide costs
-    tens of seconds on weak hosts)."""
+    tens of seconds on weak hosts).  ``vmax``: precomputed raw max (e.g.
+    from ``stats(..., with_max=True)``) — skips the max pass, reading the
+    slide once instead of twice."""
     h, w = src.height, src.width
     chunk = max(1, (64 << 20) // max(1, w * 2))
-    vmax = 0.0
-    for r0 in range(0, h, chunk):
-        vmax = max(vmax, float(src.read_rows(r0, min(chunk, h - r0)).max()))
+    if vmax is None:
+        vmax = 0.0
+        for r0 in range(0, h, chunk):
+            vmax = max(
+                vmax, float(src.read_rows(r0, min(chunk, h - r0)).max())
+            )
     dt = np.dtype(src.dtype)
     lut = None
     if dt in (np.dtype(np.uint8), np.dtype(np.uint16)):

@@ -331,17 +331,24 @@ class StreamingEngine:
         rescale: bool = True,
         out: Optional[np.ndarray] = None,
         classes=None,
+        stats: Optional[Tuple[float, float]] = None,
     ) -> np.ndarray:
         """Stream the slide; returns uint8 [K, H, W] (or fills ``out``).
 
         ``classes``: optional tuple of class indexes to emit (that order).
+        ``stats``: precomputed (lo, hi) in raw units — skips the
+        global-stats pass (callers sharing one histogram pass with the
+        preview, see ``io/slides.py::_streamed_int_stats``).
         """
         height, width = _source_dims(source)
         in_dtype = _source_dtype(source)
         plan = self._plan(height, width)
         jitted = self._get(plan, in_dtype, rescale, classes)
         if rescale:
-            lo, hi = self.global_stats(source, outlier)
+            lo, hi = (
+                stats if stats is not None
+                else self.global_stats(source, outlier)
+            )
         else:
             lo, hi = 0.0, 1.0
         win = jnp.asarray(tiler.ramp_window(self.hp.im_size, self.hp.margin))
@@ -373,6 +380,7 @@ class StreamingEngine:
         rescale: bool = True,
         out: Optional[np.ndarray] = None,
         classes=None,
+        stats=None,
     ) -> np.ndarray:
         """Multi-channel (duo) streaming: one source per net channel.
 
@@ -404,9 +412,13 @@ class StreamingEngine:
                 "sources"
             )
         if rescale:
-            stats = [self.global_stats(s, outlier) for s in sources]
-            lo = np.asarray([a for a, _ in stats], np.float32)
-            hi = np.asarray([b for _, b in stats], np.float32)
+            # stats: optional precomputed per-channel (lo, hi) list
+            ranges = (
+                stats if stats is not None
+                else [self.global_stats(s, outlier) for s in sources]
+            )
+            lo = np.asarray([a for a, _ in ranges], np.float32)
+            hi = np.asarray([b for _, b in ranges], np.float32)
         else:
             lo = np.zeros(len(sources), np.float32)
             hi = np.ones(len(sources), np.float32)
