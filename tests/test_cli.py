@@ -147,3 +147,26 @@ def test_cli_streaming_scaling_factor_matches_whole(tmp_path, rng):
         b = imread(str(tmp_path / "stream" / "img_Probabilities_1.tif"), k)
         assert a.shape == img.shape and b.shape == img.shape
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+
+def test_compress_output_flag(tmp_path, rng):
+    """--compressOutput writes Deflate pages the stack contract intact."""
+    from unmicst_tpu.io.tiff import TiffFile, TiffWriter
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    img = (rng.rand(96, 80) * 60000).astype(np.uint16)
+    src = tmp_path / "s" / "registration" / "img.tif"
+    src.parent.mkdir(parents=True)
+    with TiffWriter(str(src), bigtiff=False) as tw:
+        tw.write(img)
+    base = [str(src), "--tool", "unmicst-solo", "--model", "blobDemo",
+            "--modelRoot", os.path.join(repo, "models"), "--stackOutput"]
+    assert cli.main(base + ["--outputPath", str(tmp_path / "c"),
+                            "--compressOutput"]) == 0
+    assert cli.main(base + ["--outputPath", str(tmp_path / "u")]) == 0
+    with TiffFile(str(tmp_path / "c" / "img_Probabilities_1.tif")) as tc, \
+            TiffFile(str(tmp_path / "u" / "img_Probabilities_1.tif")) as tu:
+        assert len(tc.pages) == len(tu.pages) == 3
+        for k in range(3):
+            assert tc.pages[k].compression == 8
+            np.testing.assert_array_equal(tc.read_page(k), tu.read_page(k))

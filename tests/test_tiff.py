@@ -211,3 +211,31 @@ def test_subifd_pyramid_levels_ignored(tmp_path, rng):
         assert (tf.pages[0].height, tf.pages[0].width) == (16, 24)
         np.testing.assert_array_equal(tf.read_page(0), full)
         np.testing.assert_array_equal(tf.read_page(1), full)
+
+
+def test_deflate_output_compression_roundtrip(tmp_path, rng):
+    """compression='deflate' pages decode identically (tag 8, per-strip
+    zlib), and mixed-page append (compressed + not) works."""
+    from unmicst_tpu.io.tiff import TiffFile, TiffWriter, imwrite
+
+    # probability-map-like content (smooth -> compressible)
+    yy, xx = np.mgrid[0:600, 0:500]
+    img = ((yy + xx) % 256).astype(np.uint8)
+    noise = (rng.rand(600, 500) * 255).astype(np.uint8)
+    p = str(tmp_path / "c.tif")
+    imwrite(p, img, bigtiff=True, compression="deflate")
+    imwrite(p, noise, bigtiff=True, append=True)  # uncompressed 2nd page
+    with TiffFile(p) as tf:
+        assert tf.pages[0].compression == 8
+        assert tf.pages[1].compression == 1
+        np.testing.assert_array_equal(tf.read_page(0), img)
+        np.testing.assert_array_equal(tf.read_page(1), noise)
+    raw = str(tmp_path / "u.tif")
+    imwrite(raw, img, bigtiff=True)
+    comp_only = str(tmp_path / "co.tif")
+    imwrite(comp_only, img, bigtiff=True, compression="deflate")
+    import os
+
+    assert os.path.getsize(comp_only) < os.path.getsize(raw) // 5
+    with pytest.raises(ValueError):
+        TiffWriter(str(tmp_path / "x.tif"), compression="lzw")

@@ -121,6 +121,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--listModels", action="store_true",
         help="print model zoo availability and exit",
     )
+    p.add_argument(
+        "--compressOutput", action="store_true",
+        help="Deflate-compress output TIFF pages (probability maps shrink "
+        "~5-10x; any TIFF reader decodes them; the reference writes "
+        "uncompressed)",
+    )
     return p
 
 
@@ -194,7 +200,13 @@ def _write_outputs(args, stem, out_path, cyto, dapi_channel, class_order,
     ``get_page(i_class) -> uint8 [H, W]``; ``raw_preview_u8``: the
     normalized raw page for previews.
     """
-    from unmicst_tpu.io.tiff import imwrite
+    from unmicst_tpu.io.tiff import imwrite as _imwrite
+
+    comp = "deflate" if getattr(args, "compressOutput", False) else None
+
+    def imwrite(path, image, bigtiff=True, append=False):
+        _imwrite(path, image, bigtiff=bigtiff, append=append,
+                 compression=comp)
 
     chan_suffix = str(dapi_channel if cyto else dapi_channel + 1)
     qc_dir = out_path if cyto else os.path.join(out_path, "qc")

@@ -438,14 +438,20 @@ class TiffWriter:
     """Grayscale multi-page TIFF/BigTIFF writer with append semantics.
 
     Matches the reference output contract (``UnMicst1-5.py:834-843``):
-    bigtiff, no extra metadata, per-page append.  Little-endian, uncompressed,
-    strip-per-~1MB layout.
+    bigtiff, no extra metadata, per-page append.  Little-endian,
+    strip-per-~1MB layout; uncompressed by default, opt-in per-strip
+    Deflate (``compression="deflate"`` — probability maps shrink ~5-10x
+    and every TIFF reader, this one included, decodes tag 8).
     """
 
     _MAGIC_CLASSIC = 42
     _MAGIC_BIG = 43
 
-    def __init__(self, path: str, bigtiff: bool = True, append: bool = False):
+    def __init__(self, path: str, bigtiff: bool = True, append: bool = False,
+                 compression: Optional[str] = None):
+        if compression not in (None, "deflate"):
+            raise ValueError(f"unsupported output compression {compression!r}")
+        self._compress = compression == "deflate"
         self.path = path
         self.big = bigtiff
         exists = os.path.exists(path) and os.path.getsize(path) > 0
@@ -511,6 +517,8 @@ class TiffWriter:
         strip_offsets, strip_counts = [], []
         for s in range(n_strips):
             data = image[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
+            if self._compress:
+                data = zlib.compress(data, 6)
             strip_offsets.append(fh.tell())
             strip_counts.append(len(data))
             fh.write(data)
@@ -546,7 +554,9 @@ class TiffWriter:
             (TAG_IMAGE_WIDTH, 4, 1, [w]),
             (TAG_IMAGE_LENGTH, 4, 1, [h]),
             (TAG_BITS_PER_SAMPLE, 3, 1, [itemsize * 8]),
-            (TAG_COMPRESSION, 3, 1, [COMPRESSION_NONE]),
+            (TAG_COMPRESSION, 3, 1,
+             [COMPRESSION_DEFLATE_ADOBE if self._compress
+              else COMPRESSION_NONE]),
             (TAG_PHOTOMETRIC, 3, 1, [1]),
             (
                 TAG_STRIP_OFFSETS,
@@ -648,8 +658,10 @@ def num_pages(path: str) -> int:
 
 
 def imwrite(
-    path: str, image: np.ndarray, bigtiff: bool = True, append: bool = False
+    path: str, image: np.ndarray, bigtiff: bool = True, append: bool = False,
+    compression: Optional[str] = None,
 ) -> None:
     """Write/append one grayscale page (reference contract ``UnMicst1-5.py:852-862``)."""
-    with TiffWriter(path, bigtiff=bigtiff, append=append) as tw:
+    with TiffWriter(path, bigtiff=bigtiff, append=append,
+                    compression=compression) as tw:
         tw.write(image)
