@@ -281,3 +281,28 @@ def test_serve_duo_two_channel(tmp_path, rng):
     # 3 channels into a 2-channel model -> ValueError (handler maps to 400)
     with pytest.raises(ValueError):
         srv.infer_tiff_path(src, "duoTest", [0, 1, 2], True, -1)
+
+
+def test_serve_compress_query(server_url, tmp_path, rng):
+    """?compress=1 returns a Deflate-paged TIFF decoding to the same maps."""
+    yy, xx = np.mgrid[0:90, 0:70]
+    raw = ((yy * xx) % 50000).astype(np.uint16)
+    src = str(tmp_path / "in.tif")
+    imwrite(src, raw, bigtiff=False)
+    bodies = {}
+    for q in ("", "&compress=1"):
+        req = urllib.request.Request(
+            server_url + "/infer?model=nucleiDAPI&channel=0" + q,
+            data=open(src, "rb").read(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            bodies[q] = r.read()
+    assert len(bodies["&compress=1"]) < len(bodies[""])
+    for name, blob in bodies.items():
+        p = str(tmp_path / f"o{len(name)}.tif")
+        open(p, "wb").write(blob)
+    with TiffFile(str(tmp_path / "o0.tif")) as a, \
+            TiffFile(str(tmp_path / "o11.tif")) as b:
+        assert b.pages[0].compression == 8
+        for k in range(3):
+            np.testing.assert_array_equal(a.read_page(k), b.read_page(k))

@@ -128,6 +128,7 @@ def run_sweep(
     resume: bool = True,
     verbose: bool = True,
     stream_above_px: int = 64_000_000,
+    compress_output: bool = False,
 ) -> BatchReport:
     """Run the sweep over this shard's slides; resumable via cursor file.
 
@@ -144,8 +145,14 @@ def run_sweep(
     from unmicst_tpu.core.hp import load_model_dir
     from unmicst_tpu.infer import InferenceEngine
     from unmicst_tpu.io import preprocess as pp
-    from unmicst_tpu.io.tiff import imread, imwrite
+    from unmicst_tpu.io.tiff import imread, imwrite as _imwrite
     from unmicst_tpu.runtime.pipeline import StreamingEngine
+
+    comp = "deflate" if compress_output else None
+
+    def imwrite(path, image, bigtiff=True, append=False):
+        _imwrite(path, image, bigtiff=bigtiff, append=append,
+                 compression=comp)
 
     bundle = load_model_dir(model_dir, mean, std)
     params = load_params_for_bundle(bundle)
@@ -299,6 +306,8 @@ def batch_main(argv=None) -> int:
     p.add_argument("--numShards", type=int, default=1)
     p.add_argument("--noResume", action="store_true")
     p.add_argument("--precision", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--compressOutput", action="store_true",
+                   help="Deflate-compress output TIFF pages")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -322,6 +331,7 @@ def batch_main(argv=None) -> int:
         shard_index=args.shardIndex,
         num_shards=args.numShards,
         resume=not args.noResume,
+        compress_output=args.compressOutput,
     )
     print(
         f"[sweep] done: {len(report.completed)} completed, "

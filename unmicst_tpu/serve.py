@@ -4,7 +4,7 @@ The reference is strictly batch CLI (model setup cost paid per invocation,
 ``UnMicst.py:596``).  For production pipelines (MCMICRO at scale) this
 module keeps the model resident and serves slides over HTTP:
 
-* ``POST /infer?model=nucleiDAPI&channel=0&tool=unmicst-legacy`` with a
+* ``POST /infer?model=nucleiDAPI&channel=0[&compress=1]`` with a
   TIFF, CZI, or ND2 body (container sniffed from magic bytes; OME-aware
   channel mapping) -> multi-page TIFF response (the ``_Probabilities``
   page stack, reversed class order, uint8);
@@ -79,7 +79,7 @@ class ModelServer:
 
     def infer_tiff_path(
         self, path: str, model: str, channel, rescale: bool,
-        outlier: float,
+        outlier: float, compress: bool = False,
     ) -> Tuple[bytes, dict]:
         """Run channel(s) of any supported container (TIFF/CZI/ND2 —
         sniffed from magic bytes, uploads carry no trustworthy name)
@@ -133,17 +133,21 @@ class ModelServer:
                     )
             infer_s = time.perf_counter() - t0
         return self._encode(
-            maps, model, shape, shape[0] * shape[1], infer_s
+            maps, model, shape, shape[0] * shape[1], infer_s,
+            compress=compress,
         )
 
     def _encode(self, maps, model: str, shape, raw_size: int,
-                infer_s: float) -> Tuple[bytes, dict]:
+                infer_s: float, compress: bool = False) -> Tuple[bytes, dict]:
         from unmicst_tpu.io.tiff import TiffWriter
 
         buf = tempfile.NamedTemporaryFile(suffix=".tif", delete=False)
         buf.close()
         try:
-            with TiffWriter(buf.name, bigtiff=True) as tw:
+            with TiffWriter(
+                buf.name, bigtiff=True,
+                compression="deflate" if compress else None,
+            ) as tw:
                 for k in range(maps.shape[0] - 1, -1, -1):  # reversed order
                     tw.write(maps[k])
             with open(buf.name, "rb") as f:
@@ -211,6 +215,7 @@ def make_handler(server: ModelServer):
                 ]
                 channel = chan_vals[0] if len(chan_vals) == 1 else chan_vals
                 outlier = float(q.get("outlier", ["-1"])[0])
+                compress = q.get("compress", ["0"])[0] != "0"
                 length = int(self.headers.get("Content-Length", "0"))
             except ValueError as e:
                 self._json(400, {"error": f"bad parameter: {e}"})
@@ -237,7 +242,8 @@ def make_handler(server: ModelServer):
                         remaining -= len(chunk)
                     tmp.flush()
                     out, meta = server.infer_tiff_path(
-                        tmp.name, model, channel, rescale, outlier
+                        tmp.name, model, channel, rescale, outlier,
+                        compress=compress,
                     )
             except FileNotFoundError as e:
                 self._json(404, {"error": str(e)})
