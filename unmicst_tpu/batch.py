@@ -144,15 +144,15 @@ def run_sweep(
     from unmicst_tpu.core.checkpoint import load_params_for_bundle
     from unmicst_tpu.core.hp import load_model_dir
     from unmicst_tpu.infer import InferenceEngine
+    import functools
+
     from unmicst_tpu.io import preprocess as pp
     from unmicst_tpu.io.tiff import imread, imwrite as _imwrite
     from unmicst_tpu.runtime.pipeline import StreamingEngine
 
-    comp = "deflate" if compress_output else None
-
-    def imwrite(path, image, bigtiff=True, append=False):
-        _imwrite(path, image, bigtiff=bigtiff, append=append,
-                 compression=comp)
+    imwrite = functools.partial(
+        _imwrite, compression="deflate" if compress_output else None
+    )
 
     bundle = load_model_dir(model_dir, mean, std)
     params = load_params_for_bundle(bundle)

@@ -200,14 +200,16 @@ def _write_outputs(args, stem, out_path, cyto, dapi_channel, class_order,
     ``get_page(i_class) -> uint8 [H, W]``; ``raw_preview_u8``: the
     normalized raw page for previews.
     """
+    import functools
+
     from unmicst_tpu.io.tiff import imwrite as _imwrite
 
-    comp = "deflate" if getattr(args, "compressOutput", False) else None
-
-    def imwrite(path, image, bigtiff=True, append=False):
-        _imwrite(path, image, bigtiff=bigtiff, append=append,
-                 compression=comp)
-
+    imwrite = functools.partial(
+        _imwrite,
+        compression=(
+            "deflate" if getattr(args, "compressOutput", False) else None
+        ),
+    )
     chan_suffix = str(dapi_channel if cyto else dapi_channel + 1)
     qc_dir = out_path if cyto else os.path.join(out_path, "qc")
 
@@ -249,7 +251,6 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
     from unmicst_tpu.io.slides import (
         ChannelSource, open_channel_source, preview_u8,
     )
-    from unmicst_tpu.io.tiff import imwrite
     from unmicst_tpu.runtime.pipeline import StreamingEngine
 
     params = load_params_for_bundle(bundle)
@@ -384,7 +385,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     from unmicst_tpu.core.hp import load_model_dir
     from unmicst_tpu.infer import InferenceEngine
     from unmicst_tpu.io import preprocess as pp
-    from unmicst_tpu.io.tiff import imwrite
     from unmicst_tpu.utils.compcache import enable as enable_cache
 
     enable_cache()

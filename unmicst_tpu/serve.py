@@ -215,7 +215,9 @@ def make_handler(server: ModelServer):
                 ]
                 channel = chan_vals[0] if len(chan_vals) == 1 else chan_vals
                 outlier = float(q.get("outlier", ["-1"])[0])
-                compress = q.get("compress", ["0"])[0] != "0"
+                compress = q.get("compress", ["0"])[0].lower() in (
+                    "1", "true", "yes",
+                )
                 length = int(self.headers.get("Content-Length", "0"))
             except ValueError as e:
                 self._json(400, {"error": f"bad parameter: {e}"})

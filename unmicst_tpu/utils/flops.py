@@ -23,7 +23,10 @@ def unet_flops_per_tile(hp: HParams, variant: str = "legacy",
     widths = hp.n_out_x
     ks2 = hp.ks * hp.ks
     legacy = get_variant(variant).legacy
-    fused = fused_residual and hp.n_extra_convs == 0
+    # mirror core/unet.py::_fuse_residual: the legacy 1x1 shortcut embeds
+    # only into an odd-sized kernel
+    fused = (fused_residual and hp.n_extra_convs == 0
+             and (not legacy or hp.ks % 2 == 1))
     s = hp.im_size
     total = 0
     # down path
