@@ -101,3 +101,48 @@ def test_plan_stripes_policy():
         r, chunk = plan_stripes(npr, npc, tb)
         assert 1 <= r <= npr
         assert 1 <= chunk <= tb
+
+
+def test_program_cache_eviction_and_concurrency():
+    """FIFO eviction at the bound; hits return the cached object; a key
+    evicted and re-requested rebuilds; concurrent first requests build
+    once (the lock serializes compiles)."""
+    import threading
+
+    from unmicst_tpu.utils.progcache import ProgramCache
+
+    cache = ProgramCache(max_entries=2)
+    builds = []
+
+    def make(key):
+        return lambda: builds.append(key) or ("prog", key)
+
+    a = cache.get_or_build("a", make("a"))
+    assert cache.get_or_build("a", make("a")) is a
+    cache.get_or_build("b", make("b"))
+    cache.get_or_build("c", make("c"))  # evicts "a" (FIFO)
+    assert builds == ["a", "b", "c"]
+    cache.get_or_build("a", make("a"))  # rebuild after eviction
+    assert builds == ["a", "b", "c", "a"]
+
+    slow_cache = ProgramCache(max_entries=4)
+    n_builds = []
+
+    def slow_build():
+        n_builds.append(1)
+        return object()
+
+    results = []
+    threads = [
+        threading.Thread(
+            target=lambda: results.append(
+                slow_cache.get_or_build("k", slow_build)
+            )
+        )
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(n_builds) == 1 and all(r is results[0] for r in results)

@@ -67,14 +67,15 @@ class ModelServer:
 
     def infer_tiff(
         self, body: bytes, model: str, channel: int, rescale: bool,
-        outlier: float,
+        outlier: float, compress: bool = False,
     ) -> Tuple[bytes, dict]:
         """In-memory convenience wrapper over :meth:`infer_tiff_path`."""
         with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
             tmp.write(body)
             tmp.flush()
             return self.infer_tiff_path(
-                tmp.name, model, channel, rescale, outlier
+                tmp.name, model, channel, rescale, outlier,
+                compress=compress,
             )
 
     def infer_tiff_path(
