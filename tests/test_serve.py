@@ -306,3 +306,17 @@ def test_serve_compress_query(server_url, tmp_path, rng):
         assert b.pages[0].compression == 8
         for k in range(3):
             np.testing.assert_array_equal(a.read_page(k), b.read_page(k))
+
+
+def test_empty_channel_descriptive_400(server_url):
+    # parse_qs drops blank values, so the empty-list case is "channel=,"
+    for query in ("channel=,", "channel=0,1,2"):
+        req = urllib.request.Request(
+            server_url + "/infer?model=nucleiDAPI&" + query,
+            data=b"xx", method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read().decode())
+        assert "channel" in body["error"]  # descriptive, not an IndexError

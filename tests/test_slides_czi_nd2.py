@@ -542,3 +542,25 @@ def test_preview_u8_lut_matches_float(tmp_path, rng):
     vmax = float(plane.max())
     expect = np.uint8(255 * (plane.astype(np.float32) / vmax))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_preview_u8_int16_negatives_clamp(rng):
+    """int16 sources: negatives clamp to 0 instead of uint8 wraparound,
+    and positives match the float formula (ADVICE r2 slides.py:180)."""
+    from unmicst_tpu.io.slides import ChannelSource, preview_u8
+
+    plane = (rng.rand(20, 30) * 4000 - 1000).astype(np.int16)
+    plane[0, 0] = -32768  # extreme negative must still be 0
+    src = ChannelSource(20, 30, np.int16,
+                        lambda r0, n: plane[r0 : r0 + n])
+    got = preview_u8(src)
+    vmax = float(plane.max())
+    expect = np.uint8(
+        255 * np.clip(plane.astype(np.float32) / vmax, 0.0, 1.0)
+    )
+    np.testing.assert_array_equal(got, expect)
+    assert got[plane < 0].max(initial=0) == 0
+
+    # vmax pass-through (offset-corrected stats max) takes the same path
+    got2 = preview_u8(src, vmax=vmax)
+    np.testing.assert_array_equal(got2, expect)

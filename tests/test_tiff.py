@@ -239,3 +239,50 @@ def test_deflate_output_compression_roundtrip(tmp_path, rng):
     assert os.path.getsize(comp_only) < os.path.getsize(raw) // 5
     with pytest.raises(ValueError):
         TiffWriter(str(tmp_path / "x.tif"), compression="lzw")
+
+
+@pytest.mark.parametrize("bigtiff", [False, True])
+def test_description_utf8_exact_count(tmp_path, bigtiff):
+    """UTF-8 ImageDescription (OME-XML spec) with count == len(bytes)+1.
+
+    The raw IFD entry is parsed by hand so the exactness of the count
+    field (no padding slack) is checked against the writer, not just our
+    own reader's tolerance."""
+    import struct
+
+    fn = str(tmp_path / "d.tif")
+    desc = "channel µ-αβ (5 µm)"  # non-ASCII: must survive as UTF-8
+    with TiffWriter(fn, bigtiff=bigtiff) as w:
+        w.write(np.zeros((4, 4), np.uint8), description=desc)
+    with TiffFile(fn) as tf:
+        assert tf.pages[0].description == desc
+
+    encoded = desc.encode("utf-8") + b"\x00"
+    with open(fn, "rb") as fh:
+        blob = fh.read()
+    if bigtiff:
+        (ifd,) = struct.unpack_from("<Q", blob, 8)
+        (n,) = struct.unpack_from("<Q", blob, ifd)
+        base, step, cfmt = ifd + 8, 20, "<HHQ"
+    else:
+        (ifd,) = struct.unpack_from("<I", blob, 4)
+        (n,) = struct.unpack_from("<H", blob, ifd)
+        base, step, cfmt = ifd + 2, 12, "<HHI"
+    counts = {
+        struct.unpack_from(cfmt, blob, base + i * step)[0]:
+        struct.unpack_from(cfmt, blob, base + i * step)[2]
+        for i in range(n)
+    }
+    assert counts[270] == len(encoded)
+
+
+def test_description_short_inline_roundtrip(tmp_path):
+    """A description short enough for the value slot is stored inline."""
+    fn = str(tmp_path / "s.tif")
+    with TiffWriter(fn) as w:
+        w.write(np.zeros((4, 4), np.uint8), description="ab")
+    with TiffFile(fn) as tf:
+        assert tf.pages[0].description == "ab"
+    # PIL agrees (independent reader; ASCII subset so no codec ambiguity)
+    im = Image.open(fn)
+    assert im.tag_v2[270] == "ab"

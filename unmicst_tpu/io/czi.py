@@ -123,7 +123,7 @@ def _parse_zstd1_header(data: bytes) -> Tuple[int, bool]:
 
 
 def _decode_pixels(raw: bytes, entry: SubBlockEntry,
-                   dtype: np.dtype) -> bytes:
+                   dtype: np.dtype, path: str = "") -> bytes:
     """Raw sub-block payload -> uncompressed little-endian pixel bytes."""
     if entry.compression == COMP_NONE:
         return raw
@@ -136,7 +136,15 @@ def _decode_pixels(raw: bytes, entry: SubBlockEntry,
     if entry.compression == COMP_ZSTD0:
         return _zstd.decompress(raw, nbytes)
     if entry.compression == COMP_ZSTD1:
-        off, hilo = _parse_zstd1_header(raw)
+        try:
+            off, hilo = _parse_zstd1_header(raw)
+        except ValueError as e:
+            # name the file and sub-block so a future-libCZI chunk id is
+            # triageable from the traceback alone
+            raise ValueError(
+                f"{path or '<czi>'}: sub-block at "
+                f"{entry.file_position:#x}: {e}"
+            ) from None
         out = _zstd.decompress(raw[off:], nbytes)
         return _zstd.unpack_hilo(out, dtype.itemsize) if hilo else out
     raise NotImplementedError(
@@ -218,7 +226,7 @@ class CziFile:
         h = entry.dims["Y"][1]
         w = entry.dims["X"][1]
         raw = _decode_pixels(
-            buf[data_off : data_off + data_size], entry, dtype
+            buf[data_off : data_off + data_size], entry, dtype, self.path
         )
         return np.frombuffer(
             raw, dtype.newbyteorder("<"), count=h * w
@@ -281,7 +289,9 @@ class CziFile:
             self._block_cache[data_pos] = cached  # refresh recency
             return cached
         self._f.seek(data_pos)
-        raw = _decode_pixels(self._f.read(data_size), entry, dtype)
+        raw = _decode_pixels(
+            self._f.read(data_size), entry, dtype, self.path
+        )
         self._block_cache[data_pos] = raw
         self._block_cache_bytes += len(raw)
         while self._block_cache_bytes > _BLOCK_CACHE_BYTES and len(

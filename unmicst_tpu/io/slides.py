@@ -184,17 +184,25 @@ def preview_u8(src: "ChannelSource", vmax: float = None) -> np.ndarray:
             )
     dt = np.dtype(src.dtype)
     lut = None
-    if dt in (np.dtype(np.uint8), np.dtype(np.uint16)):
-        values = np.arange(65536 if dt == np.uint16 else 256, dtype=dt)
-        lut = np.uint8(255 * (values.astype(np.float32) / max(vmax, 1e-12)))
+    lut_off = 0
+    if dt in (np.dtype(np.uint8), np.dtype(np.uint16), np.dtype(np.int16)):
+        # int16 indexes through a +32768 offset (mirrors
+        # _streamed_int_stats); negatives clamp to 0 instead of wrapping
+        # through np.uint8 of a negative float.
+        lut_off = 32768 if dt == np.dtype(np.int16) else 0
+        n = 256 if dt == np.dtype(np.uint8) else 65536
+        values = np.arange(n, dtype=np.float32) - lut_off
+        lut = np.uint8(255 * np.clip(values / max(vmax, 1e-12), 0.0, 1.0))
     out = np.empty((h, w), np.uint8)
     for r0 in range(0, h, chunk):
         rows = src.read_rows(r0, min(chunk, h - r0))
-        out[r0 : r0 + rows.shape[0]] = (
-            lut[rows] if lut is not None else np.uint8(
-                255 * (rows.astype(np.float32) / max(vmax, 1e-12))
-            )
-        )
+        if lut is not None:
+            idx = rows.astype(np.int32) + lut_off if lut_off else rows
+            out[r0 : r0 + rows.shape[0]] = lut[idx]
+        else:
+            out[r0 : r0 + rows.shape[0]] = np.uint8(255 * np.clip(
+                rows.astype(np.float32) / max(vmax, 1e-12), 0.0, 1.0
+            ))
     return out
 
 

@@ -298,7 +298,8 @@ class TiffFile:
                 data = fh.read(total)
                 fh.seek(pos)
             if ftype == 2:
-                tags[tag] = data.rstrip(b"\0").decode("ascii", "replace")
+                # TIFF ASCII is nominally 7-bit but OME-XML is UTF-8 by spec
+                tags[tag] = data.rstrip(b"\0").decode("utf-8", "replace")
             elif ftype in (5, 10):
                 vals = struct.unpack(bo + ch[0] * 2 * count, data)
                 tags[tag] = [
@@ -540,15 +541,17 @@ class TiffWriter:
             off_type, off_char, inline = 4, "I", 1
         so_ptr, _ = maybe_outline(strip_offsets, off_char, inline)
         sc_ptr, _ = maybe_outline(strip_counts, off_char, inline)
-        desc_ptr = desc_len = 0
+        # ImageDescription: UTF-8 (OME-XML spec) + single terminating NUL;
+        # count is the exact byte length, inline when it fits the value slot.
+        desc_ptr = None
+        desc_bytes = b""
         if description is not None:
-            desc = description.encode("ascii", "replace") + b"\x00"
-            # keep it out-of-line unconditionally (pad past the inline slot)
-            desc += b"\x00" * max(0, (9 if self.big else 5) - len(desc))
-            if fh.tell() % 2:
-                fh.write(b"\0")
-            desc_ptr, desc_len = fh.tell(), len(desc)
-            fh.write(desc)
+            desc_bytes = description.encode("utf-8") + b"\x00"
+            if len(desc_bytes) > (8 if self.big else 4):
+                if fh.tell() % 2:
+                    fh.write(b"\0")
+                desc_ptr = fh.tell()
+                fh.write(desc_bytes)
 
         entries = [
             (TAG_IMAGE_WIDTH, 4, 1, [w]),
@@ -576,7 +579,10 @@ class TiffWriter:
         ]
         if description is not None:
             # tag order: 270 sits between PHOTOMETRIC (262) and 273
-            entries.insert(5, (TAG_IMAGE_DESCRIPTION, 2, desc_len, [desc_ptr]))
+            entries.insert(5, (
+                TAG_IMAGE_DESCRIPTION, 2, len(desc_bytes),
+                [desc_ptr] if desc_ptr is not None else desc_bytes,
+            ))
 
         if fh.tell() % 2:
             fh.write(b"\0")
@@ -588,13 +594,16 @@ class TiffWriter:
                 is_ptr = (
                     tag in (TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS)
                     and count > 1
-                ) or tag == TAG_IMAGE_DESCRIPTION
-                payload = (
-                    struct.pack("<Q", values[0]) if is_ptr
-                    else struct.pack(
+                ) or (tag == TAG_IMAGE_DESCRIPTION
+                      and not isinstance(values, bytes))
+                if isinstance(values, bytes):
+                    payload = values.ljust(8, b"\0")
+                elif is_ptr:
+                    payload = struct.pack("<Q", values[0])
+                else:
+                    payload = struct.pack(
                         f"<{len(values)}{ch}", *values
                     ).ljust(8, b"\0")
-                )
                 buf += struct.pack("<HHQ", tag, ftype, count) + payload
             buf += struct.pack("<Q", 0)
         else:
@@ -604,13 +613,16 @@ class TiffWriter:
                 is_ptr = (
                     tag in (TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS)
                     and count > 1
-                ) or tag == TAG_IMAGE_DESCRIPTION
-                payload = (
-                    struct.pack("<I", values[0]) if is_ptr
-                    else struct.pack(
+                ) or (tag == TAG_IMAGE_DESCRIPTION
+                      and not isinstance(values, bytes))
+                if isinstance(values, bytes):
+                    payload = values.ljust(4, b"\0")
+                elif is_ptr:
+                    payload = struct.pack("<I", values[0])
+                else:
+                    payload = struct.pack(
                         f"<{len(values)}{ch}", *values
                     ).ljust(4, b"\0")
-                )
                 buf += struct.pack("<HHI", tag, ftype, count) + payload
             buf += struct.pack("<I", 0)
         fh.write(buf)

@@ -105,11 +105,12 @@ class ModelServer:
             shape = (srcs[0].height, srcs[0].width)
             if any((s.height, s.width) != shape for s in srcs):
                 raise ValueError("channel planes disagree on dimensions")
-            t0 = time.perf_counter()
             if shape[0] * shape[1] > self.stream_above_px:
                 # mega-slide POST: bounded memory, windowed reads from the
-                # spooled temp file
+                # spooled temp file.  t0 starts after engine lookup in both
+                # branches so infer_s excludes first-request construction.
                 eng = self.engine(model, "stream")
+                t0 = time.perf_counter()
                 if len(srcs) > 1:
                     maps = eng.infer_stack(
                         srcs, outlier=outlier, rescale=rescale
@@ -214,6 +215,18 @@ def make_handler(server: ModelServer):
                     for v in q.get("channel", ["0"])
                     for x in v.split(",") if x != ""
                 ]
+                if not chan_vals:
+                    self._json(400, {
+                        "error": "channel parameter present but empty; "
+                        "pass one index or two (duo), e.g. channel=0,1"
+                    })
+                    return
+                if len(chan_vals) > 2:
+                    self._json(400, {
+                        "error": f"{len(chan_vals)} channels requested; "
+                        "at most 2 (duo) are supported"
+                    })
+                    return
                 channel = chan_vals[0] if len(chan_vals) == 1 else chan_vals
                 outlier = float(q.get("outlier", ["-1"])[0])
                 compress = q.get("compress", ["0"])[0].lower() in (
