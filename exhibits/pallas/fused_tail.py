@@ -5,7 +5,7 @@ probabilities (softmax over classes, multiply by the PI2D ramp window and
 the phantom-tile mask) before the overlap-add fold.  This kernel fuses
 those into one VMEM pass per tile.
 
-Layout lesson encoded here (cf. ``kernels/blend.py``'s negative result):
+Layout lesson encoded here (cf. ``exhibits/pallas/blend.py``'s negative result):
 with NHWC the class axis lands in the 128-lane dimension where K=2..3
 wastes >97% of each lane tile, and overlap windows break 128-alignment.
 Putting classes in a *leading* (batch) axis — ``[T, K, P, P]`` — leaves the

@@ -1,17 +1,33 @@
 """Pallas kernels (interpret mode on the CPU suite; compiled on TPU)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from unmicst_tpu.core import tiler
-from unmicst_tpu.kernels.blend import blend_fold_pallas
+
+# The measured-loser kernels live outside the production package
+# (exhibits/pallas, see docs/PALLAS.md); their numerics stay pinned here.
+_EXHIBITS = os.path.join(os.path.dirname(__file__), "..", "exhibits", "pallas")
+
+
+def _load_exhibit(name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"exhibit_{name}", os.path.join(_EXHIBITS, f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 @pytest.mark.parametrize("t,k,p", [(6, 3, 128), (4, 2, 128)])
 def test_fused_tail_matches_xla(rng, t, k, p):
-    from unmicst_tpu.kernels.fused_tail import softmax_blend_weights
+    softmax_blend_weights = _load_exhibit("fused_tail").softmax_blend_weights
 
     logits = jnp.asarray(rng.randn(t, k, p, p).astype(np.float32))
     win = tiler.ramp_window(p, p // 8)
@@ -30,6 +46,7 @@ def test_fused_tail_matches_xla(rng, t, k, p):
     [((100, 120), 64, 8, 3), ((60, 60), 32, 4, 1), ((200, 90), 64, 8, 2)],
 )
 def test_blend_fold_matches_xla(rng, shape, patch, margin, k):
+    blend_fold_pallas = _load_exhibit("blend").blend_fold_pallas
     g = tiler.make_grid(shape[0], shape[1], patch, margin)
     tiles = rng.rand(g.npr, g.npc, patch, patch, k).astype(np.float32)
     win = tiler.ramp_window(patch, margin)
