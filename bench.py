@@ -1,23 +1,32 @@
 """Benchmark: tiled UNet whole-slide inference throughput on one TPU chip.
 
-Workload: the flagship legacy ``nucleiDAPI`` model (the zoo checkpoint that
-ships in-repo) over a synthetic uint16 slide, full pipeline per call —
-host canvas assembly, H2D, normalize, unfold, batched forward, window
-blend, divide, crop, D2H — all 3 classes in one pass.
+One JSON line {"metric", "value", "unit", "vs_baseline", "detail"} with
+three labeled families of numbers (r2 verdict: the bench artifact must
+tell the whole story, not just the tunnel-bound wall figure):
 
-Precision default is the r2 parity mode: f32 with 3-pass MXU
-(``Precision.HIGH``), measured <= 1 uint8 level against the reference's
-own golden outputs and ~1.8x the throughput of full-f32 HIGHEST
-(``scripts/precision_bisect_report.json``).  ``BENCH_PRECISION=bfloat16``
-selects the fast path (~2x again; ~27-level drift on extreme pixels).
+1. ``wall`` — host-fed end-to-end on the flagship legacy ``nucleiDAPI``
+   (the zoo checkpoint that ships in-repo): host canvas, H2D, device
+   preprocess, unfold, batched forward, window blend, quantize, D2H.
+   Through this dev environment's ~20 MB/s tunnel the wall is
+   transfer-bound (BASELINE.md); it is reported honestly as such.
+   ``vs_baseline`` is **matched-workload**: the same 2048x2048 slide the
+   reference-style torch CPU executor was measured on
+   (``scripts/baseline_torch.py``, 0.121 Mpx/s, per-class re-runs; ours
+   delivers all classes in one pass — the framework's execution model).
+2. ``device_resident`` — same program, inputs already in HBM: the
+   compute ceiling once the host link is out of the picture.  Legacy
+   flagship in parity mode (f32 + 3-pass MXU ``Precision.HIGH``, <= 1
+   uint8 level vs the reference's own golden outputs) and in the bf16
+   fast path (at this 16..64-wide net's MXU occupancy roofline).
+3. ``v2_default_arch`` — the DEFAULT tool's architecture (nucleiDAPI1-5
+   hp: nOut0=80, up to 1280 wide).  Random weights — the S3 data blobs
+   are unfetchable from this environment (zero egress, ROADMAP.md) and
+   throughput does not depend on weight values.  This net fills the
+   128 MXU lanes, so it shows the framework's real MFU.
 
-Baseline: the reference's execution model (per-class full re-runs, batch-16
-feed-dict steps, fp16 numpy blending) reproduced in torch on CPU — the
-hardware the reference's own CI uses; it publishes no GPU numbers
-(BASELINE.md).  Measured once via ``scripts/baseline_torch.py`` and pinned
-below.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing: per-call min over BENCH_REPEATS; every timed call forces
+completion with a 1-element fetch (``block_until_ready`` can ack early
+through the tunnel — BASELINE.md r2 methodology note).
 """
 
 import json
@@ -30,12 +39,39 @@ import numpy as np
 # Measured on this host (see BASELINE.md "Measured baselines"):
 # reference-style torch CPU executor, 2048x2048 slide, 2 class passes.
 BASELINE_CPU_MPX_S = float(os.environ.get("UNMICST_BASELINE_MPX_S", "0.121"))
+BASELINE_SIZE = 2048
 
 SIZE = int(os.environ.get("BENCH_SIZE", "4096"))
+RESIDENT_SIZE = int(os.environ.get("BENCH_RESIDENT_SIZE", "8192"))
 PRECISION = os.environ.get("BENCH_PRECISION", "float32")
 TILE_BATCH = int(os.environ.get("BENCH_TILE_BATCH", "0"))  # 0 = per-model optimum
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+SHOWCASE = os.environ.get("BENCH_SHOWCASE", "1") != "0"  # 0 = legacy wall only
 PEAK_BF16 = 197e12  # TPU v5e MXU peak (bf16 pass)
+
+
+def _fetch(out) -> None:
+    # force completion: 1-element device->host read
+    np.asarray(out[0, 0, 0])
+
+
+def _time_calls(fn, *args, repeats=REPEATS) -> float:
+    _fetch(fn(*args))  # warmup/compile
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _fetch(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _resident(engine, slide, jnp, tiler, hp):
+    """Device-resident seconds for the full raw-slide program."""
+    h, w = slide.shape
+    jitted = engine._build_slide(h, w, np.dtype(slide.dtype), -1, True, None)
+    raw_dev = jnp.asarray(slide)
+    win_dev = jnp.asarray(tiler.ramp_window(hp.im_size, hp.margin))
+    return _time_calls(jitted, engine.params, raw_dev, win_dev)
 
 
 def main() -> None:
@@ -48,8 +84,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from unmicst_tpu.cli import precision_mode
+    from unmicst_tpu.core import tiler, unet
     from unmicst_tpu.core.checkpoint import load_params_for_bundle
-    from unmicst_tpu.core.hp import load_model_dir
+    from unmicst_tpu.core.hp import HParams, load_model_dir
     from unmicst_tpu.infer import InferenceEngine
     from unmicst_tpu.utils.flops import slide_flops
 
@@ -59,72 +96,131 @@ def main() -> None:
     bundle = load_model_dir(model_dir)
     params = load_params_for_bundle(bundle)
     compute_dtype, mxu_precision = precision_mode(PRECISION)
-    engine = InferenceEngine.from_bundle(
-        bundle, params, compute_dtype=compute_dtype, precision=mxu_precision,
-        tile_batch=TILE_BATCH or None,
-    )
 
+    def legacy_engine(**kw):
+        return InferenceEngine.from_bundle(
+            bundle, params, tile_batch=TILE_BATCH or None, **kw
+        )
+
+    engine = legacy_engine(
+        compute_dtype=compute_dtype, precision=mxu_precision
+    )
     rng = np.random.RandomState(0)
-    # synthetic uint16 slide (random texture; defeats constant folding)
+    # synthetic uint16 slides (random texture; defeats constant folding)
     slide = (rng.rand(SIZE, SIZE) * 60000).astype(np.uint16)
 
-    # warmup / compile; full raw-slide path (device preprocess + uint8 out)
+    # 1a. headline wall: host-fed, full pipeline
     maps = engine.infer_slide(slide)
     assert maps.shape == (bundle.hp.n_classes, SIZE, SIZE)
     assert maps.dtype == np.uint8
-
     best = np.inf
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        maps = engine.infer_slide(slide)
+        engine.infer_slide(slide)
         best = min(best, time.perf_counter() - t0)
+    mpx_s = SIZE * SIZE / 1e6 / best
 
-    # device-resident figure: same program, inputs already in HBM — the
-    # compute ceiling once the host link is out of the picture.  Every call
-    # is individually blocked: chained async dispatch through the tunnel
-    # acks early and inflates the naive measurement (this corrected r1's
-    # 194.5 Mpx/s figure down to the real ~49 Mpx/s in HIGHEST mode).
-    jitted = engine._build_slide(SIZE, SIZE, np.dtype(slide.dtype), -1, True, None)
-    from unmicst_tpu.core import tiler
-
-    raw_dev = jnp.asarray(slide)
-    win_dev = jnp.asarray(
-        tiler.ramp_window(bundle.hp.im_size, bundle.hp.margin)
+    # 1b. matched-workload wall: the baseline's own 2048x2048 geometry
+    matched = (
+        slide[:BASELINE_SIZE, :BASELINE_SIZE]
+        if SIZE >= BASELINE_SIZE
+        else (rng.rand(BASELINE_SIZE, BASELINE_SIZE) * 60000).astype(
+            np.uint16
+        )
     )
-    jitted(engine.params, raw_dev, win_dev).block_until_ready()
-    device_s = np.inf
+    engine.infer_slide(matched)
+    m_best = np.inf
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        jitted(engine.params, raw_dev, win_dev).block_until_ready()
-        device_s = min(device_s, time.perf_counter() - t0)
+        engine.infer_slide(matched)
+        m_best = min(m_best, time.perf_counter() - t0)
+    matched_mpx_s = BASELINE_SIZE * BASELINE_SIZE / 1e6 / m_best
 
     fl = slide_flops(bundle.hp, SIZE, SIZE, bundle.variant)
-    mpx_s = SIZE * SIZE / 1e6 / best
+    detail = {
+        "model": os.path.basename(model_dir),
+        "device": str(jax.devices()[0]),
+        "wall": {
+            "note": "host-fed; transfer-bound through the ~20 MB/s dev "
+            "tunnel (BASELINE.md), not a hardware ceiling",
+            "precision": PRECISION,
+            f"{SIZE}x{SIZE}_mpx_s": round(mpx_s, 2),
+            f"matched_{BASELINE_SIZE}x{BASELINE_SIZE}_mpx_s":
+                round(matched_mpx_s, 2),
+        },
+        "baseline": {
+            "what": "reference-style torch CPU executor, 2048x2048, "
+            "per-class re-runs (scripts/baseline_torch.py)",
+            "mpx_s": BASELINE_CPU_MPX_S,
+            "vs_baseline_is": "matched 2048x2048 wall / baseline "
+            "2048x2048 wall",
+        },
+    }
+
+    # 2. device-resident legacy: parity mode + bf16 fast path
+    if SHOWCASE:
+        res_slide = (
+            rng.rand(RESIDENT_SIZE, RESIDENT_SIZE) * 60000
+        ).astype(np.uint16)
+        rfl = slide_flops(
+            bundle.hp, RESIDENT_SIZE, RESIDENT_SIZE, bundle.variant
+        )
+        resident = {"slide": f"{RESIDENT_SIZE}x{RESIDENT_SIZE}"}
+        for label, eng in [
+            ("f32_high_parity", engine if PRECISION == "float32"
+             else legacy_engine(precision="high")),
+            ("bf16", legacy_engine(compute_dtype=jnp.bfloat16)),
+        ]:
+            s = _resident(eng, res_slide, jnp, tiler, bundle.hp)
+            resident[label] = {
+                "mpx_s": round(RESIDENT_SIZE**2 / 1e6 / s, 1),
+                "tflop_s": round(rfl / s / 1e12, 1),
+                "mfu_vs_bf16_peak": round(rfl / s / PEAK_BF16, 3),
+            }
+        resident["note"] = (
+            "f32_high_parity: 3-pass MXU, <= 1 uint8 level vs reference "
+            "golden; bf16 is at this 16..64-wide net's MXU channel-"
+            "occupancy roofline (BASELINE.md) — MFU here is a property "
+            "of model width, not scheduling"
+        )
+        detail["device_resident_legacy"] = resident
+
+        # 3. v2/default architecture (nucleiDAPI1-5 hp, random weights)
+        v2_hp = HParams(
+            im_size=64, n_channels=1, n_classes=3, n_out0=80,
+            feat_maps_fact=2, down_samp_fact=2, ks=3, n_extra_convs=0,
+            std_dev0=0.03, n_layers=4, batch_size=32,
+        )
+        v2_params = unet.init_params(jax.random.PRNGKey(0), v2_hp, "v2")
+        v2fl = slide_flops(v2_hp, RESIDENT_SIZE, RESIDENT_SIZE, "v2")
+        v2 = {
+            "hp": "nucleiDAPI1-5 (the default tool's net; random "
+            "weights — S3 blobs unfetchable here, throughput is "
+            "weight-value independent)",
+            "slide": f"{RESIDENT_SIZE}x{RESIDENT_SIZE}",
+        }
+        for label, kw in [
+            ("bf16", dict(compute_dtype=jnp.bfloat16)),
+            ("f32_high", dict(precision="high")),
+        ]:
+            eng = InferenceEngine(
+                v2_hp, v2_params, "v2", 0.3, 0.2,
+                tile_batch=TILE_BATCH or None, **kw,
+            )
+            s = _resident(eng, res_slide, jnp, tiler, v2_hp)
+            v2[label] = {
+                "mpx_s": round(RESIDENT_SIZE**2 / 1e6 / s, 1),
+                "tflop_s": round(v2fl / s / 1e12, 1),
+                "mfu_vs_bf16_peak": round(v2fl / s / PEAK_BF16, 3),
+            }
+        detail["v2_default_arch_resident"] = v2
+
     result = {
         "metric": "tiled_unet_inference_throughput",
         "value": round(mpx_s, 2),
         "unit": "Mpx/s/chip",
-        "vs_baseline": round(mpx_s / BASELINE_CPU_MPX_S, 2),
-        "detail": {
-            "model": os.path.basename(model_dir),
-            "slide": f"{SIZE}x{SIZE}",
-            "classes_per_pass": int(bundle.hp.n_classes),
-            "wall_s": round(best, 3),
-            "device_resident_mpx_s": round(SIZE * SIZE / 1e6 / device_s, 1),
-            "device_resident_tflop_s": round(fl / device_s / 1e12, 1),
-            "mfu_vs_bf16_peak": round(fl / device_s / PEAK_BF16, 3),
-            "slide_tflop": round(fl / 1e12, 2),
-            "device": str(jax.devices()[0]),
-            "precision": PRECISION,
-            "precision_note": (
-                "float32 = Precision.HIGH parity mode (<=1 uint8 level vs "
-                "reference golden); bf16 fast path is at the MXU "
-                "channel-occupancy roofline for this 16..64-wide net "
-                "(measured 36 TFLOP/s vs ~38 ideal given Cout<128 lanes)"
-            ),
-            "baseline": "reference-style torch CPU executor "
-            f"({BASELINE_CPU_MPX_S} Mpx/s, per-class re-runs)",
-        },
+        "vs_baseline": round(matched_mpx_s / BASELINE_CPU_MPX_S, 2),
+        "detail": detail,
     }
     print(json.dumps(result))
 
