@@ -181,3 +181,70 @@ def test_optax_adam_matches_tf_adam_live():
         up, st = tx.update(jnp.asarray(g), st, p)
         p = optax.apply_updates(p, up)
     np.testing.assert_array_equal(np.asarray(p), w_tf)
+
+
+@pytest.mark.parametrize("variant", ["legacy", "v2"])
+def test_train_trajectory_matches_reference_graph(variant):
+    """50 optimizer steps track the executed reference training graph
+    (fixtures from scripts/oracle_tf_train_traj.py): per-step loss curve,
+    staircase lr decay firing mid-trajectory (steps 20/40), BN
+    moving-stat compounding, and every final variable via the same
+    checkpoint loader both ends.  A 1-step test cannot see accumulation
+    drift (r2 verdict #2)."""
+    import jax
+
+    from unmicst_tpu.train import TrainConfig, make_optimizer, make_train_step
+
+    d = os.path.join(FIXDIR, f"oracle_traj_{variant}")
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    hp = HParams.from_ref_dict(meta["hp"])
+    params = load_tf1_params(os.path.join(d, "init.ckpt"), hp, variant)
+    final_ref = load_tf1_params(os.path.join(d, "final.ckpt"), hp, variant)
+    data = np.load(os.path.join(d, "traj.npz"))
+
+    cfg = TrainConfig.for_variant(
+        variant, decay_steps=meta["decay_steps"],
+        decay_rate=meta["decay_rate"], lr0=meta["lr0"],
+    )
+    assert cfg.optimizer == meta["optimizer"]
+    assert cfg.use_weights == meta["use_weights"]
+    tx = make_optimizer(cfg)
+    step = make_train_step(hp, cfg, tx, donate=False)
+    opt_state = tx.init(params)
+    losses = []
+    for t in range(meta["n_steps"]):
+        batch = {
+            "image": jnp.asarray(data["x"][t]),
+            "labels": jnp.asarray(data["labels"][t]),
+        }
+        if cfg.use_weights:
+            batch["weights"] = jnp.asarray(data["weights"][t])
+        # rng=None: dropout off, matching the fixture (BN still trains)
+        params, opt_state, metrics = step(params, opt_state, batch, None)
+        losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(
+        losses, data["losses"], rtol=2e-4, atol=2e-4,
+        err_msg="per-step train-mode loss curve",
+    )
+
+    flat_ours = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_ref = jax.tree_util.tree_flatten_with_path(final_ref)[0]
+    assert len(flat_ours) == len(flat_ref)
+    # Tolerance is chaos-informed: the legacy trajectory (lr=0.01
+    # Momentum) is measurably chaotic — re-running OUR OWN trainer from a
+    # 1e-7-perturbed init diverges to 4.1e-4 max-abs by step 50 (control
+    # measured 2026-08-17), so sub-1e-3 var agreement with TF is the
+    # attainable floor and the per-step LOSS curve above is the sharp
+    # discriminator for systematic bugs (a wrong lr step, update order,
+    # or batch-stat use shows there within steps, before chaos grows
+    # from 1e-7 seeds).  Structured drift still fails here: the BN
+    # Bessel-correction bug this test caught was 2.1e-2 abs across whole
+    # moving_variance tensors — 10x this atol.
+    for (path_o, ours), (path_r, ref) in zip(flat_ours, flat_ref):
+        assert path_o == path_r
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=2e-3, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path_o),
+        )

@@ -185,18 +185,24 @@ def bn_train(
 ) -> Tuple[jnp.ndarray, Params]:
     """Training-mode BN: normalize with batch stats, update moving stats.
 
-    TF updates ``moving = moving * momentum + batch * (1 - momentum)`` with
-    the *biased* batch variance for normalization and the biased variance for
-    the moving update as well (tf.layers semantics).
+    TF (``tf.layers.batch_normalization``, fused) normalizes with the
+    *biased* batch variance but feeds the Bessel-corrected (unbiased,
+    ``N/(N-1)``) variance into the moving-average update — verified
+    empirically against live TF and pinned by the 50-step trajectory
+    oracle (``tests/fixtures/oracle_traj_*``; at a 4x4 bottom layer the
+    correction is 3%, compounding over steps).
     """
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(0, 1, 2))
     var = jnp.var(x32, axis=(0, 1, 2))
     y = (x32 - mean) * jax.lax.rsqrt(var + BN_EPS) * bn["gamma"] + bn["beta"]
+    n = x32.shape[0] * x32.shape[1] * x32.shape[2]
+    uvar = var * (n / max(n - 1, 1))
     new_bn = dict(
         bn,
         moving_mean=bn["moving_mean"] * BN_MOMENTUM + mean * (1 - BN_MOMENTUM),
-        moving_variance=bn["moving_variance"] * BN_MOMENTUM + var * (1 - BN_MOMENTUM),
+        moving_variance=bn["moving_variance"] * BN_MOMENTUM
+        + uvar * (1 - BN_MOMENTUM),
     )
     return y, new_bn
 
