@@ -63,3 +63,11 @@ def test_two_process_spatial_halo():
     single-device blend (the DCN stand-in for pod-scale CP)."""
     outs = _run_two("mp_halo_worker.py")
     assert all("HALO_OK" in out for out in outs), outs
+
+
+def test_two_process_sharded_streaming():
+    """StreamingEngine.infer_sharded / infer_sharded_stack across two
+    jax.distributed processes equals single-process output — the last
+    SURVEY #2.6 claim to get a process-boundary test (r2 verdict #6)."""
+    outs = _run_two("mp_stream_worker.py")
+    assert all("STREAM_OK" in out for out in outs), outs

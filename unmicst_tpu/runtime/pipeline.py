@@ -632,7 +632,45 @@ class StreamingEngine:
             plan, mesh, axis, in_dtype, rescale,
             tuple(int(c) for c in classes) if classes is not None else None,
         )
-        win = jnp.asarray(tiler.ramp_window(self.hp.im_size, self.hp.margin))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # Multi-process meshes (jax.distributed): every argument must be a
+        # GLOBAL array.  Each process holds the full host-side data (the
+        # stripe loop is SPMD across hosts), so any process can serve any
+        # shard; results come back via process_allgather.
+        mp_mode = any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat
+        )
+        if mp_mode:
+            from jax.experimental import multihost_utils
+
+            def _put(x, spec):
+                x = np.asarray(x)
+                return jax.make_array_from_callback(
+                    x.shape, NamedSharding(mesh, spec),
+                    lambda idx: x[idx],
+                )
+
+            def _fetch(arr):
+                return np.asarray(
+                    multihost_utils.process_allgather(arr, tiled=True)
+                )
+
+            params_g = jax.tree_util.tree_map(
+                lambda p: _put(p, P()), self.params
+            )
+        else:
+            def _put(x, spec):
+                del spec
+                return jnp.asarray(x)
+
+            _fetch = np.asarray
+            params_g = self.params
+        body_spec = P(None, axis, None)
+        win = _put(
+            tiler.ramp_window(self.hp.im_size, self.hp.margin), P()
+        )
         grid = plan.grid
         m = grid.margin
         n_out = len(classes) if classes is not None else self.hp.n_classes
@@ -658,12 +696,13 @@ class StreamingEngine:
                         src, raw_r0, plan.in_rows
                     )
             band, tails = jitted(
-                self.params, jnp.asarray(canvas[:, :body_w]),
-                jnp.asarray(canvas[:, body_w:]), jnp.int32(s * plan.S - 1),
-                jnp.asarray(lo), jnp.asarray(hi), win,
+                params_g, _put(canvas[:, :body_w], body_spec),
+                _put(canvas[:, body_w:], P()),
+                _put(np.int32(s * plan.S - 1), P()),
+                _put(lo, P()), _put(hi, P()), win,
             )
             band = np.concatenate(
-                [np.asarray(band), np.asarray(tails)[:, -two_m:]], axis=1
+                [_fetch(band), _fetch(tails)[:, -two_m:]], axis=1
             )
             p0 = s * plan.band_rows
             a, b = max(p0, m), min(p0 + plan.band_rows, m + height)
