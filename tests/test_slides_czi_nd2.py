@@ -80,7 +80,12 @@ def write_czi(path, planes, pixel_type=1, compression=0, tile_split=None,
             blocks.append((dims, _encode_pixels(
                 piece.astype("<u2").tobytes(), compression, hilo
             )))
+    _write_czi_blocks(path, blocks, pixel_type, compression)
 
+
+def _write_czi_blocks(path, blocks, pixel_type=1, compression=0):
+    """Low-level container writer over pre-encoded (dims, payload) blocks
+    (JXR tests hand it payloads the reader's backend decodes)."""
     file_header = struct.pack(
         "<ii8x16s16si", 1, 0, b"\x00" * 16, b"\x00" * 16, 0
     )
@@ -564,3 +569,192 @@ def test_preview_u8_int16_negatives_clamp(rng):
     # vmax pass-through (offset-corrected stats max) takes the same path
     got2 = preview_u8(src, vmax=vmax)
     np.testing.assert_array_equal(got2, expect)
+
+
+# ---------------------------------------------------------------------------
+# JPEG XR sub-blocks (io/jxr.py: optional imagecodecs backend)
+# ---------------------------------------------------------------------------
+
+
+class _StubImagecodecs:
+    """Implements the exact backend API (imagecodecs.jpegxr_decode) over
+    npy-serialized payloads, so every layer of our plumbing — sub-block
+    extraction, payload hand-off, dtype/shape validation, windowed row
+    reads, block cache — runs unchanged; a real imagecodecs install
+    swaps only the codec."""
+
+    @staticmethod
+    def jpegxr_decode(buf):
+        import io as _io
+
+        return np.load(_io.BytesIO(bytes(buf)))
+
+
+def _npy_bytes(arr):
+    import io as _io
+
+    b = _io.BytesIO()
+    np.save(b, arr)
+    return b.getvalue()
+
+
+@pytest.fixture
+def stub_jxr(monkeypatch):
+    import sys
+
+    from unmicst_tpu.io import jxr
+
+    monkeypatch.setitem(sys.modules, "imagecodecs", _StubImagecodecs())
+    jxr.reset_backend_cache()
+    yield
+    jxr.reset_backend_cache()
+
+
+def test_czi_jxr_subblocks_decode(tmp_path, rng, stub_jxr):
+    from unmicst_tpu.io.czi import CziFile
+
+    planes = [(rng.rand(40, 60) * 60000).astype(np.uint16) for _ in range(2)]
+    path = str(tmp_path / "jxr.czi")
+    blocks = [(dict(X=(0, 60), Y=(0, 40), C=(c, 1)), _npy_bytes(p))
+              for c, p in enumerate(planes)]
+    _write_czi_blocks(path, blocks, pixel_type=1, compression=4)
+    with CziFile(path) as cz:
+        assert cz.channels() == 2
+        for c, plane in enumerate(planes):
+            np.testing.assert_array_equal(cz.read_channel(c), plane)
+    # streaming source path
+    from unmicst_tpu.io.slides import open_channel_source
+
+    with open_channel_source(path, "czi", 1) as src:
+        np.testing.assert_array_equal(src.read_rows(7, 21), planes[1][7:28])
+
+
+def test_czi_jxr_without_backend_errors_precisely(tmp_path, rng):
+    import sys
+
+    from unmicst_tpu.io import jxr
+    from unmicst_tpu.io.czi import CziFile
+
+    plane = (rng.rand(8, 8) * 100).astype(np.uint16)
+    path = str(tmp_path / "jxr2.czi")
+    _write_czi_blocks(
+        path, [(dict(X=(0, 8), Y=(0, 8), C=(0, 1)), _npy_bytes(plane))],
+        pixel_type=1, compression=4,
+    )
+    assert "imagecodecs" not in sys.modules or not hasattr(
+        sys.modules["imagecodecs"], "jpegxr_decode"
+    )
+    jxr.reset_backend_cache()
+    with CziFile(path) as cz:
+        with pytest.raises(NotImplementedError) as ei:
+            cz.read_channel(0)
+    msg = str(ei.value)
+    assert "imagecodecs" in msg and "jxr2.czi" in msg
+
+
+def test_czi_jxr_shape_mismatch_rejected(tmp_path, rng, stub_jxr):
+    from unmicst_tpu.io.czi import CziFile
+
+    plane = (rng.rand(8, 8) * 100).astype(np.uint16)
+    path = str(tmp_path / "jxr3.czi")
+    # directory says 8x8 but the payload decodes to 4x4
+    _write_czi_blocks(
+        path,
+        [(dict(X=(0, 8), Y=(0, 8), C=(0, 1)), _npy_bytes(plane[:4, :4]))],
+        pixel_type=1, compression=4,
+    )
+    with CziFile(path) as cz:
+        with pytest.raises(ValueError, match="declares"):
+            cz.read_channel(0)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial container fixtures (r2 verdict #9: inputs the readers were
+# NOT built around — until a vendor export is obtainable, stress the spec
+# corners a real microscope can produce)
+# ---------------------------------------------------------------------------
+
+
+def test_czi_multi_scene_uses_first_scene_only(tmp_path, rng):
+    """A second scene (S=1) at far X/Y offsets — listed FIRST in the
+    directory — must neither displace scene 0's canvas nor overwrite its
+    pixels (the reference extracts asarray()[0, ...]: first scene)."""
+    s0 = (rng.rand(30, 40) * 60000).astype(np.uint16)
+    s1 = (rng.rand(30, 40) * 60000).astype(np.uint16)
+    path = str(tmp_path / "scenes.czi")
+    blocks = [
+        # adversarial order: scene 1 first
+        (dict(X=(500, 40), Y=(700, 30), C=(0, 1), S=(1, 1)),
+         s1.astype("<u2").tobytes()),
+        (dict(X=(0, 40), Y=(0, 30), C=(0, 1), S=(0, 1)),
+         s0.astype("<u2").tobytes()),
+    ]
+    _write_czi_blocks(path, blocks)
+    with CziFile(path) as cz:
+        got = cz.read_channel(0)
+    np.testing.assert_array_equal(got, s0)
+
+
+def test_czi_timepoints_pick_first(tmp_path, rng):
+    """Two timepoints at the same X/Y: T=1 (listed first) must not
+    overwrite T=0's pixels."""
+    t0 = (rng.rand(20, 25) * 60000).astype(np.uint16)
+    t1 = (rng.rand(20, 25) * 60000).astype(np.uint16)
+    path = str(tmp_path / "timepoints.czi")
+    blocks = [
+        (dict(X=(0, 25), Y=(0, 20), C=(0, 1), T=(1, 1)),
+         t1.astype("<u2").tobytes()),
+        (dict(X=(0, 25), Y=(0, 20), C=(0, 1), T=(0, 1)),
+         t0.astype("<u2").tobytes()),
+    ]
+    _write_czi_blocks(path, blocks)
+    with CziFile(path) as cz:
+        np.testing.assert_array_equal(cz.read_channel(0), t0)
+
+
+def test_nd2_out_of_order_chunk_map(tmp_path, rng):
+    """Frames stored physically in REVERSE order with shuffled map
+    entries and a decoy unknown chunk between them: the reader must
+    resolve every frame through the map, never by file position."""
+    frames = [
+        (rng.rand(16, 18, 2) * 60000).astype(np.uint16) for _ in range(3)
+    ]
+    h, w, comp = frames[0].shape
+    attrs = (
+        _lv_uint("uiWidth", w) + _lv_uint("uiHeight", h)
+        + _lv_uint("uiComp", comp) + _lv_uint("uiBpcInMemory", 16)
+    )
+    out = bytearray()
+    offsets = {}
+    # frames physically reversed, decoy chunks interleaved
+    for i in reversed(range(len(frames))):
+        out += _nd2_chunk(b"CustomJunk|x!", b"\x42" * 17)
+        name = f"ImageDataSeq|{i}!".encode()
+        offsets[name] = len(out)
+        data = struct.pack("<d", 0.0) + frames[i].astype("<u2").tobytes()
+        out += _nd2_chunk(name, data)
+    name = b"ImageAttributesLV!"
+    offsets[name] = len(out)
+    out += _nd2_chunk(name, attrs)  # attributes LAST physically
+    # map entries in shuffled (not insertion) order
+    items = list(offsets.items())
+    items = items[1::2] + items[0::2]
+    map_data = b"".join(
+        nm + struct.pack("<QQ", off, 0) for nm, off in items
+    ) + b"ND2 CHUNK MAP SIGNATURE 0000001!" + struct.pack("<QQ", 0, 0)
+    map_pos = len(out)
+    out += _nd2_chunk(b"ND2 CHUNK MAP SIGNATURE 0000001!", map_data)
+    out += b"ND2 CHUNK MAP SIGNATURE 0000001!" + struct.pack("<Q", map_pos)
+    path = str(tmp_path / "shuffled.nd2")
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+    for c in range(comp):
+        np.testing.assert_array_equal(
+            read_nd2_channel(path, c), frames[0][:, :, c]
+        )
+    with Nd2File(path) as nd:
+        assert nd.n_frames == 3
+        np.testing.assert_array_equal(
+            nd.read_rows(1, 3, 7), frames[0][3:10, :, 1]
+        )

@@ -18,11 +18,12 @@ ZISRAW container layout (public Zeiss spec):
 * each ``ZISRAWSUBBLOCK`` repeats its directory entry, followed by XML
   metadata and the pixel payload at offset ``max(256, entry_size + 16)``.
 
-Supported sub-block encodings: uncompressed (compression == 0) and the two
+Supported sub-block encodings: uncompressed (compression == 0), the two
 zstd flavors modern ZEN writes — "zstd0" (5, a bare zstd frame) and "zstd1"
-(6, a small header possibly declaring hi-lo byte packing, then the frame);
-see `io/zstd.py` for backends.  JPEG/JPEG-XR blocks raise
-``NotImplementedError`` with the compression id.
+(6, a small header possibly declaring hi-lo byte packing, then the frame;
+see `io/zstd.py` for backends) — and JPEG XR (4) via the optional
+``imagecodecs`` backend (`io/jxr.py`, the reference's own JXR dependency).
+Plain-JPEG blocks (2) raise ``NotImplementedError`` with the id.
 """
 
 from __future__ import annotations
@@ -37,9 +38,10 @@ from . import zstd as _zstd
 
 _SEG_HEADER = struct.Struct("<16sqq")
 COMP_NONE = 0
+COMP_JXR = 4  # JPEG XR; optional imagecodecs backend (io/jxr.py)
 COMP_ZSTD0 = 5
 COMP_ZSTD1 = 6
-_SUPPORTED_COMPRESSIONS = (COMP_NONE, COMP_ZSTD0, COMP_ZSTD1)
+_SUPPORTED_COMPRESSIONS = (COMP_NONE, COMP_JXR, COMP_ZSTD0, COMP_ZSTD1)
 # decompressed sub-blocks kept for windowed (streaming) reads
 _BLOCK_CACHE_BYTES = 256 << 20
 _PIXEL_DTYPES = {
@@ -147,6 +149,13 @@ def _decode_pixels(raw: bytes, entry: SubBlockEntry,
             ) from None
         out = _zstd.decompress(raw[off:], nbytes)
         return _zstd.unpack_hilo(out, dtype.itemsize) if hilo else out
+    if entry.compression == COMP_JXR:
+        from unmicst_tpu.io import jxr
+
+        return jxr.decode(
+            raw, dtype, (h, w),
+            f"{path or '<czi>'} sub-block at {entry.file_position:#x}",
+        )
     raise NotImplementedError(
         f"compressed CZI sub-blocks (compression="
         f"{entry.compression}) are not supported"
