@@ -114,3 +114,29 @@ def test_spatial_infer_pallas_halo_matches_ppermute(rng):
                              pallas_interpret=True, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("rows,cols", [(400, 90), (150, 90)])
+def test_spatial_infer_pallas_overlap_matches_ppermute(rng, rows, cols):
+    """halo_impl='pallas_overlap' (decoupled RDMA start/wait bracketing
+    the interior forward) == the ppermute path.  400 rows gives R=3 tile
+    rows per band (real interior/seam split); 150 gives R=1 (the overlap
+    degenerates to the synchronous kernel path)."""
+    from unmicst_tpu.core.hp import HParams
+    from unmicst_tpu.core import unet as unet_mod
+    from unmicst_tpu.runtime import halo
+
+    mesh = _mesh8()
+    hp = HParams(im_size=32, n_channels=1, n_classes=3, n_out0=6, ks=3,
+                 n_extra_convs=0, n_layers=2, batch_size=8, std_dev0=0.5)
+    params = unet_mod.init_params(jax.random.PRNGKey(3), hp, "legacy")
+    img = rng.rand(rows, cols).astype(np.float32)
+    canvas = halo.build_canvas(img, hp, 8)
+    kw = dict(mean=0.3, std=0.2, axis="d")
+    ref = halo.spatial_infer(params, jnp.asarray(canvas), rows, cols, hp,
+                             "legacy", mesh, **kw)
+    got = halo.spatial_infer(params, jnp.asarray(canvas), rows, cols, hp,
+                             "legacy", mesh, halo_impl="pallas_overlap",
+                             pallas_interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)

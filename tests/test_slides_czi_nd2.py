@@ -758,3 +758,27 @@ def test_nd2_out_of_order_chunk_map(tmp_path, rng):
         np.testing.assert_array_equal(
             nd.read_rows(1, 3, 7), frames[0][3:10, :, 1]
         )
+
+
+def test_czi_jpeg_subblocks_decode(tmp_path, rng):
+    """Plain-JPEG (compression=2) sub-blocks decode via PIL; lossy codec,
+    so the fixture uses JPEG's own round-trip as truth (uint8 gray)."""
+    import io as _io
+
+    from PIL import Image
+
+    from unmicst_tpu.io.czi import CziFile
+
+    plane = (rng.rand(40, 60) * 255).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(plane, mode="L").save(buf, format="JPEG", quality=95)
+    payload = buf.getvalue()
+    expected = np.asarray(Image.open(_io.BytesIO(payload)))
+    path = str(tmp_path / "jpeg.czi")
+    # pixel_type 0 = Gray8
+    _write_czi_blocks(
+        path, [(dict(X=(0, 60), Y=(0, 40), C=(0, 1)), payload)],
+        pixel_type=0, compression=2,
+    )
+    with CziFile(path) as cz:
+        np.testing.assert_array_equal(cz.read_channel(0), expected)

@@ -23,7 +23,8 @@ zstd flavors modern ZEN writes — "zstd0" (5, a bare zstd frame) and "zstd1"
 (6, a small header possibly declaring hi-lo byte packing, then the frame;
 see `io/zstd.py` for backends) — and JPEG XR (4) via the optional
 ``imagecodecs`` backend (`io/jxr.py`, the reference's own JXR dependency).
-Plain-JPEG blocks (2) raise ``NotImplementedError`` with the id.
+Plain-JPEG blocks (2) decode via PIL.  Unknown ids raise
+``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -38,10 +39,13 @@ from . import zstd as _zstd
 
 _SEG_HEADER = struct.Struct("<16sqq")
 COMP_NONE = 0
+COMP_JPEG = 2  # baseline JPEG; decoded via PIL (always available)
 COMP_JXR = 4  # JPEG XR; optional imagecodecs backend (io/jxr.py)
 COMP_ZSTD0 = 5
 COMP_ZSTD1 = 6
-_SUPPORTED_COMPRESSIONS = (COMP_NONE, COMP_JXR, COMP_ZSTD0, COMP_ZSTD1)
+_SUPPORTED_COMPRESSIONS = (
+    COMP_NONE, COMP_JPEG, COMP_JXR, COMP_ZSTD0, COMP_ZSTD1,
+)
 # decompressed sub-blocks kept for windowed (streaming) reads
 _BLOCK_CACHE_BYTES = 256 << 20
 _PIXEL_DTYPES = {
@@ -149,6 +153,23 @@ def _decode_pixels(raw: bytes, entry: SubBlockEntry,
             ) from None
         out = _zstd.decompress(raw[off:], nbytes)
         return _zstd.unpack_hilo(out, dtype.itemsize) if hilo else out
+    if entry.compression == COMP_JPEG:
+        import io as _io
+
+        from PIL import Image
+
+        img = np.asarray(Image.open(_io.BytesIO(raw)))
+        if img.ndim == 3 and img.shape[2] == 1:
+            img = img[:, :, 0]
+        if img.ndim != 2 or img.shape != (h, w):
+            raise ValueError(
+                f"{path or '<czi>'}: JPEG sub-block at "
+                f"{entry.file_position:#x} decoded to {img.shape}, "
+                f"directory declares {(h, w)}"
+            )
+        return np.ascontiguousarray(img).astype(
+            dtype.newbyteorder("<"), copy=False
+        ).tobytes()
     if entry.compression == COMP_JXR:
         from unmicst_tpu.io import jxr
 

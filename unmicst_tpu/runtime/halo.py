@@ -91,7 +91,7 @@ def spatial_infer(
     def forward(t):
         return unet.apply(params, t, hp, variant, compute_dtype=compute_dtype)
 
-    if halo_impl == "pallas":
+    if halo_impl in ("pallas", "pallas_overlap"):
         from unmicst_tpu.kernels.halo_rdma import ring_shift
 
         # ring_shift(x, axis, s) delivers device (i-s)'s block to device i,
@@ -106,6 +106,21 @@ def spatial_infer(
     else:
         raise ValueError(f"unknown halo_impl {halo_impl!r}")
 
+    # Overlap mode: only the LAST tile row of a band reads halo rows
+    # (tile row r spans [r*sub, r*sub + patch); patch = sub + 2m), so the
+    # decoupled RDMA pair brackets the interior forward — the hop rides
+    # ICI underneath (R-1)*npc tiles of compute instead of blocking
+    # before the first conv.  Degenerates to the synchronous path when
+    # the band is a single tile row.
+    overlap = halo_impl == "pallas_overlap" and R > 1
+    if overlap:
+        from unmicst_tpu.kernels.halo_rdma import (
+            ring_shift_start, ring_shift_wait,
+        )
+
+        interior_grid = tiler.make_grid((R - 1) * sub, width, patch, margin)
+        seam_grid = tiler.make_grid(sub, width, patch, margin)
+
     def band_fn(block, tail):
         # block: (rows_per_dev, W', C) — this device's band
         d = jax.lax.axis_index(axis)
@@ -113,16 +128,40 @@ def spatial_infer(
         # takes the global canvas tail instead (device i receives from
         # i+1, i.e. shift -1)
         head = block[:two_m]
-        halo = exchange(head, -1)
-        halo = jnp.where(d == n_dev - 1, tail, halo)
-        stripe = jnp.concatenate([block, halo], axis=0)
-        stripe = (stripe - mean) / std
+        if overlap:
+            handle = ring_shift_start(
+                head, axis, -1, collective_id=8,
+                interpret=pallas_interpret,
+            )
+            # interior tile rows 0..R-2: local rows only — no halo dep
+            interior = (block[: (R - 1) * sub + two_m] - mean) / std
+            int_tiles = tiler.unfold(interior, interior_grid).reshape(
+                (R - 1) * npc, patch, patch, n_ch
+            )
+            int_probs = chunked_forward(forward, int_tiles, chunk)
+            halo = ring_shift_wait(head, handle, axis)
+            halo = jnp.where(d == n_dev - 1, tail, halo)
+            # seam tile row R-1: last sub local rows + the 2m halo rows
+            seam = jnp.concatenate([block[(R - 1) * sub :], halo], axis=0)
+            seam = (seam - mean) / std
+            seam_tiles = tiler.unfold(seam, seam_grid).reshape(
+                npc, patch, patch, n_ch
+            )
+            seam_probs = chunked_forward(
+                forward, seam_tiles, min(chunk, npc)
+            )
+            probs = jnp.concatenate([int_probs, seam_probs], axis=0)
+        else:
+            halo = exchange(head, -1)
+            halo = jnp.where(d == n_dev - 1, tail, halo)
+            stripe = jnp.concatenate([block, halo], axis=0)
+            stripe = (stripe - mean) / std
 
-        # --- local tile pipeline
-        tiles = tiler.unfold(stripe, band_grid)
-        flat = tiles.reshape(tiles_per_band, patch, patch, n_ch)
-        # full chunks + one static remainder: zero forward padding
-        probs = chunked_forward(forward, flat, chunk)
+            # --- local tile pipeline
+            tiles = tiler.unfold(stripe, band_grid)
+            flat = tiles.reshape(tiles_per_band, patch, patch, n_ch)
+            # full chunks + one static remainder: zero forward padding
+            probs = chunked_forward(forward, flat, chunk)
         probs = probs.reshape(R, npc, patch, patch, n_cls)
         row_ids = d * R + jnp.arange(R)
         mask = (row_ids < grid.npr).astype(jnp.float32)
@@ -145,7 +184,7 @@ def spatial_infer(
         # the pallas interpret lowering mixes vma-tagged and literal values
         # inside the kernel (jax vma-check limitation); semantics are pinned
         # by the ppermute-equivalence tests
-        check_vma=halo_impl != "pallas",
+        check_vma=halo_impl == "ppermute",
     )(body, global_tail)
 
     # reassemble: sharded body + the genuine global tail (last device's)
