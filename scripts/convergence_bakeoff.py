@@ -38,7 +38,11 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 N_STEPS = int(os.environ.get("BAKEOFF_STEPS", "300"))
-N_TRAIN, N_VALID, N_TEST = 16, 8, 4
+# N_VALID == batchSize: every validation step sees the SAME full valid
+# set on both legs (the reference cycles 4-sample windows; equal sizes
+# collapse the window lottery), so the curves differ only by aug-page
+# draw, not by which samples were scored
+N_TRAIN, N_VALID, N_TEST = 16, 4, 4
 S = 32
 N_AUG = 12
 HP = dict(imSize=S, nChannels=1, nClasses=3, nOut0=8, featMapsFact=2,

@@ -1,0 +1,107 @@
+"""Training-step throughput on the real chip (fwd+bwd+optimizer).
+
+Inference MFU is published (BASELINE.md); this measures the TRAINING
+path: one jitted ``make_train_step`` on the two production shapes —
+the legacy flagship (nucleiDAPI hp: 128 px tiles, ks=5, batch 16) and
+the v2 default (nucleiDAPI1-5 hp: 64 px, nOut0=80, batch 32) — in the
+precision ladder.  FLOPs come from XLA's own cost analysis of the
+compiled step (not an analytic estimate), so MFU here is exactly
+"executed FLOPs / wall / peak".
+
+Run: python - < scripts/train_throughput_tpu.py
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from unmicst_tpu.utils.compcache import enable as _enable_cache
+
+_enable_cache()
+
+import jax
+import jax.numpy as jnp
+
+from unmicst_tpu.core import unet
+from unmicst_tpu.core.hp import HParams
+from unmicst_tpu.train import TrainConfig, make_optimizer, make_train_step
+
+PEAK_BF16 = 197e12  # v5e
+
+SHAPES = {
+    "legacy_flagship": (
+        HParams(im_size=128, n_channels=1, n_classes=3, n_out0=16,
+                feat_maps_fact=2, down_samp_fact=2, ks=5, n_extra_convs=1,
+                std_dev0=0.03, n_layers=2, batch_size=16),
+        "legacy",
+    ),
+    "v2_default": (
+        HParams(im_size=64, n_channels=1, n_classes=3, n_out0=80,
+                feat_maps_fact=2, down_samp_fact=2, ks=3, n_extra_convs=0,
+                std_dev0=0.03, n_layers=4, batch_size=32),
+        "v2",
+    ),
+}
+
+report = {"device": str(jax.devices()[0]), "shapes": {}}
+for name, (hp, variant) in SHAPES.items():
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(
+            hp.batch_size, hp.im_size, hp.im_size, hp.n_channels
+        ).astype(np.float32)),
+        "labels": jnp.asarray(np.eye(3, dtype=np.float32)[rng.randint(
+            0, 3, (hp.batch_size, hp.im_size, hp.im_size)
+        )]),
+        "weights": jnp.asarray(np.ones(
+            (hp.batch_size, hp.im_size, hp.im_size, 3), np.float32
+        )),
+    }
+    rows = {}
+    for prec in ("high", "default"):
+        cfg = TrainConfig.for_variant(variant, precision=prec, n_aug=1)
+        tx = make_optimizer(cfg)
+        params = unet.init_params(jax.random.PRNGKey(0), hp, variant)
+        step = make_train_step(hp, cfg, tx, donate=False)
+        opt_state = tx.init(params)
+        # executed-FLOPs accounting straight from the compiled module
+        # (make_train_step returns a jitted callable)
+        try:
+            cost = step.lower(
+                params, opt_state, batch, jax.random.PRNGKey(0)
+            ).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+        except Exception as e:
+            print("cost_analysis unavailable:", e, flush=True)
+            flops = 0.0
+        p, o, m = step(params, opt_state, batch, jax.random.PRNGKey(0))
+        np.asarray(m["loss"])  # force
+        best = np.inf
+        for it in range(5):
+            t0 = time.perf_counter()
+            p, o, m = step(p, o, batch, jax.random.PRNGKey(it))
+            np.asarray(m["loss"])
+            best = min(best, time.perf_counter() - t0)
+        px_s = hp.batch_size * hp.im_size * hp.im_size / best
+        rows[prec] = {
+            "step_ms": round(best * 1e3, 2),
+            "tiles_per_s": round(hp.batch_size / best, 1),
+            "mpx_per_s": round(px_s / 1e6, 1),
+            "xla_tflop": round(flops / 1e12, 3),
+            "tflop_s": round(flops / best / 1e12, 1) if flops else None,
+            "mfu_vs_bf16_peak": (
+                round(flops / best / PEAK_BF16, 3) if flops else None
+            ),
+        }
+        print(name, prec, rows[prec], flush=True)
+    report["shapes"][name] = rows
+
+with open("/root/repo/scripts/train_throughput_report.json", "w") as f:
+    json.dump(report, f, indent=1)
+print(json.dumps(report))

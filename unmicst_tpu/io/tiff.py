@@ -320,6 +320,14 @@ class TiffFile:
         height = scalar(TAG_IMAGE_LENGTH)
         if width is None or height is None:
             raise ValueError("TIFF page missing dimensions")
+        # untrusted-header allocation guard (read_page allocates h x w):
+        # 2^20 px per side / 2^31 px total admits any real slide while a
+        # corrupt dimension word fails here instead of in np.empty
+        if not (0 < width <= 1 << 20 and 0 < height <= 1 << 20
+                and width * height <= 1 << 31):
+            raise ValueError(
+                f"implausible TIFF page dimensions {width}x{height}"
+            )
         bits_tag = tags.get(TAG_BITS_PER_SAMPLE)
         bits = int(bits_tag[0]) if bits_tag is not None else 1
         page = TiffPage(

@@ -227,12 +227,19 @@ class Corpus:
         self.cfg = cfg
 
     def batches(
-        self, batch_size: int, rng: np.random.RandomState, augment: bool
+        self, batch_size: int, rng: np.random.RandomState, augment: bool,
+        jitter: Optional[bool] = None,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Cursor-walk batch assembly with epoch reshuffle
         (``UnMicst1-5.py:469-489``) and brightness/contrast jitter
-        (``:473-477``)."""
+        (``:473-477``).  ``augment`` draws a random baked-augmentation
+        page per sample; ``jitter`` (default: follow ``augment``) adds
+        the brightness/contrast perturbation — the reference's
+        VALIDATION draws random pages WITHOUT jitter
+        (``UnMicst1-5.py:498-505``), so pass ``jitter=False`` there."""
         cfg = self.cfg
+        if jitter is None:
+            jitter = augment
         max_brig = 1.0 * cfg.dataset_std  # UnMicst1-5.py:464-465
         max_cont = 0.1 * cfg.dataset_std
         perm = rng.permutation(self.n)
@@ -249,7 +256,7 @@ class Corpus:
                 np.float32,
             )
             for j, s in enumerate(take):
-                if augment:
+                if jitter:
                     f_brig = max_brig * (-1.0) ** (rng.rand() < 0.5) * rng.rand()
                     f_cont = 1 + max_cont * (-1.0) ** (rng.rand() < 0.5) * rng.rand()
                 else:
@@ -346,7 +353,11 @@ class Trainer:
         bs = batch_size or self.hp.batch_size
         rng_np = np.random.RandomState(cfg.seed + 1)
         train_iter = train_corpus.batches(bs, rng_np, augment=cfg.n_aug > 1)
-        valid_iter = valid_corpus.batches(bs, rng_np, augment=False)
+        # reference validation protocol: random baked page, no jitter
+        # (UnMicst1-5.py:498-505)
+        valid_iter = valid_corpus.batches(
+            bs, rng_np, augment=cfg.n_aug > 1, jitter=False
+        )
         key = jax.random.PRNGKey(cfg.seed + 2)
         t0 = time.time()
         for i in range(n_steps):
