@@ -62,8 +62,16 @@ for name, (hp, variant) in SHAPES.items():
         )),
     }
     rows = {}
-    for prec in ("high", "default"):
-        cfg = TrainConfig.for_variant(variant, precision=prec, n_aug=1)
+    for prec, extra in (
+        ("high", {}),            # parity-default f32 training
+        ("default", {}),         # 1-pass f32
+        ("bf16_mixed", {"precision": "default",
+                        "compute_dtype": "bfloat16"}),
+    ):
+        kw = dict(precision=prec, n_aug=1)
+        if extra:
+            kw = dict(n_aug=1, **extra)
+        cfg = TrainConfig.for_variant(variant, **kw)
         tx = make_optimizer(cfg)
         params = unet.init_params(jax.random.PRNGKey(0), hp, variant)
         step = make_train_step(hp, cfg, tx, donate=False)

@@ -4,6 +4,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -141,3 +142,64 @@ def test_make_optimizer_schedule():
     # staircase: constant within a 1000-step stair (UnMicst.py:270-273)
     assert sched(0) == sched(999)
     assert abs(float(sched(1000)) - 0.01 * 0.95) < 1e-9
+
+
+def test_mixed_precision_training_step(tmp_path, rng):
+    """Opt-in bf16 training (f32 master weights/BN/optimizer): one step
+    tracks the f32 step direction; loss finite; moving stats stay f32."""
+    import jax
+
+    from unmicst_tpu.train import TrainConfig, make_optimizer, make_train_step
+    from unmicst_tpu.core import unet as unet_mod
+
+    hp = HP
+    batch = {
+        "image": jnp.asarray(rng.rand(4, 32, 32, 1).astype(np.float32)),
+        "labels": jnp.asarray(
+            np.eye(3, dtype=np.float32)[rng.randint(0, 3, (4, 32, 32))]
+        ),
+        "weights": jnp.asarray(np.ones((4, 32, 32, 3), np.float32)),
+    }
+    outs = {}
+    for label, kw in (("f32", {}), ("bf16", {"compute_dtype": "bfloat16"})):
+        cfg = TrainConfig.for_variant("v2", n_aug=1, **kw)
+        tx = make_optimizer(cfg)
+        params = unet_mod.init_params(jax.random.PRNGKey(0), hp, "v2")
+        step = make_train_step(hp, cfg, tx, donate=False)
+        p1, _, m = step(params, tx.init(params), batch, None)
+        assert np.isfinite(float(m["loss"]))
+        outs[label] = (p1, float(m["loss"]))
+    # the bf16 step moves the same direction: losses agree loosely and
+    # parameter updates correlate strongly with the f32 updates
+    assert abs(outs["bf16"][1] - outs["f32"][1]) < 0.05
+    flat_a = jax.tree_util.tree_leaves(outs["f32"][0])
+    flat_b = jax.tree_util.tree_leaves(outs["bf16"][0])
+    for a, b in zip(flat_a, flat_b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert b.dtype == np.float64 and np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, atol=5e-2, rtol=5e-2)
+
+
+def test_convergence_bakeoff_report():
+    """Committed artifact of scripts/convergence_bakeoff.py (r2 verdict
+    #10): the reference's ACTUAL train() executed live from bit-identical
+    seeded weights vs our Trainer on a shared synthetic corpus, matched
+    validation protocol.  Both curves fall and the converged plateaus
+    agree.  Regenerate: python scripts/convergence_bakeoff.py"""
+    p = os.path.join(
+        os.path.dirname(__file__), "..", "scripts",
+        "convergence_bakeoff_report.json",
+    )
+    with open(p) as f:
+        r = json.load(f)
+    assert r["n_steps"] >= 200
+    for leg in ("reference", "ours"):
+        assert r[leg]["plateau_e"] < r[leg]["start_e"] - 0.02, leg
+    assert r["plateau_abs_diff"] <= 0.05
+    assert abs(r["reference"]["start_e"] - r["ours"]["start_e"]) <= 0.08
+    # curve-level: smoothed trajectories track each other throughout
+    ref = np.asarray(r["curves"]["reference"])
+    ours = np.asarray(r["curves"]["ours"])
+    k = 40
+    smooth = lambda c: np.convolve(c, np.ones(k) / k, mode="valid")
+    assert np.abs(smooth(ref) - smooth(ours)).max() <= 0.08

@@ -129,13 +129,26 @@ def _precision(compute_dtype, precision=None):
 
 
 def conv(
-    x: jnp.ndarray, kernel: jnp.ndarray, compute_dtype=None, precision=None
+    x: jnp.ndarray, kernel: jnp.ndarray, compute_dtype=None, precision=None,
+    grad_safe: bool = False,
 ) -> jnp.ndarray:
-    """SAME conv, stride 1, NHWC/HWIO — MXU-friendly with f32 accumulation."""
+    """SAME conv, stride 1, NHWC/HWIO — MXU-friendly with f32 accumulation.
+
+    ``grad_safe``: mixed-dtype ``preferred_element_type`` upcasts have no
+    transpose rule, so the TRAINING path (bf16 compute under
+    ``value_and_grad``) rounds the conv output to ``compute_dtype`` and
+    upcasts explicitly — the standard mixed-precision recipe; inference
+    keeps the f32-accumulated output the r2 numbers were measured on.
+    """
     precision = _precision(compute_dtype, precision)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
+    if grad_safe and compute_dtype is not None:
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME", dimension_numbers=_DN,
+            precision=precision,
+        ).astype(jnp.float32)
     return jax.lax.conv_general_dilated(
         x, kernel, (1, 1), "SAME", dimension_numbers=_DN,
         preferred_element_type=jnp.float32, precision=precision,
@@ -144,7 +157,7 @@ def conv(
 
 def conv_transpose(
     x: jnp.ndarray, kernel: jnp.ndarray, stride: int, compute_dtype=None,
-    precision=None,
+    precision=None, grad_safe: bool = False,
 ) -> jnp.ndarray:
     """``tf.nn.conv2d_transpose`` parity (``UnMicst.py:153-155``).
 
@@ -158,6 +171,11 @@ def conv_transpose(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
+    if grad_safe and compute_dtype is not None:
+        return jax.lax.conv_transpose(
+            x, kernel, (stride, stride), "SAME", dimension_numbers=_DN,
+            transpose_kernel=True, precision=precision,
+        ).astype(jnp.float32)
     return jax.lax.conv_transpose(
         x, kernel, (stride, stride), "SAME", dimension_numbers=_DN,
         transpose_kernel=True, preferred_element_type=jnp.float32,
@@ -359,8 +377,9 @@ def apply(
     """
     cfg = get_variant(variant)
     act = cfg.act
-    conv_p = partial(conv, precision=precision)
-    conv_transpose_p = partial(conv_transpose, precision=precision)
+    conv_p = partial(conv, precision=precision, grad_safe=train)
+    conv_transpose_p = partial(conv_transpose, precision=precision,
+                               grad_safe=train)
     dsf = hp.down_samp_fact
     new_params = jax.tree_util.tree_map(lambda a: a, params) if train else None
     rngs = iter(jax.random.split(rng, 2 * hp.n_layers + 4)) if rng is not None else None

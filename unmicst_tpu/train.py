@@ -68,6 +68,12 @@ class TrainConfig:
     # is gradient-accurate to ~1e-6 relative at ~2x the throughput of
     # 'highest'; see BASELINE.md precision table
     precision: str = "high"
+    # Mixed-precision training (TPU fast path, opt-in): 'bfloat16' runs
+    # the fwd/bwd convolutions in bf16 with f32 accumulation while
+    # master weights, BN statistics, CE/softmax, and optimizer state
+    # stay f32 — the standard TPU recipe.  None (default) keeps the
+    # reference-parity f32 pipeline.
+    compute_dtype: Optional[str] = None
     export_tf1: bool = True  # also write a Saver-compatible model.ckpt.*
 
     @classmethod
@@ -120,13 +126,13 @@ def loss_fn(
     rng: jax.Array,
 ) -> Tuple[jnp.ndarray, Tuple[Params, Dict[str, jnp.ndarray]]]:
     """Weighted softmax CE + kernel regularization (``UnMicst1-5.py:367-373``)."""
-    fwd = (
-        jax.checkpoint(
-            lambda p, x, r: unet.apply(p, x, hp, cfg.variant, train=True, rng=r, precision=cfg.precision)
-        )
-        if cfg.remat
-        else lambda p, x, r: unet.apply(p, x, hp, cfg.variant, train=True, rng=r, precision=cfg.precision)
-    )
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+    def _fwd(p, x, r):
+        return unet.apply(p, x, hp, cfg.variant, train=True, rng=r,
+                          precision=cfg.precision, compute_dtype=cdt)
+
+    fwd = jax.checkpoint(_fwd) if cfg.remat else _fwd
     probs, new_params = fwd(params, batch["image"], rng)
     log_p = jnp.log(jnp.clip(probs, EPS, 1 - EPS))
     ce = batch["labels"] * log_p
