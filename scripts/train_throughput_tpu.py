@@ -45,6 +45,14 @@ SHAPES = {
                 std_dev0=0.03, n_layers=4, batch_size=32),
         "v2",
     ),
+    # the reference's batchSize=32 underfills a v5e; same net at 4x the
+    # batch shows the hardware ceiling for users free to raise it
+    "v2_default_b128": (
+        HParams(im_size=64, n_channels=1, n_classes=3, n_out0=80,
+                feat_maps_fact=2, down_samp_fact=2, ks=3, n_extra_convs=0,
+                std_dev0=0.03, n_layers=4, batch_size=128),
+        "v2",
+    ),
 }
 
 report = {"device": str(jax.devices()[0]), "shapes": {}}
@@ -88,14 +96,30 @@ for name, (hp, variant) in SHAPES.items():
         except Exception as e:
             print("cost_analysis unavailable:", e, flush=True)
             flops = 0.0
-        p, o, m = step(params, opt_state, batch, jax.random.PRNGKey(0))
-        np.asarray(m["loss"])  # force
+        # single dispatches through the dev tunnel pay a ~35 ms
+        # round-trip floor; amortize with a jitted K-step scan (one
+        # dispatch, K optimizer steps) for the device-truth number
+        K = 10
+
+        def multi(p, o, b, keys):
+            def body(carry, k):
+                cp, co = carry
+                cp, co, m = step(cp, co, b, k)
+                return (cp, co), m["loss"]
+
+            (p, o), losses = jax.lax.scan(body, (p, o), keys)
+            return p, o, losses
+
+        multi_j = jax.jit(multi)
+        keys = jax.random.split(jax.random.PRNGKey(0), K)
+        p, o, losses = multi_j(params, opt_state, batch, keys)
+        np.asarray(losses[-1])  # force
         best = np.inf
-        for it in range(5):
+        for it in range(4):
             t0 = time.perf_counter()
-            p, o, m = step(p, o, batch, jax.random.PRNGKey(it))
-            np.asarray(m["loss"])
-            best = min(best, time.perf_counter() - t0)
+            p, o, losses = multi_j(p, o, batch, keys)
+            np.asarray(losses[-1])
+            best = min(best, (time.perf_counter() - t0) / K)
         px_s = hp.batch_size * hp.im_size * hp.im_size / best
         rows[prec] = {
             "step_ms": round(best * 1e3, 2),
