@@ -112,3 +112,46 @@ def test_sidecar_loading():
     # CLI override path (mean/std != -1 bypass sidecars, UnMicst.py:494-502)
     b2 = load_model_dir(os.path.join(REFERENCE, "models/nucleiDAPI"), mean=0.5, std=0.2)
     assert b2.mean == 0.5 and b2.std == 0.2
+
+
+def test_tf1_reader_truncation_and_corruption_fuzz(tmp_path):
+    """Truncated/corrupted TF1 bundles must fail with clean exceptions
+    (never hang, crash, or allocate unboundedly); random byte flips that
+    land in tensor data are caught by the crc32c verification."""
+    import jax
+
+    from unmicst_tpu.core import unet
+    from unmicst_tpu.core.checkpoint import load_tf1_params, save_tf1_params
+    from unmicst_tpu.core.hp import HParams
+
+    hp = HParams(im_size=32, n_channels=1, n_classes=3, n_out0=4, ks=3,
+                 n_extra_convs=0, n_layers=2, batch_size=2)
+    params = unet.init_params(jax.random.PRNGKey(0), hp, "legacy")
+    prefix = str(tmp_path / "m.ckpt")
+    import numpy as _np
+
+    host = jax.tree_util.tree_map(_np.asarray, params)
+    save_tf1_params(prefix, host, hp, "legacy")
+
+    frng = np.random.RandomState(99)
+    for suffix in (".index", ".data-00000-of-00001"):
+        blob = open(prefix + suffix, "rb").read()
+        for cut in sorted(set([0, 1] + list(frng.randint(2, len(blob), 8)))):
+            with open(prefix + suffix, "wb") as f:
+                f.write(blob[:cut])
+            try:
+                load_tf1_params(prefix, hp, "legacy")
+            except Exception as e:  # noqa: BLE001 — clean failure contract
+                assert not isinstance(e, (MemoryError, SystemError)), e
+        for _ in range(8):
+            corrupted = bytearray(blob)
+            for pos in frng.randint(0, len(blob), 4):
+                corrupted[pos] ^= 0xFF
+            with open(prefix + suffix, "wb") as f:
+                f.write(bytes(corrupted))
+            try:
+                load_tf1_params(prefix, hp, "legacy")
+            except Exception as e:  # noqa: BLE001
+                assert not isinstance(e, (MemoryError, SystemError)), e
+        with open(prefix + suffix, "wb") as f:
+            f.write(blob)  # restore for the next suffix round

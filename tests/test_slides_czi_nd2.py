@@ -834,3 +834,18 @@ def test_truncation_fuzz_all_containers(tmp_path, rng):
                 assert out.nbytes <= 1 << 26  # bounded even when "readable"
             except Exception as e:  # noqa: BLE001
                 assert not isinstance(e, (MemoryError, SystemError)), e
+
+
+def test_czi_jxr_dtype_mismatch_rejected(tmp_path, rng, stub_jxr):
+    """Directory declares Gray16 but the payload decodes to uint8."""
+    from unmicst_tpu.io.czi import CziFile
+
+    plane8 = (rng.rand(8, 8) * 100).astype(np.uint8)
+    path = str(tmp_path / "jxr4.czi")
+    _write_czi_blocks(
+        path, [(dict(X=(0, 8), Y=(0, 8), C=(0, 1)), _npy_bytes(plane8))],
+        pixel_type=1, compression=4,  # pixel_type 1 = Gray16
+    )
+    with CziFile(path) as cz:
+        with pytest.raises(ValueError, match="declares"):
+            cz.read_channel(0)
