@@ -55,14 +55,19 @@ def _fetch(out) -> None:
     np.asarray(out[0, 0, 0])
 
 
-def _time_calls(fn, *args, repeats=REPEATS) -> float:
-    _fetch(fn(*args))  # warmup/compile
+def _wall(thunk, repeats=REPEATS) -> float:
+    """Warmup once (compile), then min wall over ``repeats`` calls."""
+    thunk()
     best = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        _fetch(fn(*args))
+        thunk()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _time_calls(fn, *args, repeats=REPEATS) -> float:
+    return _wall(lambda: _fetch(fn(*args)), repeats)
 
 
 def _resident(engine, slide, jnp, tiler, hp):
@@ -113,11 +118,7 @@ def main() -> None:
     maps = engine.infer_slide(slide)
     assert maps.shape == (bundle.hp.n_classes, SIZE, SIZE)
     assert maps.dtype == np.uint8
-    best = np.inf
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        engine.infer_slide(slide)
-        best = min(best, time.perf_counter() - t0)
+    best = _wall(lambda: engine.infer_slide(slide))
     mpx_s = SIZE * SIZE / 1e6 / best
 
     # 1b. matched-workload wall: the baseline's own 2048x2048 geometry
@@ -128,12 +129,7 @@ def main() -> None:
             np.uint16
         )
     )
-    engine.infer_slide(matched)
-    m_best = np.inf
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        engine.infer_slide(matched)
-        m_best = min(m_best, time.perf_counter() - t0)
+    m_best = _wall(lambda: engine.infer_slide(matched))
     matched_mpx_s = BASELINE_SIZE * BASELINE_SIZE / 1e6 / m_best
 
     fl = slide_flops(bundle.hp, SIZE, SIZE, bundle.variant)

@@ -128,6 +128,9 @@ def main() -> int:
     reports, unreachable = [], False
     for name, url in BLOBS.items():
         model_dir = os.path.join(args.model_root, name)
+        if not os.path.isdir(model_dir):
+            print(f"== {name}: model dir absent in this checkout; skipping")
+            continue
         blob = os.path.join(model_dir, "model.ckpt.data-00000-of-00001")
         print(f"== {name}")
         if not os.path.exists(blob):
@@ -154,10 +157,16 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(reports, f, indent=1)
-    if unreachable and not reports:
-        print("network unreachable: validation pre-staged, not run")
+    # exit contract (the CI step keys off it): 0 = every present model
+    # validated; 3 = network unreachable for at least one blob (partial
+    # success still reports what it could — a flaky link must not read
+    # as a validation failure); validation faults raise and exit nonzero
+    # through the traceback.
+    if unreachable:
+        print(f"network unreachable for some blobs; validated "
+              f"{len(reports)} model(s), report written")
         return 3
-    return 0 if len(reports) == len(BLOBS) else 1
+    return 0
 
 
 if __name__ == "__main__":

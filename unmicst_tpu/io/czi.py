@@ -167,6 +167,14 @@ def _decode_pixels(raw: bytes, entry: SubBlockEntry,
                 f"{entry.file_position:#x} decoded to {img.shape}, "
                 f"directory declares {(h, w)}"
             )
+        # bit depth must match the directory too: an 8-bit JPEG payload
+        # inside a Gray16-declared block would otherwise land 256x dim
+        if img.dtype.newbyteorder("=") != dtype.newbyteorder("="):
+            raise ValueError(
+                f"{path or '<czi>'}: JPEG sub-block at "
+                f"{entry.file_position:#x} decoded to {img.dtype}, "
+                f"directory declares {dtype}"
+            )
         return np.ascontiguousarray(img).astype(
             dtype.newbyteorder("<"), copy=False
         ).tobytes()

@@ -90,7 +90,9 @@ def decode(
             f"{img.shape}, directory declares {tuple(shape)}"
         )
     want = np.dtype(dtype)
-    if img.dtype.itemsize != want.itemsize:
+    # exact dtype (kind + width), not just itemsize: a float16/int16
+    # decode declared Gray16 would be silently value-converted by astype
+    if img.dtype.newbyteorder("=") != want.newbyteorder("="):
         raise ValueError(
             f"{context or 'CZI'}: JXR payload decoded to {img.dtype}, "
             f"directory declares {want}"

@@ -320,11 +320,12 @@ class TiffFile:
         height = scalar(TAG_IMAGE_LENGTH)
         if width is None or height is None:
             raise ValueError("TIFF page missing dimensions")
-        # untrusted-header allocation guard (read_page allocates h x w):
-        # 2^20 px per side / 2^31 px total admits any real slide while a
-        # corrupt dimension word fails here instead of in np.empty
-        if not (0 < width <= 1 << 20 and 0 < height <= 1 << 20
-                and width * height <= 1 << 31):
+        # untrusted-header plausibility guard: 2^20 px per side admits any
+        # real whole-slide image (windowed reads never allocate the full
+        # plane) while a corrupt dimension word fails here instead of in
+        # np.empty.  Full-page materialization has its own allocation
+        # guard in read_page.
+        if not (0 < width <= 1 << 20 and 0 < height <= 1 << 20):
             raise ValueError(
                 f"implausible TIFF page dimensions {width}x{height}"
             )
@@ -369,6 +370,14 @@ class TiffFile:
         if page.planar != 1 and page.samples > 1:
             raise NotImplementedError("planar TIFF not supported")
         dtype = page.dtype.newbyteorder(self.byteorder)
+        # allocation guard for FULL-page materialization only — windowed
+        # readers (read_region / the streaming sources) handle any size
+        if page.height * page.width * page.samples > 1 << 31:
+            raise ValueError(
+                f"TIFF page {page.height}x{page.width} is too large to "
+                "materialize whole; use windowed reads (read_region, or "
+                "the streaming engine)"
+            )
         if page.tiled:
             return self.read_region(index, 0, 0, page.height, page.width)
         rows_done = 0

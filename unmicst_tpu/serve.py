@@ -121,10 +121,11 @@ class ModelServer:
                     )
             else:
                 raws = [s.read_rows(0, shape[0]) for s in srcs]
-                # meta's infer_s/mpx_per_s time only engine work, not the
-                # container decode above (keeps the metric comparable)
-                t0 = time.perf_counter()
+                # meta's infer_s/mpx_per_s time only engine work — not the
+                # container decode above nor first-request engine
+                # construction (same placement as the streaming branch)
                 eng = self.engine(model)
+                t0 = time.perf_counter()
                 if len(raws) > 1:
                     maps = eng.infer_slide_stack(
                         raws, outlier=outlier, rescale=rescale
