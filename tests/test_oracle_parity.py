@@ -224,8 +224,12 @@ def test_train_trajectory_matches_reference_graph(variant):
         params, opt_state, metrics = step(params, opt_state, batch, None)
         losses.append(float(metrics["loss"]))
 
+    # rtol calibrated against measured margins: the true runs deviate
+    # 8.0e-5 (legacy) / 5.7e-7 (v2) while a staircase-never-fires lr
+    # mutation deviates 2.4e-4 — 1.2e-4 separates them 1.5x/2x either way
+    # (see test_trajectory_oracle_discriminates)
     np.testing.assert_allclose(
-        losses, data["losses"], rtol=2e-4, atol=2e-4,
+        losses, data["losses"], rtol=1.2e-4, atol=1.2e-4,
         err_msg="per-step train-mode loss curve",
     )
 
@@ -248,3 +252,71 @@ def test_train_trajectory_matches_reference_graph(variant):
             np.asarray(ours), np.asarray(ref), atol=2e-3, rtol=1e-3,
             err_msg=jax.tree_util.keystr(path_o),
         )
+
+
+def test_trajectory_oracle_discriminates():
+    """Mutation self-check: the 50-step trajectory oracle FAILS when
+    mechanism-level bugs are injected — (A) staircase lr decay never
+    firing exceeds the loss-curve tolerance (measured 2.4e-4 vs the
+    1.2e-4 gate; true run: 8.0e-5); (B) BN moving-stat momentum 0.9
+    instead of 0.99 blows the variable comparison by 3 orders of
+    magnitude (1.96 abs vs the 2e-3 gate) while the train-mode loss
+    curve cannot see it — exactly why both assertions exist."""
+    import jax
+
+    from unmicst_tpu.core import unet
+    from unmicst_tpu.train import TrainConfig, make_optimizer, make_train_step
+
+    d = os.path.join(FIXDIR, "oracle_traj_legacy")
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    hp = HParams.from_ref_dict(meta["hp"])
+    final_ref = load_tf1_params(os.path.join(d, "final.ckpt"), hp, "legacy")
+    data = np.load(os.path.join(d, "traj.npz"))
+
+    def run(decay_steps, bn_momentum):
+        orig = unet.BN_MOMENTUM
+        unet.BN_MOMENTUM = bn_momentum
+        try:
+            params = load_tf1_params(
+                os.path.join(d, "init.ckpt"), hp, "legacy"
+            )
+            cfg = TrainConfig.for_variant(
+                "legacy", decay_steps=decay_steps,
+                decay_rate=meta["decay_rate"], lr0=meta["lr0"],
+            )
+            tx = make_optimizer(cfg)
+            step = make_train_step(hp, cfg, tx, donate=False)
+            opt_state = tx.init(params)
+            losses = []
+            for t in range(meta["n_steps"]):
+                batch = {
+                    "image": jnp.asarray(data["x"][t]),
+                    "labels": jnp.asarray(data["labels"][t]),
+                }
+                params, opt_state, m = step(params, opt_state, batch, None)
+                losses.append(float(m["loss"]))
+            return np.asarray(losses), params
+        finally:
+            unet.BN_MOMENTUM = orig
+
+    # A: lr staircase never fires -> loss-curve gate must trip
+    losses_a, _ = run(1000, unet.BN_MOMENTUM)
+    rel_a = np.abs(losses_a - data["losses"]) / np.abs(data["losses"])
+    assert rel_a.max() > 1.2e-4, rel_a.max()
+
+    # B: wrong BN moving momentum -> variable gate must trip (and the
+    # loss curve must NOT, proving the two assertions are complementary)
+    losses_b, params_b = run(meta["decay_steps"], 0.9)
+    rel_b = np.abs(losses_b - data["losses"]) / np.abs(data["losses"])
+    assert rel_b.max() < 1.2e-4, rel_b.max()
+    import jax
+
+    worst = max(
+        float(np.abs(np.asarray(a) - np.asarray(r)).max())
+        for (ka, a), (kr, r) in zip(
+            jax.tree_util.tree_flatten_with_path(params_b)[0],
+            jax.tree_util.tree_flatten_with_path(final_ref)[0],
+        )
+    )
+    assert worst > 2e-3, worst
