@@ -53,6 +53,12 @@ SHAPES = {
                 std_dev0=0.03, n_layers=4, batch_size=128),
         "v2",
     ),
+    "v2_default_b256": (
+        HParams(im_size=64, n_channels=1, n_classes=3, n_out0=80,
+                feat_maps_fact=2, down_samp_fact=2, ks=3, n_extra_convs=0,
+                std_dev0=0.03, n_layers=4, batch_size=256),
+        "v2",
+    ),
 }
 
 report = {"device": str(jax.devices()[0]), "shapes": {}}
@@ -70,12 +76,15 @@ for name, (hp, variant) in SHAPES.items():
         )),
     }
     rows = {}
-    for prec, extra in (
+    modes = (
         ("high", {}),            # parity-default f32 training
         ("default", {}),         # 1-pass f32
         ("bf16_mixed", {"precision": "default",
                         "compute_dtype": "bfloat16"}),
-    ):
+    )
+    if name.endswith("b256"):
+        modes = modes[2:]  # scaling probe: fast path only
+    for prec, extra in modes:
         kw = dict(precision=prec, n_aug=1)
         if extra:
             kw = dict(n_aug=1, **extra)
