@@ -320,3 +320,66 @@ def test_empty_channel_descriptive_400(server_url):
         assert ei.value.code == 400
         body = json.loads(ei.value.read().decode())
         assert "channel" in body["error"]  # descriptive, not an IndexError
+
+
+def test_busy_backpressure_503(tmp_path, rng):
+    """max_inflight=0 (test hook: always busy) -> 503 + Retry-After and
+    the rejection is counted; /stats reflects request accounting."""
+    from http.server import ThreadingHTTPServer
+
+    srv = ModelServer(
+        model_root=os.path.join(REFERENCE, "models"),
+        max_inflight=0, queue_timeout_s=0.1,
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/infer?model=nucleiDAPI",
+            data=b"xx", method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 503
+        assert ei.value.headers.get("Retry-After")
+        body = json.loads(ei.value.read().decode())
+        assert "busy" in body["error"]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == 1
+        assert stats["busy_rejected"] == 1
+        assert stats["ok"] == 0
+    finally:
+        httpd.shutdown()
+
+
+def test_stats_counts_success_and_errors(server_url, tmp_path, rng):
+    with urllib.request.urlopen(server_url + "/stats", timeout=30) as r:
+        before = json.loads(r.read())
+    # one success
+    img = (rng.rand(96, 112) * 60000).astype(np.uint16)
+    p = str(tmp_path / "s.tif")
+    imwrite(p, img, bigtiff=False)
+    req = urllib.request.Request(
+        server_url + "/infer?model=nucleiDAPI&channel=0",
+        data=open(p, "rb").read(), method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        r.read()
+    # one client error (garbage body)
+    bad = urllib.request.Request(
+        server_url + "/infer?model=nucleiDAPI", data=b"zz", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(bad, timeout=30)
+    with urllib.request.urlopen(server_url + "/stats", timeout=30) as r:
+        after = json.loads(r.read())
+    assert after["ok"] == before["ok"] + 1
+    assert after["client_error"] == before["client_error"] + 1
+    assert after["px_processed"] >= before["px_processed"] + 96 * 112
+    assert after["by_model"].get("nucleiDAPI", 0) >= 1
+    assert after["uptime_s"] >= 0

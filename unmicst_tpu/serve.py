@@ -9,7 +9,14 @@ module keeps the model resident and serves slides over HTTP:
   channel mapping) -> multi-page TIFF response (the ``_Probabilities``
   page stack, reversed class order, uint8);
 * ``GET /models`` -> zoo availability;
-* ``GET /healthz`` -> liveness + device info.
+* ``GET /healthz`` -> liveness + device info;
+* ``GET /stats`` -> request/throughput counters (uptime, px processed,
+  per-model counts, rejects).
+
+Production posture: bounded in-flight requests (``--maxInflight``, 503 +
+``Retry-After`` past the bound — the device serializes inference anyway),
+graceful drain on SIGTERM/SIGINT (stop accepting, finish in-flight,
+exit), per-request metrics in ``X-UnMicst-Meta``.
 
 Engines are cached per (model, precision); repeated slides of one geometry
 hit the compiled program.  Stdlib ``http.server`` keeps the dependency
@@ -38,13 +45,45 @@ class ModelServer:
         precision: str = "float32",
         max_body_bytes: int = 2 << 30,
         stream_above_px: int = 64_000_000,
+        max_inflight: int = 4,
+        queue_timeout_s: float = 30.0,
     ):
         self.model_root = model_root
         self.precision = precision
         self.max_body_bytes = int(max_body_bytes)
         self.stream_above_px = int(stream_above_px)
+        # backpressure: the device serializes inference anyway; beyond a
+        # small queue each extra request only spools bodies to disk and
+        # holds a thread — fail fast with 503 + Retry-After instead
+        self.max_inflight = int(max_inflight)
+        self.queue_timeout_s = float(queue_timeout_s)
+        self._inflight = threading.BoundedSemaphore(max(1, self.max_inflight))
+        self._zero_inflight = self.max_inflight <= 0  # test hook: always busy
         self._engines: Dict[Tuple[str, str, str], object] = {}
         self._lock = threading.Lock()
+        self._started = time.time()
+        self.stats = {
+            "requests": 0, "ok": 0, "client_error": 0, "server_error": 0,
+            "busy_rejected": 0, "px_processed": 0, "infer_s_total": 0.0,
+            "by_model": {},
+        }
+
+    def _count(self, **deltas) -> None:
+        with self._lock:
+            for k, v in deltas.items():
+                if k == "by_model":
+                    self.stats["by_model"][v] = (
+                        self.stats["by_model"].get(v, 0) + 1
+                    )
+                else:
+                    self.stats[k] += v
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = dict(self.stats, by_model=dict(self.stats["by_model"]))
+        out["uptime_s"] = round(time.time() - self._started, 1)
+        out["max_inflight"] = self.max_inflight
+        return out
 
     def engine(self, model: str, kind: str = "whole"):
         key = (model, self.precision, kind)
@@ -189,6 +228,8 @@ def make_handler(server: ModelServer):
                     "status": "ok",
                     "devices": [str(d) for d in jax.devices()],
                 })
+            elif url.path == "/stats":
+                self._json(200, server.snapshot())
             elif url.path == "/models":
                 from unmicst_tpu.cli import DEFAULT_MODEL_ROOTS
                 from unmicst_tpu.models.zoo import available_models
@@ -205,6 +246,32 @@ def make_handler(server: ModelServer):
             if url.path != "/infer":
                 self._json(404, {"error": "not found"})
                 return
+            server._count(requests=1)
+            got_slot = (
+                not server._zero_inflight
+                and server._inflight.acquire(
+                    timeout=server.queue_timeout_s
+                )
+            )
+            if not got_slot:
+                server._count(busy_rejected=1)
+                blob = json.dumps({
+                    "error": f"server busy ({server.max_inflight} "
+                    "requests in flight); retry later"
+                }).encode()
+                self.send_response(503)
+                self.send_header("Retry-After", "5")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(blob)))
+                self.end_headers()
+                self.wfile.write(blob)
+                return
+            try:
+                self._infer(url)
+            finally:
+                server._inflight.release()
+
+        def _infer(self, url):
             q = parse_qs(url.query)
             model = q.get("model", ["nucleiDAPI"])[0]
             rescale = q.get("rescale", ["1"])[0] != "0"
@@ -217,12 +284,14 @@ def make_handler(server: ModelServer):
                     for x in v.split(",") if x != ""
                 ]
                 if not chan_vals:
+                    server._count(client_error=1)
                     self._json(400, {
                         "error": "channel parameter present but empty; "
                         "pass one index or two (duo), e.g. channel=0,1"
                     })
                     return
                 if len(chan_vals) > 2:
+                    server._count(client_error=1)
                     self._json(400, {
                         "error": f"{len(chan_vals)} channels requested; "
                         "at most 2 (duo) are supported"
@@ -235,12 +304,15 @@ def make_handler(server: ModelServer):
                 )
                 length = int(self.headers.get("Content-Length", "0"))
             except ValueError as e:
+                server._count(client_error=1)
                 self._json(400, {"error": f"bad parameter: {e}"})
                 return
             if length <= 0:
+                server._count(client_error=1)
                 self._json(411, {"error": "Content-Length required"})
                 return
             if length > server.max_body_bytes:
+                server._count(client_error=1)
                 self._json(413, {
                     "error": f"request body {length} B exceeds the "
                     f"{server.max_body_bytes} B limit"
@@ -263,16 +335,23 @@ def make_handler(server: ModelServer):
                         compress=compress,
                     )
             except FileNotFoundError as e:
+                server._count(client_error=1)
                 self._json(404, {"error": str(e)})
                 return
             except (ValueError, NotImplementedError, IndexError) as e:
                 # bad upload: unrecognized/corrupt container, unsupported
                 # codec, or a channel the file doesn't have
+                server._count(client_error=1)
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
             except Exception as e:  # surface, don't kill the server
+                server._count(server_error=1)
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
+            server._count(
+                ok=1, px_processed=meta["shape"][0] * meta["shape"][1],
+                infer_s_total=meta["infer_s"], by_model=meta["model"],
+            )
             self.send_response(200)
             self.send_header("Content-Type", "image/tiff")
             self.send_header("Content-Length", str(len(out)))
@@ -284,10 +363,30 @@ def make_handler(server: ModelServer):
 
 
 def serve(host: str = "0.0.0.0", port: int = 8800, **kw) -> None:
+    import signal
+
     server = ModelServer(**kw)
     httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    # graceful drain: stop accepting on SIGTERM/SIGINT, finish in-flight
+    # requests (ThreadingHTTPServer joins non-daemon handler threads in
+    # server_close), then return
+    httpd.daemon_threads = False
+
+    def _drain(signum, frame):
+        print(f"signal {signum}: draining in-flight requests...")
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _drain)
+        except ValueError:
+            pass  # non-main thread (tests)
     print(f"unmicst-tpu serving on {host}:{port}")
-    httpd.serve_forever()
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.server_close()
+    print("drained; bye")
 
 
 def main(argv=None) -> int:
@@ -305,9 +404,14 @@ def main(argv=None) -> int:
         "--maxBodyBytes", type=int, default=2 << 30,
         help="reject request bodies beyond this size (HTTP 413)",
     )
+    p.add_argument(
+        "--maxInflight", type=int, default=4,
+        help="concurrent /infer bound; excess gets 503 + Retry-After",
+    )
     args = p.parse_args(argv)
     serve(args.host, args.port, model_root=args.modelRoot,
-          precision=args.precision, max_body_bytes=args.maxBodyBytes)
+          precision=args.precision, max_body_bytes=args.maxBodyBytes,
+          max_inflight=args.maxInflight)
     return 0
 
 
