@@ -383,3 +383,41 @@ def test_stats_counts_success_and_errors(server_url, tmp_path, rng):
     assert after["px_processed"] >= before["px_processed"] + 96 * 112
     assert after["by_model"].get("nucleiDAPI", 0) >= 1
     assert after["uptime_s"] >= 0
+
+
+def test_graceful_drain_on_sigterm(tmp_path):
+    """A real server process drains on SIGTERM: stops accepting, exits 0
+    with the drain message (the production shutdown path)."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "unmicst_tpu.serve", "--host",
+         "127.0.0.1", "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env,
+    )
+    try:
+        # the serve banner prints the bound port
+        line = ""
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving on" in line:
+                break
+        assert "serving on" in line, line
+        port = int(line.rsplit(":", 1)[1])
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, out
+        assert "drain" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()

@@ -381,7 +381,9 @@ def serve(host: str = "0.0.0.0", port: int = 8800, **kw) -> None:
             signal.signal(sig, _drain)
         except ValueError:
             pass  # non-main thread (tests)
-    print(f"unmicst-tpu serving on {host}:{port}")
+    # report the BOUND port (port=0 asks the OS to pick)
+    print(f"unmicst-tpu serving on {host}:{httpd.server_address[1]}",
+          flush=True)
     try:
         httpd.serve_forever()
     finally:
