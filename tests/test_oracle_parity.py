@@ -225,9 +225,10 @@ def test_train_trajectory_matches_reference_graph(variant):
         losses.append(float(metrics["loss"]))
 
     # rtol calibrated against measured margins: the true runs deviate
-    # 8.0e-5 (legacy) / 5.7e-7 (v2) while a staircase-never-fires lr
-    # mutation deviates 2.4e-4 — 1.2e-4 separates them 1.5x/2x either way
-    # (see test_trajectory_oracle_discriminates)
+    # 8.0e-5 rel (legacy) / 5.7e-7 (v2) so the gate passes with >= 1.5x
+    # headroom, while a staircase-never-fires lr mutation trips it
+    # (tightly — test_trajectory_oracle_discriminates certifies the trip
+    # through this exact assert_allclose call)
     np.testing.assert_allclose(
         losses, data["losses"], rtol=1.2e-4, atol=1.2e-4,
         err_msg="per-step train-mode loss curve",
@@ -300,16 +301,20 @@ def test_trajectory_oracle_discriminates():
         finally:
             unet.BN_MOMENTUM = orig
 
-    # A: lr staircase never fires -> loss-curve gate must trip
+    # A: lr staircase never fires -> the ACTUAL loss-curve gate (same
+    # assert_allclose call as the parity test) must trip
     losses_a, _ = run(1000, unet.BN_MOMENTUM)
-    rel_a = np.abs(losses_a - data["losses"]) / np.abs(data["losses"])
-    assert rel_a.max() > 1.2e-4, rel_a.max()
+    with pytest.raises(AssertionError):
+        np.testing.assert_allclose(
+            losses_a, data["losses"], rtol=1.2e-4, atol=1.2e-4
+        )
 
     # B: wrong BN moving momentum -> variable gate must trip (and the
     # loss curve must NOT, proving the two assertions are complementary)
     losses_b, params_b = run(meta["decay_steps"], 0.9)
-    rel_b = np.abs(losses_b - data["losses"]) / np.abs(data["losses"])
-    assert rel_b.max() < 1.2e-4, rel_b.max()
+    np.testing.assert_allclose(  # the loss gate passes: it cannot see BN
+        losses_b, data["losses"], rtol=1.2e-4, atol=1.2e-4
+    )
     import jax
 
     worst = max(

@@ -393,22 +393,30 @@ def test_graceful_drain_on_sigterm(tmp_path):
     import sys
     import time as _time
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # env-var platform forcing is pre-empted by sitecustomize on this
+    # host (CLAUDE.md): force CPU via jax.config BEFORE importing serve
+    stub = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from unmicst_tpu import serve;"
+        "raise SystemExit(serve.main(['--host','127.0.0.1','--port','0']))"
+    )
     proc = subprocess.Popen(
-        [sys.executable, "-u", "-m", "unmicst_tpu.serve", "--host",
-         "127.0.0.1", "--port", "0"],
+        [sys.executable, "-u", "-c", stub],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env,
     )
     try:
         # the serve banner prints the bound port
+        lines = []
         line = ""
         deadline = _time.time() + 120
         while _time.time() < deadline:
             line = proc.stdout.readline()
+            lines.append(line)
             if "serving on" in line:
                 break
-        assert "serving on" in line, line
+            if line == "" and proc.poll() is not None:
+                break  # child died at startup: don't spin on EOF
+        assert "serving on" in line, "".join(lines)
         port = int(line.rsplit(":", 1)[1])
         with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/healthz", timeout=30

@@ -60,7 +60,11 @@ class ModelServer:
         self._inflight = threading.BoundedSemaphore(max(1, self.max_inflight))
         self._zero_inflight = self.max_inflight <= 0  # test hook: always busy
         self._engines: Dict[Tuple[str, str, str], object] = {}
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()  # engine cache (held through builds)
+        # stats get their own lock: engine construction holds _lock for
+        # seconds-to-minutes (checkpoint load through the device link),
+        # and counters/backpressure must never queue behind it
+        self._stats_lock = threading.Lock()
         self._started = time.time()
         self.stats = {
             "requests": 0, "ok": 0, "client_error": 0, "server_error": 0,
@@ -69,7 +73,7 @@ class ModelServer:
         }
 
     def _count(self, **deltas) -> None:
-        with self._lock:
+        with self._stats_lock:
             for k, v in deltas.items():
                 if k == "by_model":
                     self.stats["by_model"][v] = (
@@ -79,7 +83,7 @@ class ModelServer:
                     self.stats[k] += v
 
     def snapshot(self) -> dict:
-        with self._lock:
+        with self._stats_lock:
             out = dict(self.stats, by_model=dict(self.stats["by_model"]))
         out["uptime_s"] = round(time.time() - self._started, 1)
         out["max_inflight"] = self.max_inflight
@@ -211,11 +215,13 @@ def make_handler(server: ModelServer):
         def log_message(self, *a):  # quiet
             pass
 
-        def _json(self, code: int, obj: dict):
+        def _json(self, code: int, obj: dict, headers: dict = None):
             blob = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(blob)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(blob)
 
@@ -255,16 +261,25 @@ def make_handler(server: ModelServer):
             )
             if not got_slot:
                 server._count(busy_rejected=1)
-                blob = json.dumps({
+                # drain a bounded amount of the unread body first so the
+                # client sees the 503 + Retry-After instead of a TCP RST
+                # mid-upload (unread data on close resets the socket)
+                try:
+                    remaining = min(
+                        int(self.headers.get("Content-Length", "0") or 0),
+                        64 << 20,
+                    )
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 20))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                except OSError:
+                    pass
+                self._json(503, {
                     "error": f"server busy ({server.max_inflight} "
                     "requests in flight); retry later"
-                }).encode()
-                self.send_response(503)
-                self.send_header("Retry-After", "5")
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(blob)))
-                self.end_headers()
-                self.wfile.write(blob)
+                }, headers={"Retry-After": "5"})
                 return
             try:
                 self._infer(url)
@@ -334,6 +349,11 @@ def make_handler(server: ModelServer):
                         tmp.name, model, channel, rescale, outlier,
                         compress=compress,
                     )
+            except ConnectionError:
+                # client hung up mid-upload: nothing to write a response
+                # to, and it is not a server fault
+                server._count(client_error=1)
+                return
             except FileNotFoundError as e:
                 server._count(client_error=1)
                 self._json(404, {"error": str(e)})
@@ -406,9 +426,18 @@ def main(argv=None) -> int:
         "--maxBodyBytes", type=int, default=2 << 30,
         help="reject request bodies beyond this size (HTTP 413)",
     )
+    def _positive(v):
+        iv = int(v)
+        if iv < 1:
+            raise argparse.ArgumentTypeError(
+                "--maxInflight must be >= 1"
+            )
+        return iv
+
     p.add_argument(
-        "--maxInflight", type=int, default=4,
-        help="concurrent /infer bound; excess gets 503 + Retry-After",
+        "--maxInflight", type=_positive, default=4,
+        help="concurrent /infer bound (>= 1); excess gets 503 + "
+        "Retry-After",
     )
     args = p.parse_args(argv)
     serve(args.host, args.port, model_root=args.modelRoot,
