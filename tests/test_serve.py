@@ -429,3 +429,64 @@ def test_graceful_drain_on_sigterm(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_drain_completes_inflight_request(tmp_path, rng):
+    """SIGTERM while a request is being served: the in-flight response
+    completes (200, valid body) and the process then exits 0."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    stub = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from unmicst_tpu import serve;"
+        "raise SystemExit(serve.main(['--host','127.0.0.1','--port','0',"
+        f"'--modelRoot','{os.path.join(REFERENCE, 'models')}']))"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-c", stub],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        lines, line = [], ""
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            line = proc.stdout.readline()
+            lines.append(line)
+            if "serving on" in line:
+                break
+            if line == "" and proc.poll() is not None:
+                break
+        assert "serving on" in line, "".join(lines)
+        port = int(line.rsplit(":", 1)[1])
+
+        img = (rng.rand(640, 640) * 60000).astype(np.uint16)
+        p = str(tmp_path / "d.tif")
+        imwrite(p, img, bigtiff=False)
+        result = {}
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/infer?model=nucleiDAPI",
+                data=open(p, "rb").read(), method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                result["code"] = r.status
+                result["len"] = len(r.read())
+
+        t = threading.Thread(target=post)
+        t.start()
+        _time.sleep(1.0)  # request is in flight (CPU inference >> 1 s)
+        proc.send_signal(signal.SIGTERM)
+        t.join(timeout=300)
+        out, _ = proc.communicate(timeout=120)
+        assert result.get("code") == 200 and result.get("len", 0) > 0, (
+            result, out[-1000:],
+        )
+        assert proc.returncode == 0, out[-1000:]
+        assert "drain" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
