@@ -14,10 +14,53 @@ import numpy as np
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libunmicst_tiffcodec.so")
 _lib = None
+_build_attempted = False
+
+
+def _try_autobuild() -> None:
+    """Build the codec library on first use when a toolchain exists.
+
+    The .so is a build artifact (not committed); without it the LZW path
+    falls back to pure Python at ~2 MB/s vs ~137 MB/s native — too big a
+    cliff to leave to a manual ``python native/build.py`` step.  Opt out
+    with UNMICST_NO_AUTOBUILD=1.  Failures are silent (the fallback is
+    correct, just slow) but leave a one-line note on stderr.
+    """
+    global _build_attempted
+    if _build_attempted or os.environ.get("UNMICST_NO_AUTOBUILD"):
+        return
+    _build_attempted = True
+    import shutil
+    import subprocess
+    import sys
+
+    if shutil.which("g++") is None:
+        return
+    build_py = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))), "native", "build.py",
+    )
+    if not os.path.exists(build_py):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, build_py], check=True, timeout=120,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except Exception:
+        print(
+            "unmicst_tpu: native codec autobuild failed; using the "
+            "pure-Python fallback (slow LZW). Run `python "
+            "native/build.py` manually to see why.",
+            file=sys.stderr,
+        )
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib
+    if _lib is None and not os.path.exists(_LIB_PATH):
+        _try_autobuild()
     if _lib is None and os.path.exists(_LIB_PATH):
         lib = ctypes.CDLL(_LIB_PATH)
         for name in ("unmicst_lzw_decode", "unmicst_packbits_decode"):
