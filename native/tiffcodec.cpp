@@ -24,11 +24,13 @@ long long unmicst_lzw_decode(const uint8_t* src, long long src_len,
   struct Entry {
     int32_t prev;   // previous entry index, -1 for root
     uint8_t byte;   // last byte
+    uint8_t first;  // first byte of the chain (O(1) KwK / new-entry)
     int32_t len;    // total length
   };
   std::vector<Entry> table(4096);
   auto reset = [&]() {
-    for (int i = 0; i < 256; ++i) table[i] = {-1, (uint8_t)i, 1};
+    for (int i = 0; i < 256; ++i)
+      table[i] = {-1, (uint8_t)i, (uint8_t)i, 1};
   };
   reset();
   int next_code = 258;
@@ -39,31 +41,33 @@ long long unmicst_lzw_decode(const uint8_t* src, long long src_len,
   const long long maxbit = src_len * 8;
   int prev_code = -1;
 
-  // temp buffer for reversed expansion
-  std::vector<uint8_t> expand;
-  expand.reserve(4096);
-
   auto emit = [&](int code) -> long long {
-    // walk the chain, emit reversed
-    expand.clear();
+    // write the chain directly into dst, back to front (no temp copy)
+    long long n = table[code].len;
+    if (out + n > dst_cap) return -1;
+    long long i = out + n;
     int c = code;
     while (c >= 0) {
-      expand.push_back(table[c].byte);
+      dst[--i] = table[c].byte;
       c = table[c].prev;
     }
-    long long n = (long long)expand.size();
-    if (out + n > dst_cap) return -1;
-    for (long long i = 0; i < n; ++i) dst[out + i] = expand[n - 1 - i];
     out += n;
     return n;
   };
 
   while (bitpos + nbits <= maxbit) {
     long long byte0 = bitpos >> 3;
-    uint32_t window = 0;
-    for (int k = 0; k < 4; ++k) {
-      window <<= 8;
-      if (byte0 + k < src_len) window |= src[byte0 + k];
+    uint32_t window;
+    if (byte0 + 4 <= src_len) {  // hot path: one unaligned load
+      uint32_t raw;
+      __builtin_memcpy(&raw, src + byte0, 4);
+      window = __builtin_bswap32(raw);
+    } else {
+      window = 0;
+      for (int k = 0; k < 4; ++k) {
+        window <<= 8;
+        if (byte0 + k < src_len) window |= src[byte0 + k];
+      }
     }
     int shift = 32 - (int)(bitpos & 7) - nbits;
     int code = (window >> shift) & ((1 << nbits) - 1);
@@ -86,19 +90,17 @@ long long unmicst_lzw_decode(const uint8_t* src, long long src_len,
       if (code < next_code) {
         // known code: new entry = prev + first byte of code's chain
         if (next_code < 4096) {
-          int c = code;
-          while (table[c].prev >= 0) c = table[c].prev;
-          table[next_code] = {prev_code, table[c].byte,
+          table[next_code] = {prev_code, table[code].first,
+                              table[prev_code].first,
                               table[prev_code].len + 1};
           ++next_code;
         }
         if (emit(code) < 0) return -1;
       } else if (code == next_code) {
         // KwK case: entry = prev + first byte of prev's chain
-        int c = prev_code;
-        while (table[c].prev >= 0) c = table[c].prev;
         if (next_code >= 4096) return -1;
-        table[next_code] = {prev_code, table[c].byte,
+        table[next_code] = {prev_code, table[prev_code].first,
+                            table[prev_code].first,
                             table[prev_code].len + 1};
         ++next_code;
         if (emit(code) < 0) return -1;
