@@ -437,6 +437,11 @@ def apply(
         i = hp.n_layers - 1 - step  # reference lu index (UnMicst.py:181-182)
         layer = params["up"][i]
         u = act(conv_transpose_p(h, layer["kernel1"], dsf, compute_dtype))
+        # NOTE: splitting this concat-conv by linearity (conv(a,K[:Ca]) +
+        # conv(b,K[Ca:]), skipping the concat materialization) measured
+        # +6.6% on an isolated up-layer but -5.8% in the full stripe
+        # program — XLA already elides/fuses the concat in context.
+        # Killed with numbers; see BASELINE.md r3.
         cc = jnp.concatenate([skips[i].astype(u.dtype), u], axis=-1)
         cv = conv_p(cc, layer["kernel2"], compute_dtype)
 
