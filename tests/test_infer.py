@@ -159,3 +159,55 @@ def test_infer_slide_rescale_false_rejects_unknown_dtype(small_model, rng):
     # with rescale the data-derived range normalizes any dtype
     ok = eng.infer_slide(bad, rescale=True)
     assert ok.dtype == np.uint8
+
+
+def test_class_index_validation(small_model, rng):
+    """OOB/negative class indexes raise instead of jit's silent clamp
+    (probs[..., [5]] on a 3-class model returns class 2's plane!)."""
+    hp, params = small_model
+    eng = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8)
+    raw = (rng.rand(40, 40) * 60000).astype(np.uint16)
+    for bad in ((hp.n_classes,), (-1,), (0, 7)):
+        with pytest.raises(ValueError, match="out of range"):
+            eng.infer_slide(raw, classes=bad)
+
+
+def test_stack_mixed_dtypes_rejected(small_model, rng):
+    """np.stack silently promotes uint8+uint16 -> uint16; the stack path
+    must reject the mix instead of im2double-ing by the wrong constant."""
+    hp, params = small_model
+    eng = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8)
+    if hp.n_channels != 2:
+        pytest.skip("needs a 2-channel model")
+    a = (rng.rand(40, 40) * 250).astype(np.uint8)
+    b = (rng.rand(40, 40) * 60000).astype(np.uint16)
+    with pytest.raises(ValueError, match="disagree on dtype"):
+        eng.infer_slide_stack([a, b])
+
+
+def test_empty_image_clear_error(small_model):
+    hp, params = small_model
+    eng = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8)
+    with pytest.raises(ValueError, match="empty image"):
+        eng.infer_slide(np.zeros((0, 40), np.uint16))
+
+
+def test_outlier_values_share_one_program(small_model, rng):
+    """Distinct outlier percentiles ride as a traced argument: one
+    compiled program, correct per-value results."""
+    hp, params = small_model
+    eng = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8)
+    raw = (rng.rand(64, 64) * 60000).astype(np.uint16)
+    def n_slide():
+        return sum(1 for k in eng._compiled._entries if k[0] == "slide")
+
+    n0 = n_slide()
+    out_a = eng.infer_slide(raw, outlier=99.0)
+    out_b = eng.infer_slide(raw, outlier=90.0)
+    out_max = eng.infer_slide(raw, outlier=-1)
+    # two slide programs total: percentile-parameterized + max-sentinel
+    # (the inner core-canvas program caches under its own key)
+    assert n_slide() - n0 == 2
+    # and the traced q actually changes the result
+    assert not np.array_equal(out_a, out_b)
+    assert not np.array_equal(out_b, out_max)

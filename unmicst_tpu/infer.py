@@ -36,11 +36,8 @@ from unmicst_tpu.core import tiler
 from unmicst_tpu.core.hp import HParams, ModelBundle
 from unmicst_tpu.core.unet import Params, apply
 from unmicst_tpu.utils.batching import chunked_forward
+from unmicst_tpu.utils.batching import round_up as _round_up
 from unmicst_tpu.utils.progcache import ProgramCache
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def default_tile_batch(im_size: int, compute_dtype=None) -> int:
@@ -260,7 +257,24 @@ class InferenceEngine:
         jitted = jax.jit(run)
         return jitted, grid, canvas_h, canvas_w
 
+    def _check_classes(self, classes):
+        if classes is None:
+            return None
+        classes = tuple(int(c) for c in classes)
+        bad = [c for c in classes if not 0 <= c < self.hp.n_classes]
+        if bad:
+            # jit gathers CLAMP out-of-range static indices (and Python
+            # wraps negatives), silently returning the wrong class map —
+            # validate here instead
+            raise ValueError(
+                f"class index(es) {bad} out of range for a "
+                f"{self.hp.n_classes}-class model"
+            )
+        return classes
+
     def _get(self, height: int, width: int):
+        if height <= 0 or width <= 0:
+            raise ValueError(f"empty image: {height}x{width}")
         return self._compiled.get_or_build(
             (height, width), lambda: self._build(height, width)
         )
@@ -299,10 +313,7 @@ class InferenceEngine:
         self, image: np.ndarray, channel_mode: str = "broadcast"
     ) -> np.ndarray:
         """Run tiled inference.  Returns [K, H, W] float32 probability maps."""
-        if image.ndim == 3 and channel_mode == "stack":
-            height, width = image.shape[1:]
-        else:
-            height, width = image.shape[-2:]
+        height, width = image.shape[-2:]
         jitted, _, _, _ = self._get(height, width)
         canvas = self.make_canvas(image, channel_mode)
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
@@ -311,7 +322,7 @@ class InferenceEngine:
 
     # -- device-side end-to-end slide path -----------------------------------
 
-    def _build_slide(self, height: int, width: int, in_dtype, outlier: float,
+    def _build_slide(self, height: int, width: int, in_dtype, outlier,
                      rescale: bool, classes=None, n_in: int = 0):
         """Jitted raw-slide pipeline: uint8/uint16 in, uint8 maps out.
 
@@ -343,7 +354,12 @@ class InferenceEngine:
         n_ch = hp.n_channels
         m = grid.margin
 
-        def run(params, raw, win):
+        # the percentile q rides as a TRACED argument (default 0.0 when
+        # unused): distinct ?outlier= values share one compiled program
+        # instead of recompiling + churning the FIFO program cache
+        has_outlier = outlier != -1
+
+        def run(params, raw, win, q=jnp.float32(0.0)):
             x = raw.astype(jnp.float32)
             if scale is not None:
                 x = x / scale  # im2double
@@ -351,8 +367,8 @@ class InferenceEngine:
             if rescale:
                 lo = jnp.min(planes, axis=(1, 2), keepdims=True)
                 hi = (
-                    jnp.percentile(planes, outlier, axis=(1, 2), keepdims=True)
-                    if outlier != -1
+                    jnp.percentile(planes, q, axis=(1, 2), keepdims=True)
+                    if has_outlier
                     else jnp.max(planes, axis=(1, 2), keepdims=True)
                 )
                 planes = jnp.clip(planes, lo, hi)
@@ -389,11 +405,10 @@ class InferenceEngine:
         """
         if raw.dtype == np.float32:
             raw = raw.astype(np.uint16)  # parity cast (UnMicst1-5.py:807-808)
-        if classes is not None:
-            classes = tuple(int(c) for c in classes)
+        classes = self._check_classes(classes)
         height, width = raw.shape
-        key = ("slide", height, width, np.dtype(raw.dtype), outlier, rescale,
-               classes)
+        key = ("slide", height, width, np.dtype(raw.dtype), outlier != -1,
+               rescale, classes)
         jitted = self._compiled.get_or_build(
             key,
             lambda: self._build_slide(
@@ -401,7 +416,10 @@ class InferenceEngine:
             ),
         )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
-        out = jitted(self.params, jnp.asarray(raw), jnp.asarray(window))
+        args = [self.params, jnp.asarray(raw), jnp.asarray(window)]
+        if outlier != -1:
+            args.append(jnp.float32(outlier))
+        out = jitted(*args)
         return np.moveaxis(np.asarray(out), -1, 0)
 
     # -- device-side multi-channel (duo) slide path --------------------------
@@ -423,12 +441,18 @@ class InferenceEngine:
                 f"model expects {self.hp.n_channels} channels, got "
                 f"{len(planes)}"
             )
+        dtypes = {p.dtype for p in planes}
+        if len(dtypes) != 1:
+            # np.stack would silently promote (uint8+uint16 -> uint16),
+            # im2double-ing the narrow channel by the wrong constant
+            raise ValueError(
+                f"channel planes disagree on dtype: {sorted(map(str, dtypes))}"
+            )
         raw = np.stack(planes)
-        if classes is not None:
-            classes = tuple(int(c) for c in classes)
+        classes = self._check_classes(classes)
         _, height, width = raw.shape
-        key = ("slide_stack", height, width, np.dtype(raw.dtype), outlier,
-               rescale, classes)
+        key = ("slide_stack", height, width, np.dtype(raw.dtype),
+               outlier != -1, rescale, classes)
         jitted = self._compiled.get_or_build(
             key,
             lambda: self._build_slide(
@@ -437,5 +461,8 @@ class InferenceEngine:
             ),
         )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
-        out = jitted(self.params, jnp.asarray(raw), jnp.asarray(window))
+        args = [self.params, jnp.asarray(raw), jnp.asarray(window)]
+        if outlier != -1:
+            args.append(jnp.float32(outlier))
+        out = jitted(*args)
         return np.moveaxis(np.asarray(out), -1, 0)

@@ -31,11 +31,7 @@ except ImportError:  # pragma: no cover
 
 from unmicst_tpu.core import tiler, unet
 from unmicst_tpu.core.hp import HParams
-from unmicst_tpu.utils.batching import chunked_forward
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from unmicst_tpu.utils.batching import chunked_forward, round_up as _round_up
 
 
 def spatial_infer(

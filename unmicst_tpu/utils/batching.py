@@ -16,6 +16,11 @@ import jax
 import jax.numpy as jnp
 
 
+def round_up(x: int, m: int) -> int:
+    """Smallest multiple of ``m`` >= ``x`` (shared by the stripe planners)."""
+    return -(-x // m) * m
+
+
 def chunked_forward(forward, flat, chunk: int):
     """Apply ``forward`` ([B, ...] -> [B, ...out]) over ``flat`` [N, ...]
     in full ``chunk``-sized pieces plus one remainder batch; returns
