@@ -325,3 +325,68 @@ def test_streaming_column_sharded_duo_stack(rng):
     single = stream.infer_stack([a, b])
     sharded = stream.infer_sharded_stack([a, b], mesh, axis="d")
     assert np.abs(single.astype(int) - sharded.astype(int)).max() <= 1
+
+
+def test_streaming_validates_classes_and_empty(rng):
+    """StreamingEngine rejects OOB class indexes and empty slides like
+    the whole-image engine (serve routes by size — semantics must
+    match)."""
+    import jax
+
+    from unmicst_tpu.core import unet
+    from unmicst_tpu.core.hp import HParams
+    from unmicst_tpu.runtime.pipeline import StreamingEngine
+
+    hp = HParams(im_size=32, n_channels=1, n_classes=3, n_out0=4, ks=3,
+                 n_layers=1, std_dev0=0.5)
+    params = unet.init_params(jax.random.PRNGKey(0), hp, "legacy")
+    eng = StreamingEngine(hp, params, "legacy", 0.3, 0.2,
+                          compute_dtype=None, stripe_tile_rows=2)
+    raw = (rng.rand(50, 60) * 60000).astype(np.uint16)
+    with pytest.raises(ValueError, match="out of range"):
+        eng.infer(raw, classes=(5,))
+    with pytest.raises(ValueError, match="empty image"):
+        eng.infer(np.zeros((0, 60), np.uint16))
+    with pytest.raises(ValueError, match="uint8/uint16"):
+        eng.infer((rng.rand(50, 60) * 100).astype(np.int32), rescale=False)
+    # short per-channel stats list must not broadcast silently
+    duo_hp = HParams(im_size=32, n_channels=2, n_classes=3, n_out0=4,
+                     ks=3, n_layers=1, std_dev0=0.5)
+    duo_params = unet.init_params(jax.random.PRNGKey(1), duo_hp, "v2")
+    duo = StreamingEngine(duo_hp, duo_params, "v2", 0.3, 0.2,
+                          compute_dtype=None, stripe_tile_rows=2)
+    planes = [(rng.rand(40, 50) * 60000).astype(np.uint16)] * 2
+    with pytest.raises(ValueError, match="ranges for"):
+        duo.infer_stack(planes, stats=[(0.0, 1.0)])
+
+
+def test_sharded_program_cache_reused(rng):
+    """infer_sharded caches the compiled per-stripe program by geometry
+    + mesh (serving would otherwise re-trace per request)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from unmicst_tpu.core import unet
+    from unmicst_tpu.core.hp import HParams
+    from unmicst_tpu.runtime.pipeline import StreamingEngine
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = Mesh(np.array(devs[:2]), ("data",))
+    hp = HParams(im_size=32, n_channels=1, n_classes=3, n_out0=4, ks=3,
+                 n_layers=1, std_dev0=0.5)
+    params = unet.init_params(jax.random.PRNGKey(0), hp, "legacy")
+    eng = StreamingEngine(hp, params, "legacy", 0.3, 0.2,
+                          compute_dtype=None, stripe_tile_rows=2)
+    raw = (rng.rand(80, 100) * 60000).astype(np.uint16)
+    a = eng.infer_sharded(raw, mesh, axis="data")
+    n_after_first = sum(
+        1 for k in eng._compiled._entries if k[0] == "sharded"
+    )
+    b = eng.infer_sharded(raw, mesh, axis="data")
+    n_after_second = sum(
+        1 for k in eng._compiled._entries if k[0] == "sharded"
+    )
+    assert n_after_first == n_after_second == 1
+    np.testing.assert_array_equal(a, b)

@@ -61,6 +61,35 @@ def _source_dims(src) -> Tuple[int, int]:
     return tf.pages[page].height, tf.pages[page].width
 
 
+def _check_classes(classes, n_classes: int):
+    """Normalize + validate: jit gathers CLAMP out-of-range static
+    indexes (and Python wraps negatives), silently returning the wrong
+    class map — mirror InferenceEngine._check_classes."""
+    if classes is None:
+        return None
+    classes = tuple(int(c) for c in classes)
+    bad = [c for c in classes if not 0 <= c < n_classes]
+    if bad:
+        raise ValueError(
+            f"class index(es) {bad} out of range for a "
+            f"{n_classes}-class model"
+        )
+    return classes
+
+
+def _check_rescale_dtype(in_dtype, rescale: bool) -> None:
+    """rescale=False needs a known im2double scale (uint8/uint16; float32
+    sources arrive pre-cast to uint16) — one policy across infer,
+    infer_stack, and the sharded variants."""
+    if not rescale and np.dtype(in_dtype) not in (
+        np.dtype(np.uint8), np.dtype(np.uint16)
+    ):
+        raise ValueError(
+            f"streaming with rescale=False requires uint8/uint16 input, "
+            f"got {np.dtype(in_dtype)}"
+        )
+
+
 def _source_dtype(src) -> np.dtype:
     """dtype the source's rows actually arrive as (after the float32
     parity cast applied to raw arrays/TIFF pages)."""
@@ -127,6 +156,8 @@ class StreamingEngine:
     # -- planning ------------------------------------------------------------
 
     def _plan(self, height: int, width: int) -> _StripePlan:
+        if height <= 0 or width <= 0:
+            raise ValueError(f"empty image: {height}x{width}")
         hp = self.hp
         grid = tiler.make_grid(height, width, hp.im_size, hp.margin)
         sub = grid.sub
@@ -227,8 +258,8 @@ class StreamingEngine:
         return jax.jit(run)
 
     def _get(self, plan: _StripePlan, in_dtype, rescale: bool, classes=None):
-        if classes is not None:
-            classes = tuple(int(c) for c in classes)
+        classes = _check_classes(classes, self.hp.n_classes)
+        _check_rescale_dtype(in_dtype, rescale)
         key = (plan.height, plan.width, plan.S, np.dtype(in_dtype), rescale,
                classes)
         return self._compiled.get_or_build(
@@ -340,6 +371,8 @@ class StreamingEngine:
         global-stats pass (callers sharing one histogram pass with the
         preview, see ``io/slides.py::_streamed_int_stats``).
         """
+        if isinstance(source, np.ndarray):
+            source = self._cast_raw(source)  # once, not per stripe
         height, width = _source_dims(source)
         in_dtype = _source_dtype(source)
         plan = self._plan(height, width)
@@ -394,6 +427,10 @@ class StreamingEngine:
                 f"{len(sources)}"
             )
 
+        sources = [
+            self._cast_raw(s) if isinstance(s, np.ndarray) else s
+            for s in sources
+        ]
         height, width = _source_dims(sources[0])
         for s in sources[1:]:
             if _source_dims(s) != (height, width):
@@ -403,20 +440,23 @@ class StreamingEngine:
         if len(dtypes) != 1:
             raise ValueError(f"channel sources disagree on dtype: {dtypes}")
         canvas_dtype = dtypes.pop()
+        # validate BEFORE compiling (a rejected request must not build and
+        # pin a program in the bounded cache); _get re-checks for the
+        # other entry points
+        _check_rescale_dtype(canvas_dtype, rescale)
         jitted = self._get(plan, canvas_dtype, rescale, classes)
-        if not rescale and canvas_dtype not in (
-            np.dtype(np.uint16), np.dtype(np.float32)
-        ):
-            raise ValueError(
-                "infer_stack(rescale=False) requires uint16 or unit-float "
-                "sources"
-            )
         if rescale:
             # stats: optional precomputed per-channel (lo, hi) list
             ranges = (
                 stats if stats is not None
                 else [self.global_stats(s, outlier) for s in sources]
             )
+            if len(ranges) != len(sources):
+                raise ValueError(
+                    f"stats has {len(ranges)} ranges for {len(sources)} "
+                    "channels (a short list would numpy-broadcast channel "
+                    "0's range onto every channel)"
+                )
             lo = np.asarray([a for a, _ in ranges], np.float32)
             hi = np.asarray([b for _, b in ranges], np.float32)
         else:
@@ -462,7 +502,10 @@ class StreamingEngine:
         cooperate on ONE slide: the production layout for 100k-class
         slides on a pod slice.
         """
-        from jax import shard_map
+        try:  # public API since jax 0.8 (halo.py keeps the same fallback)
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         hp = self.hp
@@ -619,6 +662,10 @@ class StreamingEngine:
 
     def _run_sharded(self, sources, mesh, axis, rescale, lo, hi, out,
                      classes, *, broadcast: bool) -> np.ndarray:
+        sources = [
+            self._cast_raw(s) if isinstance(s, np.ndarray) else s
+            for s in sources
+        ]
         height, width = _source_dims(sources[0])
         for s in sources[1:]:
             if _source_dims(s) != (height, width):
@@ -627,10 +674,22 @@ class StreamingEngine:
         if len(dtypes) != 1:
             raise ValueError(f"channel sources disagree on dtype: {dtypes}")
         in_dtype = dtypes.pop()
+        classes = _check_classes(classes, self.hp.n_classes)
+        _check_rescale_dtype(in_dtype, rescale)
         plan = self._plan(height, width)
-        jitted, body_w, c_dev, n_dev = self._build_sharded(
-            plan, mesh, axis, in_dtype, rescale,
-            tuple(int(c) for c in classes) if classes is not None else None,
+        # cache per (geometry, mesh, dtype, ...): serving calls this
+        # repeatedly and a re-trace+compile per request is minutes on
+        # tunneled links.  Device ids pin the key to the actual mesh.
+        cache_key = (
+            "sharded", plan.height, plan.width, plan.S, axis,
+            tuple(int(d.id) for d in mesh.devices.flat),
+            np.dtype(in_dtype), rescale, classes,
+        )
+        jitted, body_w, c_dev, n_dev = self._compiled.get_or_build(
+            cache_key,
+            lambda: self._build_sharded(
+                plan, mesh, axis, in_dtype, rescale, classes
+            ),
         )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -677,39 +736,47 @@ class StreamingEngine:
         if out is None:
             out = np.empty((n_out, height, width), np.uint8)
         two_m = 2 * m
-        for s in range(plan.n_stripes):
+
+        def assemble(s):
             raw_r0 = (s * plan.S - 1) * grid.sub - m
+            canvas = np.zeros(
+                (plan.in_rows, body_w + two_m, self.hp.n_channels),
+                in_dtype,
+            )
             if broadcast:
                 rows = self._read_rows(sources[0], raw_r0, plan.in_rows)
-                canvas = np.zeros(
-                    (plan.in_rows, body_w + two_m, self.hp.n_channels),
-                    rows.dtype,
-                )
                 canvas[:, m : m + width, :] = rows[:, :, None]
             else:
-                canvas = np.zeros(
-                    (plan.in_rows, body_w + two_m, self.hp.n_channels),
-                    in_dtype,
-                )
                 for c, src in enumerate(sources):
                     canvas[:, m : m + width, c] = self._read_rows(
                         src, raw_r0, plan.in_rows
                     )
+            return canvas
+
+        def finish(item):
+            s, band_dev, tails_dev = item
+            band = np.concatenate(
+                [_fetch(band_dev), _fetch(tails_dev)[:, -two_m:]], axis=1
+            )
+            self._drain((s, band), out, plan, m)
+
+        # async pipeline (single-process; process_allgather is a collective
+        # barrier, so mp keeps the serial order all hosts agree on)
+        window_depth = 1 if mp_mode else self.in_flight
+        pending = []
+        for s in range(plan.n_stripes):
+            canvas = assemble(s)
             band, tails = jitted(
                 params_g, _put(canvas[:, :body_w], body_spec),
                 _put(canvas[:, body_w:], P()),
                 _put(np.int32(s * plan.S - 1), P()),
                 _put(lo, P()), _put(hi, P()), win,
             )
-            band = np.concatenate(
-                [_fetch(band), _fetch(tails)[:, -two_m:]], axis=1
-            )
-            p0 = s * plan.band_rows
-            a, b = max(p0, m), min(p0 + plan.band_rows, m + height)
-            if b <= a:
-                continue
-            sl = band[a - p0 : b - p0, m : m + width]
-            out[:, a - m : b - m, :] = np.moveaxis(sl, -1, 0)
+            pending.append((s, band, tails))
+            if len(pending) >= window_depth:
+                finish(pending.pop(0))
+        while pending:
+            finish(pending.pop(0))
         return out
 
     def _drain(self, item, out, plan: _StripePlan, m: int) -> None:
