@@ -174,3 +174,33 @@ def test_cyto2_streaming_shared_stats_matches_whole(zoo, tmp_path, rng):
         a = imread(str(tmp_path / "w" / "c_Probabilities_0.tif"), k).astype(int)
         b = imread(str(tmp_path / "st" / "c_Probabilities_0.tif"), k).astype(int)
         assert np.abs(a - b).max() <= 1
+
+
+def test_cyto2_float32_input_not_parity_cast(zoo, tmp_path, rng):
+    """UnMicstCyto2.py alone has NO float32->uint16 cast: a [0,1] float
+    slide must flow through untruncated (casting would zero every pixel
+    and produce a constant map).  Solo/legacy/duo keep the cast
+    (UnMicst1-5.py:807-808)."""
+    from unmicst_tpu.io import preprocess as pp
+    from unmicst_tpu.io.tiff import TiffWriter, imread
+
+    f = rng.rand(48, 48).astype(np.float32)  # unit floats
+    # unit check: the per-tool switch behaves as documented
+    cast = pp.preprocess_channel(f, 1.0, -1)
+    nocast = pp.preprocess_channel(f, 1.0, -1, cast_float32=False)
+    assert float(cast.net_input.std()) == 0.0  # truncated to zeros (quirk)
+    assert float(nocast.net_input.std()) > 0.05
+
+    # CLI end-to-end: cyto on float32 produces a NON-constant map
+    img = tmp_path / "s" / "registration" / "f.tif"
+    img.parent.mkdir(parents=True)
+    with TiffWriter(str(img), bigtiff=False) as tw:
+        tw.write(f)
+    out = tmp_path / "outf"
+    rc = cli.main(
+        [str(img), "--tool", "UnMicstCyto2", "--model", "cytoTest",
+         "--modelRoot", zoo, "--outputPath", str(out), "--stackOutput"]
+    )
+    assert rc == 0
+    pm = imread(str(out / "f_Probabilities_0.tif"), 0)
+    assert pm.max() > pm.min()

@@ -25,7 +25,10 @@ Output contract parity (verified against the reference sources):
   ``--stackOutput``: ``<stem>_ContoursPM_<chan+1>.tif`` (2 pages: PM, raw)
   and ``<stem>_NucleiPM_<chan+1>.tif`` (``UnMicst1-5.py:845-875``)
 * Cyto2 deviates: 0-based channel suffix, Preview beside the maps (not
-  under ``qc/``) (``UnMicstCyto2.py`` output block)
+  under ``qc/``) (``UnMicstCyto2.py`` output block), and NO
+  float32->uint16 parity cast (alone among the tools, UnMicstCyto2.py
+  reads float input as-is — ``preprocess_channel(cast_float32=False)``;
+  float32 cyto slides always take the host path)
 * legacy/duo/cyto2 parse the file stem at the first dot
   (``fileName.split(os.extsep, 1)``, ``UnMicst.py:603``); solo handles
   ``.ome`` stems properly (``UnMicst1-5.py:783-792``)
@@ -181,6 +184,21 @@ def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
     return _read(image_path, file_type, channel)
 
 
+def _duo_chans(channels0, dapi_channel):
+    """Duo channel fallback (unmicstWrapper.py forwards channel[0]
+    unless exactly 2 are given) — one definition for both engines."""
+    return channels0 if len(channels0) == 2 else [dapi_channel, dapi_channel]
+
+
+def _classes_subset(args, class_order):
+    """Non-stack output needs only the contour+nuclei planes; fetching
+    just those cuts a third of the device->host traffic."""
+    return (
+        None if args.stackOutput or len(class_order) < 3
+        else (class_order[1], class_order[2])
+    )
+
+
 def _device_slide_ok(args, planes) -> bool:
     """Gate for the device-side scale-1 slide path (shared by the solo/
     legacy/cyto and duo branches): on-chip preprocessing requires scale 1
@@ -190,6 +208,8 @@ def _device_slide_ok(args, planes) -> bool:
         args.scalingFactor == 1
         and not args.check_numerics
         and all(p.dtype in (np.uint8, np.uint16) for p in planes)
+        # mixed-bit-depth duo stacks go through the float host path
+        and len({p.dtype for p in planes}) == 1
     )
 
 
@@ -244,13 +264,9 @@ def _write_outputs(args, stem, out_path, cyto, dapi_channel, class_order,
 def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
                    file_type, stem, out_path, cyto, t_start) -> int:
     """Large-slide path: StreamingEngine, bounded memory, uint8 end-to-end."""
-    import jax.numpy as jnp
-
     from unmicst_tpu.core.checkpoint import load_params_for_bundle
     from unmicst_tpu.io import preprocess as pp
-    from unmicst_tpu.io.slides import (
-        ChannelSource, open_channel_source, preview_u8,
-    )
+    from unmicst_tpu.io.slides import open_channel_source, preview_u8
     from unmicst_tpu.runtime.pipeline import StreamingEngine
 
     params = load_params_for_bundle(bundle)
@@ -261,10 +277,7 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
     )
     # non-stack output needs only the contour+nuclei planes; fetching just
     # those cuts a third of the device->host traffic
-    classes = (
-        None if args.stackOutput or len(class_order) < 3
-        else (class_order[1], class_order[2])
-    )
+    classes = _classes_subset(args, class_order)
     import contextlib
 
     if args.trace:
@@ -276,10 +289,7 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
     t0 = time.perf_counter()
     sf = args.scalingFactor
     if tool == "unmicst-duo":
-        chans = (
-            channels0 if len(channels0) == 2
-            else [dapi_channel, dapi_channel]
-        )
+        chans = _duo_chans(channels0, dapi_channel)
     else:
         chans = [dapi_channel]
     srcs = {}
@@ -379,8 +389,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not args.imagePath:
         raise SystemExit("imagePath is required (or use --listModels)")
 
-    import jax.numpy as jnp
-
     from unmicst_tpu.core.checkpoint import load_params_for_bundle
     from unmicst_tpu.core.hp import load_model_dir
     from unmicst_tpu.infer import InferenceEngine
@@ -413,6 +421,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         class_order = list(range(hp.n_classes))
     else:
         class_order = [c - 1 for c in args.classOrder]
+    if not args.stackOutput and len(class_order) < 3:
+        # fail in milliseconds, not after minutes of inference
+        # (_write_outputs re-checks with the same message)
+        raise SystemExit(
+            "non-stack output needs 3 classes (contours+nuclei); this "
+            "model has fewer — use --stackOutput (the reference tool "
+            "crashes with an IndexError here)"
+        )
 
     file_name = os.path.basename(args.imagePath)
     stem, file_type = parse_stem(file_name, tool)
@@ -432,27 +448,64 @@ def main(argv: Optional[List[str]] = None) -> int:
         from unmicst_tpu.io.slides import open_channel_source
 
         try:
-            with open_channel_source(
-                args.imagePath, file_type, dapi_channel
-            ) as probe:
-                slide_px = probe.height * probe.width
-                # the streamed global-stats pass needs an exact integer
-                # histogram; solo (rescale=False) needs no stats at all
-                stats_ok = probe.dtype in (
-                    np.dtype(np.uint8), np.dtype(np.uint16),
-                    np.dtype(np.int16),
-                ) or tool == "unmicst-solo"
-            if not stats_ok:
+            probe_chans = (
+                list(dict.fromkeys(_duo_chans(channels0, dapi_channel)))
+                if tool == "unmicst-duo" else [dapi_channel]
+            )
+            probe_dtypes, probe_raw_dtypes = [], []
+            for pc_ in probe_chans:
+                with open_channel_source(
+                    args.imagePath, file_type, pc_
+                ) as probe:
+                    slide_px = probe.height * probe.width
+                    probe_dtypes.append(np.dtype(probe.dtype))
+                    probe_raw_dtypes.append(
+                        np.dtype(getattr(probe, "raw_dtype", probe.dtype))
+                    )
+            if tool == "unmicst-solo":
+                # solo streams with rescale=False: needs a known
+                # im2double scale on device
+                stream_ok = probe_dtypes[0] in (
+                    np.dtype(np.uint8), np.dtype(np.uint16)
+                )
+                why = (f"rescale-free streaming needs uint8/uint16, got "
+                       f"{probe_dtypes[0]}")
+            else:
+                # streamed global stats need an exact integer histogram
+                stream_ok = all(
+                    d in (np.dtype(np.uint8), np.dtype(np.uint16),
+                          np.dtype(np.int16))
+                    for d in probe_dtypes
+                ) and len(set(probe_dtypes)) == 1
+                why = (f"streamed stats need one integer dtype across "
+                       f"channels, got {sorted(map(str, probe_dtypes))}")
+            if cyto and any(d == np.float32 for d in probe_raw_dtypes):
+                # the reference Cyto2 never float32->uint16 casts
+                # (UnMicstCyto2.py has no :807-style cast); the streaming
+                # sources do, so float32 cyto slides take the host path
+                stream_ok = False
+                why = "Cyto2 float32 input must not take the parity cast"
+            if not stream_ok:
                 if args.engine == "streaming":
                     raise SystemExit(
-                        f"--engine streaming cannot compute the intensity "
-                        f"range for {probe.dtype} slides; use --engine whole"
+                        f"--engine streaming: {why}; use --engine whole"
                     )
                 use_streaming = False
             else:
                 use_streaming = args.engine == "streaming" or (
                     args.engine == "auto" and slide_px > 64_000_000
                 )
+            if use_streaming and args.check_numerics:
+                # the streaming path quantizes maps on device; the float
+                # scan needs the whole engine (auto re-routes, explicit
+                # choice honored with a loud note)
+                if args.engine == "auto":
+                    use_streaming = False
+                else:
+                    print(
+                        "note: --check-numerics under --engine streaming "
+                        "scans params only (maps are uint8 on device)"
+                    )
         except (ValueError, NotImplementedError, IndexError, OSError):
             use_streaming = args.engine == "streaming"
     elif args.engine == "streaming":
@@ -466,7 +519,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                               t_start)
 
     if tool == "unmicst-duo":
-        chans = channels0 if len(channels0) == 2 else [dapi_channel, dapi_channel]
+        chans = _duo_chans(channels0, dapi_channel)
         raw_by_chan = {
             c: read_channel(args.imagePath, file_type, c)
             for c in dict.fromkeys(chans)
@@ -484,7 +537,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             planes, raw_norm = [], None
             for c in chans:
                 pc = pp.preprocess_channel(
-                    raw_by_chan[c], args.scalingFactor, args.outlier
+                    raw_by_chan[c], args.scalingFactor, args.outlier,
+                    cast_float32=not cyto,
                 )
                 planes.append(pc.net_input)
                 raw_norm, raw_shape = pc.raw_norm, pc.raw_shape  # last wins
@@ -507,7 +561,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             pc = pp.preprocess_channel(
                 raw, args.scalingFactor, args.outlier,
-                use_rescaled=use_rescaled,
+                use_rescaled=use_rescaled, cast_float32=not cyto,
             )
             net_image = pc.net_input.astype(np.float32)
             raw_shape = pc.raw_shape
@@ -528,10 +582,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         if slide_raw is not None:
             # non-stack output needs only contours+nuclei; fetching just
             # those planes cuts a third of the D2H bytes
-            classes = (
-                None if args.stackOutput or len(class_order) < 3
-                else (class_order[1], class_order[2])
-            )
+            classes = _classes_subset(args, class_order)
             if channel_mode == "stack":
                 maps = engine.infer_slide_stack(
                     slide_raw, outlier=args.outlier, classes=classes,

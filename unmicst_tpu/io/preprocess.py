@@ -269,13 +269,17 @@ def preprocess_channel(
     scaling_factor: float = 1.0,
     outlier: float = -1,
     use_rescaled: bool = True,
+    cast_float32: bool = True,
 ) -> PreprocessedChannel:
     """The shared CLI front half (``UnMicst1-5.py:807-825``).
 
     ``use_rescaled=False`` reproduces the v2-solo quirk of feeding the
-    un-rescaled resized image to inference.
+    un-rescaled resized image to inference.  ``cast_float32=False``
+    reproduces UnMicstCyto2.py, which alone among the tools has no
+    float32->uint16 parity cast — casting a [0,1] float slide would
+    truncate every pixel to zero there.
     """
-    if plane.dtype == np.float32:
+    if cast_float32 and plane.dtype == np.float32:
         plane = plane.astype(np.uint16)  # UnMicst1-5.py:807-808
     raw_shape = plane.shape
     h = int(float(raw_shape[0]) * float(scaling_factor))

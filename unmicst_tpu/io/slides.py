@@ -132,6 +132,9 @@ class ChannelSource:
         self.height, self.width = int(height), int(width)
         raw_dtype = np.dtype(dtype)
         self._cast = raw_dtype == np.float32
+        # rows arrive as self.dtype (post parity-cast); raw_dtype keeps
+        # the on-disk dtype for callers that must NOT cast (cyto2)
+        self.raw_dtype = raw_dtype
         self.dtype = np.dtype(np.uint16) if self._cast else raw_dtype
         self._read = read_rows_fn
         self._closer = closer

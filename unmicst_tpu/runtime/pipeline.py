@@ -78,15 +78,18 @@ def _check_classes(classes, n_classes: int):
 
 
 def _check_rescale_dtype(in_dtype, rescale: bool) -> None:
-    """rescale=False needs a known im2double scale (uint8/uint16; float32
-    sources arrive pre-cast to uint16) — one policy across infer,
-    infer_stack, and the sharded variants."""
+    """rescale=False needs a known scale — uint8/uint16 (im2double) or
+    float32 (UNIT-scale convention: virtual sources like ResampledSource
+    emit [0,1] floats, inv_scale 1.0).  Raw float32 ndarrays/pages never
+    reach here as float32 (parity-cast to uint16 first); int16/uint32/
+    float64 would silently feed wrong-scale values, so they raise.  One
+    policy across infer, infer_stack, and the sharded variants."""
     if not rescale and np.dtype(in_dtype) not in (
-        np.dtype(np.uint8), np.dtype(np.uint16)
+        np.dtype(np.uint8), np.dtype(np.uint16), np.dtype(np.float32)
     ):
         raise ValueError(
-            f"streaming with rescale=False requires uint8/uint16 input, "
-            f"got {np.dtype(in_dtype)}"
+            f"streaming with rescale=False requires uint8/uint16 (or "
+            f"unit-float virtual) input, got {np.dtype(in_dtype)}"
         )
 
 
