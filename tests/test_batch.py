@@ -164,3 +164,12 @@ def test_sweep_streams_large_slides(tmp_path, rng):
     rep_c = batch.run_sweep(slides, str(mdir), str(out_b),
                             stream_above_px=1)
     assert rep_c.skipped == slides
+
+
+@needs_reference
+def test_shard_index_validated():
+    model_dir = os.path.join(REFERENCE, "models", "nucleiDAPI")
+    with pytest.raises(ValueError, match="shard_index"):
+        batch.run_sweep([], model_dir, shard_index=4, num_shards=4)
+    with pytest.raises(ValueError, match="shard_index"):
+        batch.run_sweep([], model_dir, shard_index=-1, num_shards=2)

@@ -139,15 +139,13 @@ def run_sweep(
     maps upscale back at write).  Both engines share one MXU precision:
     the CLI's parity default (HIGH) unless overridden.
     """
-    import jax.numpy as jnp
+    import functools
 
     from unmicst_tpu.core.checkpoint import load_params_for_bundle
     from unmicst_tpu.core.hp import load_model_dir
     from unmicst_tpu.infer import InferenceEngine
-    import functools
-
     from unmicst_tpu.io import preprocess as pp
-    from unmicst_tpu.io.tiff import imread, imwrite as _imwrite
+    from unmicst_tpu.io.tiff import imwrite as _imwrite
     from unmicst_tpu.runtime.pipeline import StreamingEngine
 
     imwrite = functools.partial(
@@ -166,6 +164,21 @@ def run_sweep(
         bundle, params, compute_dtype=compute_dtype, precision=precision,
         tile_batch=tile_batch,
     )
+
+    if not 0 <= shard_index < num_shards:
+        # an out-of-range index would silently drop some slides and
+        # double-process others (overlapping strided views)
+        raise ValueError(
+            f"shard_index {shard_index} out of range for "
+            f"{num_shards} shard(s)"
+        )
+    if bundle.hp.n_classes < 3:
+        # the sweep writes the hardcoded contour+nuclei planes (classes
+        # 1, 2); fail before reading any slide, not per slide after
+        raise ValueError(
+            f"batch sweeps need a 3-class model (contours+nuclei); "
+            f"{os.path.basename(model_dir)} has {bundle.hp.n_classes}"
+        )
 
     report = BatchReport()
     t_start = time.perf_counter()
@@ -195,7 +208,16 @@ def run_sweep(
             with TiffFile(slide) as tf_probe:
                 page = tf_probe.pages[tiff_plane(tf_probe, channel)]
                 slide_px = page.height * page.width
-            if slide_px > stream_above_px:
+                # streamed stats need an exact integer histogram (the CLI
+                # applies the same gate); other dtypes take the whole
+                # path, which handles any dtype under rescale
+                page_dtype = np.dtype(page.dtype)
+                streamable = (
+                    np.dtype(np.uint16) if page_dtype == np.float32
+                    else page_dtype
+                ) in (np.dtype(np.uint8), np.dtype(np.uint16),
+                      np.dtype(np.int16))
+            if slide_px > stream_above_px and streamable:
                 # mega-slide: bounded memory end to end (any scale — the
                 # virtual resized source streams off-scale slides too)
                 t0 = time.perf_counter()
@@ -369,14 +391,17 @@ def deploy_folder(
     import jax
 
     fwd = jax.jit(
-        lambda p, x: unet.apply(p, x, hp, bundle.variant)
+        # the repo-wide parity default (CLI/sweep use the same HIGH mode)
+        lambda p, x: unet.apply(p, x, hp, bundle.variant, precision="high")
     )
     for i in range(n_images):
         im = pp.im2double(imread(os.path.join(im_path, f"I{i:05d}_Img.tif")))
         x = ((im - bundle.mean) / bundle.std).astype(np.float32)
-        x = np.broadcast_to(
-            x[None, :, :, None], (1,) + x.shape + (hp.n_channels,)
-        )
+        # reference deploy zero-fills channels >= 1 (UnMicst.py:435-445:
+        # Data = np.zeros(...); Data[..., 0] = im) — NOT a broadcast
+        zx = np.zeros((1,) + x.shape + (hp.n_channels,), np.float32)
+        zx[..., 0] = x
+        x = zx
         probs = np.asarray(fwd(params, jnp.asarray(x)))[0]
         norm = (im - im.min()) / max(im.max() - im.min(), 1e-12)
         Image.fromarray(np.uint8(255 * np.sqrt(norm))).save(
