@@ -286,3 +286,43 @@ def test_description_short_inline_roundtrip(tmp_path):
     # PIL agrees (independent reader; ASCII subset so no codec ambiguity)
     im = Image.open(fn)
     assert im.tag_v2[270] == "ab"
+
+
+def test_ifd_cycle_raises_not_hangs(tmp_path, rng):
+    """A corrupt next-IFD pointer looping back must raise, never hang."""
+    import struct
+
+    fn = str(tmp_path / "cyc.tif")
+    imwrite(fn, (rng.rand(8, 8) * 255).astype(np.uint8), bigtiff=False)
+    blob = bytearray(open(fn, "rb").read())
+    (ifd,) = struct.unpack_from("<I", blob, 4)
+    (n,) = struct.unpack_from("<H", blob, ifd)
+    # point the next-IFD field back at the first IFD
+    struct.pack_into("<I", blob, ifd + 2 + 12 * n, ifd)
+    open(fn, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="cycle"):
+        TiffFile(fn)
+    with pytest.raises(ValueError, match="cycle"):
+        TiffWriter(fn, append=True)
+
+
+def test_short_strip_list_rejected(tmp_path, rng):
+    """Fewer strips than the header promises must not leak uninitialized
+    memory as pixels."""
+    import struct
+
+    fn = str(tmp_path / "short.tif")
+    img = (rng.rand(64, 16) * 255).astype(np.uint8)
+    with TiffWriter(fn, bigtiff=False) as tw:
+        tw.write(img)
+    blob = bytearray(open(fn, "rb").read())
+    (ifd,) = struct.unpack_from("<I", blob, 4)
+    (n,) = struct.unpack_from("<H", blob, ifd)
+    for i in range(n):
+        tag, ftype, cnt = struct.unpack_from("<HHI", blob, ifd + 2 + 12 * i)
+        if tag == 257:  # ImageLength: claim double the height
+            struct.pack_into("<I", blob, ifd + 2 + 12 * i + 8, 128)
+    open(fn, "wb").write(bytes(blob))
+    with TiffFile(fn) as tf:
+        with pytest.raises(ValueError, match="cover"):
+            tf.read_page(0)

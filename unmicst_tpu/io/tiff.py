@@ -49,6 +49,10 @@ TAG_TILE_OFFSETS = 324
 TAG_TILE_BYTE_COUNTS = 325
 TAG_SAMPLE_FORMAT = 339
 
+class PageTooLargeError(ValueError):
+    """Full-page materialization refused; use windowed reads."""
+
+
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
 COMPRESSION_DEFLATE_ADOBE = 8
@@ -146,6 +150,12 @@ def _decode(data: bytes, compression: int, max_out: int = 0) -> bytes:
     if compression == COMPRESSION_NONE:
         return data
     if compression in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
+        if max_out:
+            # bound the output like the LZW/PackBits paths: a crafted
+            # strip must not decompression-bomb the host (slack covers
+            # writer-padded final strips; callers truncate)
+            out = zlib.decompressobj().decompress(data, max_out + 65536)
+            return out
         return zlib.decompress(data)
     if compression == COMPRESSION_LZW:
         if max_out:
@@ -220,6 +230,12 @@ class TiffPage:
 
     @property
     def dtype(self) -> np.dtype:
+        if self.bits % 8 != 0 or self.bits == 0:
+            # 1/4/12-bit packed samples: bits//8 would silently
+            # misinterpret the packed bytes — defer to the PIL fallback
+            raise NotImplementedError(
+                f"{self.bits}-bit packed TIFF samples not supported"
+            )
         kind = {1: "u", 2: "i", 3: "f"}[self.sample_format]
         return np.dtype(f"{kind}{self.bits // 8}")
 
@@ -249,7 +265,14 @@ class TiffFile:
         self.pages: List[TiffPage] = []
         self._page_offsets: List[int] = []
         offset = first_ifd
+        seen = set()
         while offset:
+            if offset in seen:
+                # corrupt next-IFD pointer looping back: fail, never hang
+                raise ValueError(
+                    f"{path}: IFD chain cycles back to offset {offset:#x}"
+                )
+            seen.add(offset)
             self._page_offsets.append(offset)
             page, offset = self._read_ifd(offset)
             self.pages.append(page)
@@ -369,11 +392,17 @@ class TiffFile:
         page = self.pages[index]
         if page.planar != 1 and page.samples > 1:
             raise NotImplementedError("planar TIFF not supported")
+        if page.predictor not in (1, 2):
+            # predictor 3 (float differencing) etc.: decoding without the
+            # undo would return difference bytes as pixels silently
+            raise NotImplementedError(
+                f"TIFF predictor {page.predictor} not supported"
+            )
         dtype = page.dtype.newbyteorder(self.byteorder)
         # allocation guard for FULL-page materialization only — windowed
         # readers (read_region / the streaming sources) handle any size
         if page.height * page.width * page.samples > 1 << 31:
-            raise ValueError(
+            raise PageTooLargeError(
                 f"TIFF page {page.height}x{page.width} is too large to "
                 "materialize whole; use windowed reads (read_region, or "
                 "the streaming engine)"
@@ -392,6 +421,12 @@ class TiffFile:
                 _undo_predictor(arr.reshape(nrows, page.width, page.samples), 2)
             out[rows_done : rows_done + nrows] = arr
             rows_done += nrows
+        if rows_done < page.height:
+            # fewer strips than the header promises: np.empty rows would
+            # otherwise leak uninitialized heap memory as image data
+            raise ValueError(
+                f"TIFF strips cover {rows_done}/{page.height} rows"
+            )
         if page.samples > 1:
             out = out.reshape(page.height, page.width, page.samples)
         return out
@@ -405,6 +440,12 @@ class TiffFile:
         touch only the bytes under the requested stripe.
         """
         page = self.pages[index]
+        if page.planar != 1 and page.samples > 1:
+            raise NotImplementedError("planar TIFF not supported")
+        if page.predictor not in (1, 2):
+            raise NotImplementedError(
+                f"TIFF predictor {page.predictor} not supported"
+            )
         dtype = page.dtype.newbyteorder(self.byteorder)
         out = np.zeros((nrows, ncols, page.samples), page.dtype)
         r1, c1 = r0 + nrows, c0 + ncols
@@ -499,7 +540,13 @@ class TiffWriter:
         ptr_pos = 8 if self.big else 4
         fh.seek(ptr_pos)
         (offset,) = struct.unpack(self._ptr_fmt, fh.read(8 if self.big else 4))
+        seen = set()
         while offset:
+            if offset in seen:
+                raise ValueError(
+                    f"{self.path}: IFD chain cycles at {offset:#x}"
+                )
+            seen.add(offset)
             fh.seek(offset)
             if self.big:
                 (n,) = struct.unpack("<Q", fh.read(8))
@@ -604,44 +651,30 @@ class TiffWriter:
         if fh.tell() % 2:
             fh.write(b"\0")
         ifd_pos = fh.tell()
+        # one serialization loop for both layouts (BigTIFF: 8-byte counts
+        # + value slots; classic: 2-byte count, 4-byte slots)
         if self.big:
-            buf = struct.pack("<Q", len(entries))
-            for tag, ftype, count, values in entries:
-                ch, _ = _FIELD_TYPES[ftype]
-                is_ptr = (
-                    tag in (TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS)
-                    and count > 1
-                ) or (tag == TAG_IMAGE_DESCRIPTION
-                      and not isinstance(values, bytes))
-                if isinstance(values, bytes):
-                    payload = values.ljust(8, b"\0")
-                elif is_ptr:
-                    payload = struct.pack("<Q", values[0])
-                else:
-                    payload = struct.pack(
-                        f"<{len(values)}{ch}", *values
-                    ).ljust(8, b"\0")
-                buf += struct.pack("<HHQ", tag, ftype, count) + payload
-            buf += struct.pack("<Q", 0)
+            slot, count_fmt, entry_fmt, ptr_fmt = 8, "<Q", "<HHQ", "<Q"
         else:
-            buf = struct.pack("<H", len(entries))
-            for tag, ftype, count, values in entries:
-                ch, _ = _FIELD_TYPES[ftype]
-                is_ptr = (
-                    tag in (TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS)
-                    and count > 1
-                ) or (tag == TAG_IMAGE_DESCRIPTION
-                      and not isinstance(values, bytes))
-                if isinstance(values, bytes):
-                    payload = values.ljust(4, b"\0")
-                elif is_ptr:
-                    payload = struct.pack("<I", values[0])
-                else:
-                    payload = struct.pack(
-                        f"<{len(values)}{ch}", *values
-                    ).ljust(4, b"\0")
-                buf += struct.pack("<HHI", tag, ftype, count) + payload
-            buf += struct.pack("<I", 0)
+            slot, count_fmt, entry_fmt, ptr_fmt = 4, "<H", "<HHI", "<I"
+        buf = struct.pack(count_fmt, len(entries))
+        for tag, ftype, count, values in entries:
+            ch, _ = _FIELD_TYPES[ftype]
+            is_ptr = (
+                tag in (TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS)
+                and count > 1
+            ) or (tag == TAG_IMAGE_DESCRIPTION
+                  and not isinstance(values, bytes))
+            if isinstance(values, bytes):
+                payload = values.ljust(slot, b"\0")
+            elif is_ptr:
+                payload = struct.pack(ptr_fmt, values[0])
+            else:
+                payload = struct.pack(
+                    f"<{len(values)}{ch}", *values
+                ).ljust(slot, b"\0")
+            buf += struct.pack(entry_fmt, tag, ftype, count) + payload
+        buf += struct.pack(ptr_fmt, 0)
         fh.write(buf)
 
         # Re-chain: point the previous IFD (or header) at this new IFD.
@@ -673,6 +706,10 @@ def imread(path: str, page: int = 0) -> np.ndarray:
         if arr.dtype.byteorder not in ("=", "|"):
             arr = arr.astype(arr.dtype.newbyteorder("="))
         return arr
+    except PageTooLargeError:
+        # deliberate materialization refusal — PIL would attempt the very
+        # allocation the guard prevents; keep the actionable message
+        raise
     except (NotImplementedError, ValueError):
         from PIL import Image
 
