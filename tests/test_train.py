@@ -52,11 +52,12 @@ def test_corpus_loads_reference_layout(tmp_path, rng):
 
 def test_corpus_multichannel_single_aug(tmp_path, rng):
     """n_aug=1 with 2 channels must read distinct pages per channel
-    (regression: the page formula special-cased A==1 to page 0)."""
+    (regression: the page formula special-cased A==1 to page 0).  Uses a
+    v2-style config: the DUO preset deliberately fills channel 0 only."""
     hp2 = HParams(
         im_size=32, n_channels=2, n_classes=3, n_out0=4, ks=3, n_layers=1
     )
-    cfg = tr.TrainConfig.for_variant("duo", n_aug=1)
+    cfg = tr.TrainConfig.for_variant("v2", n_aug=1)
     _write_corpus(str(tmp_path), 2, 1, rng, n_channels=2)
     corpus = tr.Corpus(str(tmp_path), 2, hp2, cfg)
     ch0 = corpus.images[0, :, :, 0, 0]
@@ -66,6 +67,35 @@ def test_corpus_multichannel_single_aug(tmp_path, rng):
     page1 = imread(str(tmp_path / "I00000_Img.tif"), 1)
     expect = (page1 / 65535.0 - cfg.dataset_mean) / cfg.dataset_std
     np.testing.assert_allclose(ch1, expect, atol=1e-6)
+
+
+def test_duo_corpus_fills_channel_zero_only(tmp_path, rng):
+    """Reference duo/cyto2 load img_num=0 into channel 0 and leave the
+    rest zero (UnMicst2.py:295-297, the per-channel loop is commented
+    out) — the duo preset mirrors that, plus its own mean/std and
+    class-weight constants (UnMicst2.py:273-278)."""
+    hp2 = HParams(
+        im_size=32, n_channels=2, n_classes=3, n_out0=4, ks=3, n_layers=1
+    )
+    cfg = tr.TrainConfig.for_variant("duo")
+    assert (cfg.dataset_mean, cfg.dataset_std) == (0.19, 0.17)
+    assert (cfg.nuclei_weight, cfg.intersect_weight) == (5.0, 10.0)
+    assert cfg.n_aug == 1 and cfg.fill_channels == 1
+    _write_corpus(str(tmp_path), 2, 1, rng, n_channels=2)
+    corpus = tr.Corpus(str(tmp_path), 2, hp2, cfg)
+    assert corpus.images[..., 1].max() == corpus.images[..., 1].min() == 0.0
+    assert corpus.images[..., 0].std() > 0
+
+
+def test_cyto2_two_class_weight_maps(rng):
+    """cyto2's 2-class weight formula rides the wt mask on BOTH planes
+    (UnMicstCyto2.py:297-302)."""
+    cfg = tr.TrainConfig.for_variant("cyto2")
+    labels = np.eye(2, dtype=np.float32)[rng.randint(0, 2, (8, 8))]
+    wt = (rng.rand(8, 8) > 0.5).astype(np.float32)
+    w = tr.class_weight_maps(labels, wt, cfg)
+    np.testing.assert_allclose(w[..., 0], wt * 5.0 + 3.0)
+    np.testing.assert_allclose(w[..., 1], wt * 5.0 + 1.0)
 
 
 def test_corpus_batches_augment(tmp_path, rng):

@@ -275,8 +275,14 @@ def save_native(
     mean: float,
     std: float,
     extra: Optional[dict] = None,
+    extra_arrays: Optional[dict] = None,
 ) -> None:
-    """Serialize params + metadata into one msgpack file."""
+    """Serialize params + metadata into one msgpack file.
+
+    ``extra``: JSON-able scalars for the meta record.  ``extra_arrays``:
+    an array-bearing pytree (e.g. optimizer state) serialized alongside
+    the params; surfaced by :func:`load_native` as ``meta["_extra_arrays"]``.
+    """
     from flax import serialization
 
     meta = {
@@ -288,12 +294,13 @@ def save_native(
     }
     if extra:
         meta.update(extra)
-    blob = serialization.msgpack_serialize(
-        {
-            "meta_json": json.dumps(meta),
-            "params": _to_numpy(params),
-        }
-    )
+    payload = {
+        "meta_json": json.dumps(meta),
+        "params": _to_numpy(params),
+    }
+    if extra_arrays is not None:
+        payload["extra_arrays"] = _to_numpy(extra_arrays)
+    blob = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
@@ -306,6 +313,8 @@ def load_native(path: str) -> Tuple[Params, HParams, str, float, float, dict]:
     with open(path, "rb") as f:
         tree = serialization.msgpack_restore(f.read())
     meta = json.loads(tree["meta_json"])
+    if "extra_arrays" in tree:
+        meta["_extra_arrays"] = _listify(tree["extra_arrays"])
     hp = HParams.from_ref_dict(meta["hp"])
     params = _listify(tree["params"])
     return (

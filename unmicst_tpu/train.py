@@ -41,6 +41,7 @@ from unmicst_tpu.core.unet import Params
 EPS = 1e-7  # log clip (UnMicst1-5.py:369-370)
 
 # class-weight constants (UnMicst1-5.py:278-281)
+# v2 defaults (UnMicst1-5.py:278-281); duo/cyto2 override via TrainConfig
 BG_WEIGHT = 1.0
 CONTOUR_WEIGHT = 2.0
 NUCLEI_WEIGHT = 7.0
@@ -75,18 +76,46 @@ class TrainConfig:
     # reference-parity f32 pipeline.
     compute_dtype: Optional[str] = None
     export_tf1: bool = True  # also write a Saver-compatible model.ckpt.*
+    # brightness/contrast jitter on TRAIN batches; the duo/cyto2 corpora
+    # have no baked augmentation pages yet still jitter every batch
+    # (UnMicst2.py:447-450, UnMicstCyto2.py:448-449)
+    jitter: bool = True
+    # channels filled from the corpus; the duo reference loads ONLY
+    # channel 0 and leaves channel 1 zero (UnMicst2.py:256,295-297)
+    fill_channels: Optional[int] = None
+    # legacy draws a FRESH permutation every step and takes its head
+    # (UnMicst.py:346-352) instead of the v2 cursor walk
+    per_step_shuffle: bool = False
+    # class-weight constants (v2 defaults; duo 1/2/5/10, cyto2 1/3/-/5 —
+    # each tool hardcodes its own set)
+    bg_weight: float = BG_WEIGHT
+    contour_weight: float = CONTOUR_WEIGHT
+    nuclei_weight: float = NUCLEI_WEIGHT
+    intersect_weight: float = INTERSECT_WEIGHT
 
     @classmethod
     def for_variant(cls, variant: str, **overrides) -> "TrainConfig":
         presets = {
-            # UnMicst.py:270-279
+            # UnMicst.py:270-279,346-352,378
             "legacy": dict(
                 lr0=0.01, decay_steps=1000, decay_rate=0.95,
                 optimizer="momentum", n_aug=1, use_weights=False,
+                ckpt_every=100, per_step_shuffle=True,
             ),
-            "v2": dict(lr0=5e-5),  # UnMicst1-5.py:362
-            "duo": dict(lr0=6e-5),  # UnMicst2.py:357
-            "cyto2": dict(lr0=1e-3),  # UnMicstCyto2.py:347
+            "v2": dict(lr0=5e-5),  # UnMicst1-5.py:362-365,519
+            # UnMicst2.py:357-359 (6e-5, 4000, 0.99), :488 (i%10),
+            # :273-278 (mean .19/.17, weights 1/2/5/10), :295-297
+            # single-page corpus, channel 0 only
+            "duo": dict(lr0=6e-5, decay_steps=4000, decay_rate=0.99,
+                        ckpt_every=10, n_aug=1, fill_channels=1,
+                        dataset_mean=0.19, dataset_std=0.17,
+                        nuclei_weight=5.0, intersect_weight=10.0),
+            # UnMicstCyto2.py:347-349 (1e-3, 2500, 0.97), :488 (i%10),
+            # :270-274 (mean .07/.07, weights 1/3/5), :291 single-page
+            "cyto2": dict(lr0=1e-3, decay_steps=2500, decay_rate=0.97,
+                          ckpt_every=10, n_aug=1,
+                          dataset_mean=0.07, dataset_std=0.07,
+                          contour_weight=3.0, intersect_weight=5.0),
         }
         kw = dict(presets[variant])
         kw["variant"] = variant
@@ -94,19 +123,47 @@ class TrainConfig:
         return cls(**kw)
 
 
-def class_weight_maps(labels_onehot: np.ndarray, wt: np.ndarray) -> np.ndarray:
-    """Per-class weight planes from the ``I%05d_wt.tif`` mask
-    (``UnMicst1-5.py:305-312``): bg=1, contours=wt*15+2, nuclei=7."""
+def class_weight_maps(labels_onehot: np.ndarray, wt: np.ndarray,
+                      cfg: Optional["TrainConfig"] = None) -> np.ndarray:
+    """Per-class weight planes from the ``I%05d_wt.tif`` mask.
+
+    3-class (v2/duo, ``UnMicst1-5.py:305-312`` / ``UnMicst2.py:300-308``):
+    bg=bgW, contours=wt*intersectW+contourW, nuclei=nucleiW.  2-class
+    (cyto2, ``UnMicstCyto2.py:297-302``): class0=wt*intersectW+contourW,
+    class1=wt*intersectW+bgW — the wt mask rides BOTH planes there."""
+    bg = cfg.bg_weight if cfg else BG_WEIGHT
+    contour = cfg.contour_weight if cfg else CONTOUR_WEIGHT
+    nuclei = cfg.nuclei_weight if cfg else NUCLEI_WEIGHT
+    intersect = cfg.intersect_weight if cfg else INTERSECT_WEIGHT
     n_classes = labels_onehot.shape[-1]
     w = np.zeros_like(labels_onehot, dtype=np.float32)
+    if n_classes == 2:
+        w[..., 0] = wt * intersect + contour
+        w[..., 1] = wt * intersect + bg
+        return w
     for i in range(n_classes):
         if i == 1:
-            w[..., i] = wt * INTERSECT_WEIGHT + CONTOUR_WEIGHT
+            w[..., i] = wt * intersect + contour
         elif i == 2:
-            w[..., i] = NUCLEI_WEIGHT
+            w[..., i] = nuclei
         else:
-            w[..., i] = BG_WEIGHT
+            w[..., i] = bg
     return w
+
+
+def compute_dataset_stats(im_path: str, n_samples: int) -> tuple:
+    """Legacy mean/std: average of per-image im2double mean/std over the
+    whole corpus (``UnMicst.py:222-231``; train+valid+test share one
+    directory there)."""
+    from unmicst_tpu.io import preprocess as pp
+    from unmicst_tpu.io.tiff import imread
+
+    mean = std = 0.0
+    for i in range(n_samples):
+        im = pp.im2double(imread(os.path.join(im_path, f"I{i:05d}_Img.tif")))
+        mean += float(np.mean(im))
+        std += float(np.std(im))
+    return mean / n_samples, std / n_samples
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -212,23 +269,27 @@ class Corpus:
         self.images = np.zeros((n, S, S, A, C), np.float32)
         self.labels = np.zeros((n, S, S, K), np.float32)
         self.weights = np.ones((n, S, S, K), np.float32)
+        fill_c = C if cfg.fill_channels is None else min(C, cfg.fill_channels)
         for row, idx in enumerate(ids):
             img_path = os.path.join(path, f"I{idx:05d}_Img.tif")
-            for c in range(C):
+            for c in range(fill_c):
                 for a in range(A):
                     # page = iAug + nAug*iChan (UnMicst1-5.py:299); for the
-                    # legacy single-page corpus this is page 0
+                    # legacy/duo/cyto single-page corpus this is page 0
                     im = pp.im2double(imread(img_path, a + A * c))
                     self.images[row, :, :, a, c] = (
                         im - cfg.dataset_mean
                     ) / cfg.dataset_std
+            # channels >= fill_c stay zero (duo parity, UnMicst2.py:256)
             ant = imread(os.path.join(path, f"I{idx:05d}_Ant.tif"))
             for k in range(K):
                 self.labels[row, :, :, k] = ant == k + 1
             if cfg.use_weights:
                 wt_path = os.path.join(path, f"I{idx:05d}_wt.tif")
                 wt = imread(wt_path).astype(np.float32) if os.path.exists(wt_path) else np.zeros((S, S), np.float32)
-                self.weights[row] = class_weight_maps(self.labels[row], wt)
+                self.weights[row] = class_weight_maps(
+                    self.labels[row], wt, cfg
+                )
         self.n = n
         self.cfg = cfg
 
@@ -251,11 +312,20 @@ class Corpus:
         perm = rng.permutation(self.n)
         cursor = 0
         while True:
-            if cursor + batch_size > self.n:
+            if cfg.per_step_shuffle:
+                # legacy protocol: fresh permutation each step, head batch
+                # (UnMicst.py:346-352) — i.i.d. without-replacement draws
                 perm = rng.permutation(self.n)
-                cursor = 0
-            take = [perm[(cursor + j) % self.n] for j in range(batch_size)]
-            cursor += batch_size
+                take = [perm[j % self.n] for j in range(batch_size)]
+            else:
+                # v2 cursor walk; the reference resets when the NEXT start
+                # would exceed nTrain - batchSize - 1, skipping the final
+                # exact-fit batch of each epoch (UnMicst1-5.py:485-488)
+                if cursor + batch_size > self.n - 1:
+                    perm = rng.permutation(self.n)
+                    cursor = 0
+                take = [perm[(cursor + j) % self.n] for j in range(batch_size)]
+                cursor += batch_size
             n_aug = self.images.shape[3]
             imgs = np.empty(
                 (batch_size,) + self.images.shape[1:3] + (self.images.shape[4],),
@@ -304,12 +374,13 @@ class Trainer:
             key, hp, cfg.variant
         )
         self.tx = make_optimizer(cfg)
-        self.opt_state = self.tx.init(self.params)
         if mesh is not None:
             from unmicst_tpu.runtime.mesh import put_params
 
             self.params = put_params(self.params, mesh)
-            self.opt_state = self.tx.init(self.params)
+        # init once, on the (possibly sharded) params — a pre-shard init
+        # would allocate full Adam moments only to discard them
+        self.opt_state = self.tx.init(self.params)
         self.train_step = make_train_step(hp, cfg, self.tx)
         self.eval_step = make_eval_step(hp, cfg)
         self.lowest_error = np.inf
@@ -358,7 +429,9 @@ class Trainer:
         cfg = self.cfg
         bs = batch_size or self.hp.batch_size
         rng_np = np.random.RandomState(cfg.seed + 1)
-        train_iter = train_corpus.batches(bs, rng_np, augment=cfg.n_aug > 1)
+        train_iter = train_corpus.batches(
+            bs, rng_np, augment=cfg.n_aug > 1, jitter=cfg.jitter
+        )
         # reference validation protocol: random baked page, no jitter
         # (UnMicst1-5.py:498-505)
         valid_iter = valid_corpus.batches(
@@ -412,7 +485,14 @@ class Trainer:
         from unmicst_tpu.core.checkpoint import save_native
 
         os.makedirs(self.model_path, exist_ok=True)
+        from flax import serialization as _ser
+
         host_params = jax.tree_util.tree_map(np.asarray, self.params)
+        # persist the optimizer state too (reference Saver restores the
+        # Momentum/Adam slots and globalStep, UnMicst1-5.py:445-447);
+        # step+1 = the step a resumed run continues AT (save happens
+        # before the in-loop increment)
+        host_opt = jax.tree_util.tree_map(np.asarray, self.opt_state)
         save_native(
             os.path.join(self.model_path, "model.unmicst-tpu.msgpack"),
             host_params,
@@ -420,7 +500,11 @@ class Trainer:
             self.cfg.variant,
             self.cfg.dataset_mean,
             self.cfg.dataset_std,
-            extra={"step": self.step, "valid_error": self.lowest_error},
+            extra={
+                "step": self.step + 1,
+                "valid_error": self.lowest_error,
+            },
+            extra_arrays={"opt_state": _ser.to_state_dict(host_opt)},
         )
         save_pickle(self.hp.to_ref_dict(), os.path.join(self.model_path, "hp.data"))
         save_pickle(
@@ -442,6 +526,24 @@ class Trainer:
                 f.write('model_checkpoint_path: "model.ckpt"\n')
                 f.write('all_model_checkpoint_paths: "model.ckpt"\n')
 
+    def close(self) -> None:
+        """Flush and release the metrics/TensorBoard sinks (the reference
+        closes its writers, UnMicst1-5.py:530-532)."""
+        if self._metrics_file:
+            self._metrics_file.close()
+            self._metrics_file = None
+        for w in (self._tb_train, self._tb_valid):
+            if w is not None:
+                w.flush()
+                w.close()
+        self._tb_train = self._tb_valid = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def restore(self, path: Optional[str] = None) -> None:
         """Resume from a native checkpoint (``restoreVariables`` semantics,
         ``UnMicst1-5.py:445-447``)."""
@@ -451,9 +553,33 @@ class Trainer:
         params, hp, variant, _, _, meta = load_native(path)
         if hp != self.hp or variant != self.cfg.variant:
             raise ValueError("checkpoint hp/variant mismatch")
+        if self.mesh is not None:
+            # keep the dp/tp placement __init__ established
+            from unmicst_tpu.runtime.mesh import put_params
+
+            params = put_params(params, self.mesh)
         self.params = params
         self.opt_state = self.tx.init(self.params)
         self.step = int(meta.get("step", 0))
+        saved_opt = meta.get("_extra_arrays", {}).get("opt_state")
+        if saved_opt is not None:
+            # restore Momentum/Adam slots AND the schedule count so the
+            # resumed lr continues decayed (reference restoreVariables
+            # semantics: Saver restores slots + globalStep)
+            from flax import serialization as _ser
+
+            self.opt_state = _ser.from_state_dict(self.opt_state, saved_opt)
+        else:
+            # old checkpoint without slots: at least fast-forward the
+            # schedule so lr does not restart at lr0
+            try:
+                import optax
+
+                self.opt_state = optax.tree_utils.tree_set(
+                    self.opt_state, count=jnp.int32(self.step)
+                )
+            except Exception:
+                pass
         self.restored = True
 
 
