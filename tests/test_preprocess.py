@@ -1,6 +1,7 @@
 """Preprocessing parity helpers (``toolbox/imtools.py``, CLI pipelines)."""
 
 import numpy as np
+import pytest
 
 from unmicst_tpu.io import preprocess as pp
 
@@ -90,3 +91,41 @@ def test_preview_u8_from_raw_matches_float_path(rng):
     np.testing.assert_array_equal(
         pp.preview_u8_from_raw(f), np.uint8(255 * pcf.raw_norm)
     )
+
+
+def test_resampled_stats_dense_plateau_bounded(rng, monkeypatch):
+    """A saturation plateau puts the percentile inside one dense bin:
+    the refinement path must stay within the collection cap AND still
+    return np.percentile's exact answer."""
+    from unmicst_tpu.io import preprocess as pp
+
+    raw = (rng.rand(300, 300) * 60000).astype(np.uint16)
+    raw[:150] = 60001  # 50% of pixels in one saturated value
+    src = pp.ResampledSource(raw, 1.0)
+    monkeypatch.setattr(pp, "_PERCENTILE_CAP", 1000)
+    lo, hi = src.stats(90.0)
+    resized = pp.resize(raw, raw.shape)
+    assert abs(hi - np.percentile(resized, 90.0)) < 1e-9
+    # percentile inside the plateau itself
+    lo2, hi2 = src.stats(60.0)
+    assert abs(hi2 - np.percentile(resized, 60.0)) < 1e-6
+
+
+def test_resampled_zero_dim_raises(rng):
+    from unmicst_tpu.io import preprocess as pp
+
+    with pytest.raises(ValueError, match="shrinks"):
+        pp.ResampledSource((rng.rand(5, 5) * 100).astype(np.uint16), 0.1)
+
+
+def test_rescale_intensity_constant_passthrough():
+    """Degenerate in_range clips to out_range (skimage >= 0.18): a
+    constant slide passes through, it does not zero out."""
+    from unmicst_tpu.io import preprocess as pp
+
+    const = np.full((10, 10), 0.4)
+    out = pp.rescale_intensity(const, (0.4, 0.4), (0, 0.983))
+    np.testing.assert_allclose(out, 0.4)
+    pc = pp.preprocess_channel(np.full((20, 20), 3000, np.uint16), 1.0, -1)
+    assert float(pc.net_input.std()) == 0.0
+    assert float(pc.net_input.mean()) > 0.04  # not zeroed

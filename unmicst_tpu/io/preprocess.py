@@ -45,6 +45,11 @@ def im2double(image: np.ndarray) -> np.ndarray:
     return image
 
 
+# value-collection bound for the streamed exact percentile (~32 MB of
+# float64); tests shrink it to exercise the refinement path
+_PERCENTILE_CAP = 1 << 22
+
+
 def img_as_float(image: np.ndarray) -> np.ndarray:
     """skimage.img_as_float semantics for the dtypes we encounter."""
     if image.dtype == np.uint8:
@@ -57,6 +62,14 @@ def img_as_float(image: np.ndarray) -> np.ndarray:
         return image.astype(np.float64)
     if image.dtype == np.int16:
         return image.astype(np.float64) / 32767
+    if image.dtype == np.int32:
+        return image.astype(np.float64) / 2147483647
+    if image.dtype.kind in "ui":
+        # unlisted integer widths: failing loudly beats feeding raw
+        # integer magnitudes to the net (the solo path skips rescale)
+        raise NotImplementedError(
+            f"img_as_float for dtype {image.dtype} not supported"
+        )
     return image.astype(np.float64)
 
 
@@ -161,6 +174,13 @@ class ResampledSource:
         self.raw_shape = (in_h, in_w)
         self.height = int(float(in_h) * float(scaling_factor))
         self.width = int(float(in_w) * float(scaling_factor))
+        if self.height <= 0 or self.width <= 0:
+            # a silent 0x0 virtual image would stream (inf, -inf) stats
+            # into NaN maps; the whole-image path fails loudly too
+            raise ValueError(
+                f"scalingFactor {scaling_factor} shrinks the "
+                f"{in_h}x{in_w} slide to {self.height}x{self.width}"
+            )
         self.dtype = np.dtype(np.float32)
 
     def read_rows(self, r0: int, nrows: int) -> np.ndarray:
@@ -203,19 +223,59 @@ class ResampledSource:
         pos = (n - 1) * outlier / 100.0
         k, frac = int(np.floor(pos)), pos - int(np.floor(pos))
         nbins = 65536
-        scale = nbins / (vmax - vmin)
-        hist = np.zeros(nbins, np.int64)
-        for rows in self._blocks():
-            idx = np.clip(((rows - vmin) * scale).astype(np.int64), 0, nbins - 1)
-            hist += np.bincount(idx.ravel(), minlength=nbins)
-        cum = np.cumsum(hist)
-        b_lo = int(np.searchsorted(cum, k + 1))
-        b_hi = int(np.searchsorted(cum, k + 2)) if frac > 0 else b_lo
-        below = int(cum[b_lo - 1]) if b_lo > 0 else 0
+        cap = _PERCENTILE_CAP  # bounded even on dense plateaus
+
+        # chained-grid membership: each refinement selects by the bin
+        # indexes of ALL previous grids (identical clip formula in the
+        # count and collect passes), so ranks stay exact under float
+        # boundary effects while the candidate set shrinks 65536x/pass
+        grids = []  # (lo, scale, b_lo, b_hi)
+
+        def _mask(rows):
+            m = np.ones(rows.shape, bool)
+            for lo, sc, blo, bhi in grids:
+                idx = np.clip(((rows - lo) * sc).astype(np.int64),
+                              0, nbins - 1)
+                m &= (idx >= blo) & (idx <= bhi)
+            return m
+
+        lo_v, hi_v, below = vmin, vmax, 0
+        for _depth in range(4):
+            scale = nbins / max(hi_v - lo_v, 1e-300)
+            hist = np.zeros(nbins, np.int64)
+            for rows in self._blocks():
+                sel = rows[_mask(rows)]
+                if sel.size:
+                    idx = np.clip(((sel - lo_v) * scale).astype(np.int64),
+                                  0, nbins - 1)
+                    hist += np.bincount(idx, minlength=nbins)
+            cum = np.cumsum(hist) + below  # global ranks
+            b_lo = int(np.searchsorted(cum, k + 1))
+            b_hi = int(np.searchsorted(cum, k + 2)) if frac > 0 else b_lo
+            count_in = int(cum[b_hi]) - (
+                int(cum[b_lo - 1]) if b_lo > 0 else below
+            )
+            grids.append((lo_v, scale, b_lo, b_hi))
+            # ranks below the selected bins (for indexing the collected
+            # values) — must advance whether we break or refine
+            below = int(cum[b_lo - 1]) if b_lo > 0 else below
+            if count_in <= cap:
+                break
+            new_lo = lo_v + b_lo / scale
+            new_hi = lo_v + (b_hi + 1) / scale
+            if not new_hi - new_lo < hi_v - lo_v:
+                # range exhausted: the remaining candidates are one
+                # float value — collecting them could still blow the cap
+                return vmin, float(lo_v)
+            lo_v, hi_v = new_lo, new_hi
+        else:
+            # still dense after max refinement: the candidates span less
+            # than (vmax-vmin)/65536^3 — any of them IS the percentile
+            return vmin, float(lo_v)
+
         picked = []
         for rows in self._blocks():
-            idx = np.clip(((rows - vmin) * scale).astype(np.int64), 0, nbins - 1)
-            sel = rows[(idx >= b_lo) & (idx <= b_hi)]
+            sel = rows[_mask(rows)]
             if sel.size:
                 picked.append(np.asarray(sel, np.float64))
         vals = np.sort(np.concatenate(picked))
@@ -253,7 +313,10 @@ def rescale_intensity(
     omin, omax = float(out_range[0]), float(out_range[1])
     image = np.clip(image, imin, imax)
     if imax == imin:
-        return np.full_like(image, omin, dtype=np.float64)
+        # skimage (>= 0.18, the reference's era): a degenerate in_range
+        # clips to out_range instead of normalizing — a constant slide
+        # passes through, it does not zero out
+        return np.clip(image, omin, omax).astype(np.float64)
     return ((image - imin) / (imax - imin)) * (omax - omin) + omin
 
 
