@@ -31,13 +31,25 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Multi-host bring-up (no-op single-host)."""
-    if num_processes and num_processes > 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    """Multi-host bring-up.
+
+    With explicit counts this is a plain ``jax.distributed.initialize``
+    call.  With NO arguments it still calls initialize and lets JAX
+    auto-detect the job geometry from the environment (TPU pods, SLURM,
+    ...) — silently skipping here would leave each host running an
+    isolated, desynchronized copy of the job.  ``num_processes == 1``
+    explicitly requests single-process mode and is the only no-op.
+    """
+    if num_processes == 1:
+        return
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(
@@ -48,17 +60,35 @@ def make_mesh(
     """Build a ``(data, model)`` mesh over the available devices.
 
     ``data=None`` takes every device not claimed by ``model``.  Axis order
-    puts ``model`` innermost so tensor-parallel collectives ride the
-    fastest ICI links.
+    puts ``model`` innermost; with no explicit device list the device grid
+    comes from ``mesh_utils.create_device_mesh`` (topology-aware
+    placement, so tensor-parallel collectives actually ride the fastest
+    ICI links — a naive enumeration-order reshape does not guarantee
+    that on real slices).
     """
-    devices = list(devices if devices is not None else jax.devices())
-    n = len(devices)
+    if model < 1:
+        raise ValueError(f"model axis must be >= 1, got {model}")
+    n = len(devices) if devices is not None else len(jax.devices())
     if data is None:
         if n % model:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
+    if data < 1:
+        raise ValueError(f"data axis must be >= 1, got {data}")
     if data * model > n:
         raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    if devices is None and data * model == n:
+        try:
+            # topology-aware device ORDER (mesh semantics unchanged —
+            # jax.make_mesh would switch the axes to explicit-sharding
+            # mode and break the shard_map call sites)
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh((data, model))
+            return Mesh(grid, ("data", "model"))
+        except Exception:
+            pass
+    devices = list(devices if devices is not None else jax.devices())
     grid = np.array(devices[: data * model]).reshape(data, model)
     return Mesh(grid, ("data", "model"))
 
@@ -68,33 +98,46 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def replicated(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P())
-
-
 def shard_params(params, mesh: Mesh, tp_threshold: int = 256):
-    """Sharding pytree for model params: tensor-parallel over output
+    """Sharding pytree for model params: tensor-parallel over OUTPUT
     channels for kernels at least ``tp_threshold`` wide, replicated
     otherwise.
 
     With NHWC/HWIO convs, sharding the kernel's O dim makes XLA compute
     channel-sharded activations and all-gather only where a following op
     needs the full channel axis (GSPMD propagation) — the natural TP layout
-    for the reference's widest (1280-channel) bottom layers.
+    for the reference's widest (1280-channel) bottom layers.  The up-path
+    transposed-conv kernels are laid out ``[ks, ks, OUT, in]``
+    (``core/unet.py::conv_transpose``, ``transpose_kernel=True``), so for
+    those the O dim is axis -2, not -1 — sharding -1 there would
+    partition the contraction and force an all-reduce per decoder layer.
     """
     tp = mesh.shape["model"]
 
-    def spec_for(path_leaf):
-        arr = path_leaf
-        if arr.ndim == 4 and tp > 1 and arr.shape[-1] >= tp_threshold and arr.shape[-1] % tp == 0:
-            return NamedSharding(mesh, P(None, None, None, "model"))
-        if arr.ndim == 1 and tp > 1 and arr.shape[0] >= tp_threshold and arr.shape[0] % tp == 0:
+    def spec_for(path, arr):
+        # up-layer "kernel1" entries are the transpose kernels: O at -2
+        is_transpose = (
+            len(path) >= 3
+            and getattr(path[0], "key", None) == "up"
+            and getattr(path[-1], "key", None) == "kernel1"
+        )
+        o_axis = -2 if is_transpose else -1
+        if (arr.ndim == 4 and tp > 1
+                and arr.shape[o_axis] >= tp_threshold
+                and arr.shape[o_axis] % tp == 0):
+            spec = [None, None, None, None]
+            spec[o_axis] = "model"
+            return NamedSharding(mesh, P(*spec))
+        if (arr.ndim == 1 and tp > 1 and arr.shape[0] >= tp_threshold
+                and arr.shape[0] % tp == 0):
             return NamedSharding(mesh, P("model"))
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(spec_for, params)
+    return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
 def put_params(params, mesh: Mesh, tp_threshold: int = 256):
     shardings = shard_params(params, mesh, tp_threshold)
-    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+    # one pytree-level device_put: JAX batches the transfers (per-leaf
+    # dispatch pays the link round-trip once per leaf)
+    return jax.device_put(params, shardings)
