@@ -9,7 +9,7 @@ and ``sum(W)`` in numpy, then divides and crops (``:92-122``).
 This module re-architects that as three pure, jit-able array ops:
 
 * :func:`ramp_window` — the exact reference weight window (``:30-39``),
-* :func:`unfold` — gather all tiles of a padded canvas in one XLA gather,
+* :func:`unfold` — gather all tiles of a padded canvas with reshape/slice/concat data movement (no gather),
 * :func:`fold` — vectorized overlap-add of weighted tiles back onto the
   canvas.  Because ``margin = patchSize // 8`` (``UnMicst.py:527``) implies
   ``sub >= 2*margin``, each output pixel is covered by at most 2 tiles per
@@ -21,6 +21,9 @@ once per geometry.
 """
 
 from __future__ import annotations
+
+import dataclasses
+import functools
 
 import dataclasses
 from functools import partial
@@ -64,6 +67,13 @@ class TileGrid:
         return self.npr * self.npc
 
     def __post_init__(self):
+        if self.height <= 0 or self.width <= 0:
+            raise ValueError(f"empty image: {self.height}x{self.width}")
+        if self.margin < 1:
+            # margin=0 gives non-overlapping tiles whose window is still
+            # zero on the outer ring -> zero blend count along every seam
+            # (NaN stripes after the divide); negatives mis-slice tiles
+            raise ValueError(f"margin must be >= 1, got {self.margin}")
         if self.patch <= 2 * self.margin:
             raise ValueError("patch must exceed 2*margin")
         if self.sub < 2 * self.margin:
@@ -104,6 +114,14 @@ def ramp_window(patch: int, margin: int, dtype=np.float32) -> np.ndarray:
 def pad_canvas(image: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
     """Zero-pad ``[H, W, C]`` to the tile canvas with a ``margin`` top-left
     offset (``PartitionOfImage.py:58-63``)."""
+    if image.shape[:2] != (grid.height, grid.width):
+        # a mismatched grid would otherwise pad/misplace silently (small
+        # image: zero rows blended into "valid" output; large: cryptic
+        # negative-pad error)
+        raise ValueError(
+            f"image {image.shape[:2]} does not match grid "
+            f"{(grid.height, grid.width)}"
+        )
     h_pad = grid.padded_height - grid.height - grid.margin
     w_pad = grid.padded_width - grid.width - grid.margin
     return jnp.pad(
@@ -139,11 +157,12 @@ def unfold(padded: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
     )  # (npr, npc, Pr, Pc, C)
 
 
-def _fold_axis(tiles: jnp.ndarray, sub: int, margin: int) -> jnp.ndarray:
+def _fold_axis(tiles: jnp.ndarray, sub: int) -> jnp.ndarray:
     """Overlap-add along the leading (tile, pixel) axis pair.
 
-    ``tiles``: [n, P, ...] where consecutive tiles overlap by ``2*margin``
-    pixels.  Returns [n*sub + 2*margin, ...].
+    ``tiles``: [n, P, ...] where consecutive tiles overlap by ``P - sub``
+    pixels (the shapes are the single source of truth for the overlap).
+    Returns [n*sub + (P - sub), ...].
     """
     n, patch = tiles.shape[0], tiles.shape[1]
     two_m = patch - sub
@@ -164,18 +183,32 @@ def fold(tiles: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
     is padded for batching).
     """
     t = jnp.moveaxis(tiles, 1, 2)  # (npr, Pr, npc, Pc, ...)
-    t = _fold_axis(t, grid.sub, grid.margin)  # (H', npc, Pc, ...)
+    t = _fold_axis(t, grid.sub)  # (H', npc, Pc, ...)
     t = jnp.moveaxis(t, 0, 2)  # (npc, Pc, H', ...)
-    t = _fold_axis(t, grid.sub, grid.margin)  # (W', H', ...)
+    t = _fold_axis(t, grid.sub)  # (W', H', ...)
     return jnp.swapaxes(t, 0, 1)  # (H', W', ...)
 
 
+@functools.lru_cache(maxsize=32)
+def _count_map_jit(grid_key):
+    grid = TileGrid(*grid_key)
+
+    def impl(win):
+        tiles = jnp.broadcast_to(
+            win[None, None], (grid.npr, grid.npc, grid.patch, grid.patch)
+        )
+        return fold(tiles, grid)
+
+    return jax.jit(impl)
+
+
 def count_map(grid: TileGrid, window: jnp.ndarray) -> jnp.ndarray:
-    """Per-pixel sum of overlapping blend windows (PI2D ``Count``)."""
-    tiles = jnp.broadcast_to(
-        window[None, None], (grid.npr, grid.npc, grid.patch, grid.patch)
-    )
-    return fold(tiles, grid)
+    """Per-pixel sum of overlapping blend windows (PI2D ``Count``).
+
+    Jitted (cached per grid): called eagerly the broadcast would
+    materialize the full (npr, npc, P, P) stack on device; under jit XLA
+    fuses it into the fold adds."""
+    return _count_map_jit(dataclasses.astuple(grid))(window)
 
 
 def crop_valid(canvas: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:

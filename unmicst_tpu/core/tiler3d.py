@@ -105,7 +105,7 @@ def unfold3d(padded: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:
 def _fold_axis(tiles: jnp.ndarray, sub: int) -> jnp.ndarray:
     from unmicst_tpu.core.tiler import _fold_axis as _fold2d
 
-    return _fold2d(tiles, sub, 0)  # margin arg unused by the 2D impl
+    return _fold2d(tiles, sub)  # overlap comes from the tile shapes
 
 
 def fold3d(tiles: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:

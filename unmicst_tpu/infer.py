@@ -226,7 +226,7 @@ class InferenceEngine:
                 _, strips = jax.lax.scan(
                     stripe_step, jnp.int32(0), stripes
                 )
-                acc = tiler._fold_axis(strips, R * sub, margin)
+                acc = tiler._fold_axis(strips, R * sub)
             else:
                 acc0 = jnp.zeros(
                     (canvas_h, canvas_w, n_cls + 1), accum_dtype
