@@ -45,10 +45,15 @@ from unmicst_tpu.core.unet import Params, get_variant
 
 def _bn_group(ck: TF1Checkpoint, scope: str) -> Dict[str, jnp.ndarray]:
     return {
-        "gamma": jnp.asarray(ck.get_tensor(f"{scope}/gamma")),
-        "beta": jnp.asarray(ck.get_tensor(f"{scope}/beta")),
-        "moving_mean": jnp.asarray(ck.get_tensor(f"{scope}/moving_mean")),
-        "moving_variance": jnp.asarray(ck.get_tensor(f"{scope}/moving_variance")),
+        # host arrays: per-leaf device transfers through the tunnel pay a
+        # round-trip each; the engine's first jit (or put_params) moves
+        # the whole tree in one batched transfer
+        "gamma": np.asarray(ck.get_tensor(f"{scope}/gamma")),
+        "beta": np.asarray(ck.get_tensor(f"{scope}/beta")),
+        "moving_mean": np.asarray(ck.get_tensor(f"{scope}/moving_mean")),
+        "moving_variance": np.asarray(
+            ck.get_tensor(f"{scope}/moving_variance")
+        ),
     }
 
 
@@ -56,7 +61,7 @@ def load_tf1_params(prefix: str, hp: HParams, variant: str) -> Params:
     """Read a TF1 checkpoint into the unet params pytree (with validation)."""
     ck = TF1Checkpoint(prefix)
     legacy = get_variant(variant).legacy
-    g = lambda name: jnp.asarray(ck.get_tensor(name))
+    g = lambda name: np.asarray(ck.get_tensor(name))
     params: Params = {"down": [], "up": []}
 
     for i in range(hp.n_layers):
@@ -124,14 +129,35 @@ def _validate_shapes(params: Params, hp: HParams) -> None:
         got = tuple(layer["kernel1"].shape)
         if got != expect:
             raise ValueError(f"down[{i}].kernel1 shape {got} != {expect}")
+    for i, layer in enumerate(params["down"]):
+        for j, ke in enumerate(layer["extra"]):
+            got = tuple(ke.shape)
+            expect = (ks, ks, widths[i + 1], widths[i + 1])
+            if got != expect:
+                raise ValueError(
+                    f"down[{i}].extra[{j}] shape {got} != {expect}"
+                )
+        for name in ("gamma", "beta", "moving_mean", "moving_variance"):
+            if layer["bn"][name].shape != (widths[i + 1],):
+                raise ValueError(
+                    f"down[{i}].bn.{name} width "
+                    f"{layer['bn'][name].shape} != ({widths[i + 1]},)"
+                )
     for i, layer in enumerate(params["up"]):
+        # transposed-conv kernel layout is [ks, ks, OUT, in]
+        expect = (ks, ks, widths[i + 1], widths[i + 2])
+        got = tuple(layer["kernel1"].shape)
+        if got != expect:
+            raise ValueError(f"up[{i}].kernel1 shape {got} != {expect}")
         expect = (ks, ks, widths[i] + widths[i + 1], widths[i + 1])
         got = tuple(layer["kernel2"].shape)
         if got != expect:
             raise ValueError(f"up[{i}].kernel2 shape {got} != {expect}")
     tk = tuple(params["top"]["kernel"].shape)
     if tk != (1, 1, widths[1], hp.n_classes):
-        raise ValueError(f"top.kernel shape {tk}")
+        raise ValueError(
+            f"top.kernel shape {tk} != (1, 1, {widths[1]}, {hp.n_classes})"
+        )
 
 
 def hp_from_tf1(
@@ -189,7 +215,9 @@ def _find_ckpt_prefix(model_dir: str) -> Optional[str]:
     for f in sorted(os.listdir(model_dir)):
         if f.endswith(".index"):
             candidates.append(os.path.join(model_dir, f[: -len(".index")]))
-    candidates.sort(key=lambda p: not p.endswith("model.ckpt"))
+    candidates.sort(
+        key=lambda p: os.path.basename(p) != "model.ckpt"
+    )
     for prefix in candidates:
         base = os.path.basename(prefix)
         if any(
@@ -200,7 +228,8 @@ def _find_ckpt_prefix(model_dir: str) -> Optional[str]:
 
 
 def save_tf1_params(
-    prefix: str, params: Params, hp: HParams, variant: str
+    prefix: str, params: Params, hp: HParams, variant: str,
+    global_step: int = 0,
 ) -> None:
     """Write params as a TF1 tensor bundle under the reference's variable
     names — the inverse of :func:`load_tf1_params`.  A model trained in
@@ -256,7 +285,9 @@ def save_tf1_params(
     if not legacy:
         put_bn("batch_normalization", params["top"]["bn"])
 
-    tensors["Variable"] = np.zeros((), np.int32)  # global step scalar
+    # global step: a mid-training export must carry the schedule position
+    # (the reference's exponential_decay reads it on restore)
+    tensors["Variable"] = np.asarray(global_step, np.int32)
     tensors = {k: v.astype(np.float32) if v.dtype != np.int32 else v
                for k, v in tensors.items()}
     write_tf1_checkpoint(prefix, tensors)
@@ -293,6 +324,11 @@ def save_native(
         "format": "unmicst-tpu-v1",
     }
     if extra:
+        reserved = set(meta) & set(extra)
+        if reserved:
+            raise ValueError(
+                f"extra clobbers reserved meta key(s) {sorted(reserved)}"
+            )
         meta.update(extra)
     payload = {
         "meta_json": json.dumps(meta),
@@ -331,20 +367,33 @@ def _to_numpy(tree):
     if isinstance(tree, dict):
         return {k: _to_numpy(v) for k, v in tree.items()}
     if isinstance(tree, (list, tuple)):
-        return {f"__list_{i}": _to_numpy(v) for i, v in enumerate(tree)}
+        # "__list_len" disambiguates [] from {} (both would otherwise
+        # serialize to an empty dict and come back as the wrong type —
+        # e.g. optax EmptyState in the persisted optimizer tree)
+        out = {f"__list_{i}": _to_numpy(v) for i, v in enumerate(tree)}
+        out["__list_len"] = np.int64(len(tree))
+        return out
     return np.asarray(tree)
 
 
 def _listify(tree):
     if isinstance(tree, dict):
+        if "__list_len" in tree:
+            return [
+                _listify(tree[f"__list_{i}"])
+                for i in range(int(tree["__list_len"]))
+            ]
         if tree and all(k.startswith("__list_") for k in tree):
+            # pre-r3 files without the length marker
             return [
                 _listify(tree[f"__list_{i}"]) for i in range(len(tree))
             ]
         if not tree:
+            # pre-r3 files: an empty container in the params tree is
+            # always the extras LIST; new files carry __list_len
             return []
         return {k: _listify(v) for k, v in tree.items()}
-    return jnp.asarray(tree)
+    return np.asarray(tree)
 
 
 def save_orbax(path: str, params: Params, meta: Optional[dict] = None) -> None:
@@ -378,8 +427,25 @@ def load_params_for_bundle(bundle: ModelBundle) -> Params:
     """Load params for a model dir: native file if present, else TF1 bundle."""
     if bundle.has_native_ckpt:
         params, hp, variant, _, _, _ = load_native(bundle.native_ckpt_path)
-        if hp != bundle.hp:
-            raise ValueError("native checkpoint hp mismatch with hp.data")
+        if variant != bundle.variant:
+            # silently running the other generation's graph on these
+            # params would produce wrong maps (or a deep KeyError)
+            raise ValueError(
+                f"native checkpoint is variant {variant!r} but the model "
+                f"dir resolves to {bundle.variant!r}"
+            )
+        arch = ("n_channels", "n_classes", "n_out0", "feat_maps_fact",
+                "down_samp_fact", "ks", "n_extra_convs", "n_layers")
+        mismatched = [
+            f for f in arch if getattr(hp, f) != getattr(bundle.hp, f)
+        ]
+        if mismatched:
+            raise ValueError(
+                f"native checkpoint hp mismatch with hp.data on "
+                f"architecture field(s) {mismatched}"
+            )
+        # non-architecture fields (im_size, batch_size, std_dev0) do not
+        # shape the params; the sidecar/bundle values win
         return params
     prefix = _find_ckpt_prefix(bundle.model_dir)
     if prefix is None:
@@ -388,7 +454,7 @@ def load_params_for_bundle(bundle: ModelBundle) -> Params:
             "repo fetches large blobs from S3 at Docker build, Dockerfile:4-5)"
         )
     hp = bundle.hp
-    if not prefix.endswith("model.ckpt"):
+    if os.path.basename(prefix) != "model.ckpt":
         # alternate bundle: trust its shapes over the (possibly stale)
         # hp.data sidecar — e.g. mousenucleiDAPI's nuclei20x2bin1chan
         derived = hp_from_tf1(prefix, bundle.variant, base=hp)

@@ -521,6 +521,7 @@ class Trainer:
             save_tf1_params(
                 os.path.join(self.model_path, "model.ckpt"),
                 host_params, self.hp, self.cfg.variant,
+                global_step=self.step + 1,
             )
             with open(os.path.join(self.model_path, "checkpoint"), "w") as f:
                 f.write('model_checkpoint_path: "model.ckpt"\n')
