@@ -118,7 +118,11 @@ class InferenceEngine:
         stack_fold_max_bytes: int = 1 << 30,
     ):
         self.hp = hp
-        self.params = params
+        # one batched host->device transfer at construction: the
+        # loaders return host arrays (per-leaf device puts pay a
+        # tunnel round-trip each), and numpy params passed to a
+        # jitted call would re-upload on EVERY call
+        self.params = jax.device_put(params)
         self.variant = variant
         self.mean = float(mean)
         self.std = float(std)
