@@ -67,6 +67,16 @@ class SubBlockEntry:
     def dim(self, name: str, default: int = 0) -> int:
         return self.dims.get(name, (default, 1))[0]
 
+    def size(self, name: str) -> int:
+        """Stored size of a REQUIRED dimension (ValueError when absent —
+        a KeyError from a corrupt entry must stay a clean parse error)."""
+        try:
+            return self.dims[name][1]
+        except KeyError:
+            raise ValueError(
+                f"CZI sub-block entry lacks the {name} dimension"
+            ) from None
+
     @property
     def full_resolution(self) -> bool:
         return self.pyramid_type == 0 and not self.downsampled
@@ -133,8 +143,8 @@ def _decode_pixels(raw: bytes, entry: SubBlockEntry,
     """Raw sub-block payload -> uncompressed little-endian pixel bytes."""
     if entry.compression == COMP_NONE:
         return raw
-    h = entry.dims["Y"][1]
-    w = entry.dims["X"][1]
+    h = entry.size("Y")
+    w = entry.size("X")
     # untrusted-header allocation guard (zstd output size is header-derived)
     if not (0 < h <= 1 << 20 and 0 < w <= 1 << 20 and h * w <= 1 << 30):
         raise ValueError(f"implausible CZI sub-block {h}x{w}")
@@ -158,7 +168,13 @@ def _decode_pixels(raw: bytes, entry: SubBlockEntry,
 
         from PIL import Image
 
-        img = np.asarray(Image.open(_io.BytesIO(raw)))
+        try:
+            img = np.asarray(Image.open(_io.BytesIO(raw)))
+        except Exception as e:
+            raise ValueError(
+                f"{path or '<czi>'}: JPEG sub-block at "
+                f"{entry.file_position:#x} failed to decode: {e}"
+            ) from None
         if img.ndim == 3 and img.shape[2] == 1:
             img = img[:, :, 0]
         if img.ndim != 2 or img.shape != (h, w):
@@ -191,6 +207,15 @@ def _decode_pixels(raw: bytes, entry: SubBlockEntry,
     )
 
 
+def _read_seg_header(f, path: str):
+    """Checked 32-byte segment header read (short read / corrupt file ->
+    ValueError, never struct.error — serve maps ValueError to HTTP 400)."""
+    head = f.read(32)
+    if len(head) != 32:
+        raise ValueError(f"{path}: truncated CZI segment header")
+    return _SEG_HEADER.unpack(head)
+
+
 class CziFile:
     """Windowless plane reader over the sub-block directory."""
 
@@ -201,7 +226,7 @@ class CziFile:
             import os as _os
 
             self._file_size = _os.fstat(self._f.fileno()).st_size
-            sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
+            sid, _alloc, used = _read_seg_header(self._f, path)
             if not sid.startswith(b"ZISRAWFILE"):
                 raise ValueError(f"{path}: not a CZI file")
             header = self._read_payload(used)
@@ -232,7 +257,7 @@ class CziFile:
 
     def _read_directory(self, dir_pos: int) -> List[SubBlockEntry]:
         self._f.seek(dir_pos)
-        sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
+        sid, _alloc, used = _read_seg_header(self._f, self.path)
         if not sid.startswith(b"ZISRAWDIRECTORY"):
             raise ValueError("CZI sub-block directory segment not found")
         buf = self._read_payload(used)
@@ -244,36 +269,22 @@ class CziFile:
             entries.append(entry)
         return entries
 
-    def channels(self) -> int:
-        return 1 + max(e.dim("C") for e in self.entries)
+    def _c_base(self) -> int:
+        """Minimum C start — czifile indexes every axis relative to its
+        minimum, so channel 0 is the lowest C value present."""
+        return min((e.dim("C") for e in self.entries), default=0)
 
-    def _read_subblock(self, entry: SubBlockEntry) -> np.ndarray:
-        dtype = _PIXEL_DTYPES.get(entry.pixel_type)
-        if dtype is None:
-            raise NotImplementedError(
-                f"CZI pixel type {entry.pixel_type} not supported"
-            )
-        self._f.seek(entry.file_position)
-        sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
-        if not sid.startswith(b"ZISRAWSUBBLOCK"):
-            raise ValueError("directory entry does not point at a sub-block")
-        buf = self._read_payload(used)
-        meta_size, _attach, data_size = struct.unpack_from("<iiq", buf, 0)
-        _, entry_end = _parse_directory_entry(buf, 16)
-        data_off = max(256, entry_end) + meta_size
-        h = entry.dims["Y"][1]
-        w = entry.dims["X"][1]
-        raw = _decode_pixels(
-            buf[data_off : data_off + data_size], entry, dtype, self.path
-        )
-        return np.frombuffer(
-            raw, dtype.newbyteorder("<"), count=h * w
-        ).reshape(h, w).astype(dtype)
+    def channels(self) -> int:
+        if not self.entries:
+            return 0
+        base = self._c_base()
+        return 1 + max(e.dim("C") for e in self.entries) - base
 
     def _picks(self, channel: int) -> List[SubBlockEntry]:
+        want = channel + self._c_base()  # min-start-relative (czifile)
         picks = [
             e for e in self.entries
-            if e.dim("C") == channel and e.full_resolution
+            if e.dim("C") == want and e.full_resolution
         ]
         if not picks:
             raise IndexError(
@@ -307,14 +318,20 @@ class CziFile:
                 f"{entry.compression}) are not supported"
             )
         self._f.seek(entry.file_position)
-        sid, _alloc, used = _SEG_HEADER.unpack(self._f.read(32))
+        sid, _alloc, used = _read_seg_header(self._f, self.path)
         if not sid.startswith(b"ZISRAWSUBBLOCK"):
             raise ValueError("directory entry does not point at a sub-block")
-        head = self._f.read(528)  # 16 fixed + entry (32 + 20/dim, <=24 dims)
+        head = self._f.read(528)
+        if len(head) < 16:
+            raise ValueError(f"{self.path}: truncated sub-block segment")  # 16 fixed + entry (32 + 20/dim, <=24 dims)
         meta_size, _attach, data_size = struct.unpack_from("<iiq", head, 0)
         _, entry_end = _parse_directory_entry(head, 16)
+        if meta_size < 0:
+            raise ValueError(
+                f"{self.path}: corrupt sub-block meta size {meta_size}"
+            )
         pos = entry.file_position + 32 + max(256, entry_end) + meta_size
-        if not 0 <= data_size <= self._file_size:
+        if not 0 <= data_size <= self._file_size or pos + data_size > self._file_size:
             raise ValueError(f"{self.path}: corrupt sub-block size {data_size}")
         return pos, data_size
 
@@ -350,14 +367,32 @@ class CziFile:
         y0 = min(e.dim("Y") for e in picks)
         x0 = min(e.dim("X") for e in picks)
         h, w = self.channel_shape(channel)
+        ptypes = {e.pixel_type for e in picks}
+        if len(ptypes) != 1:
+            raise ValueError(
+                f"{self.path}: channel {channel} mixes pixel types "
+                f"{sorted(ptypes)}"
+            )
         dtype = _PIXEL_DTYPES.get(picks[0].pixel_type)
         if dtype is None:
             raise NotImplementedError(
                 f"CZI pixel type {picks[0].pixel_type} not supported"
             )
-        layout = (
-            [(e, *self._payload_span(e)) for e in picks], y0, x0, h, w, dtype,
-        )
+        spans = []
+        for e in picks:
+            data_pos, data_size = self._payload_span(e)
+            if e.compression == COMP_NONE:
+                need = e.size("Y") * e.size("X") * dtype.itemsize
+                if data_size < need:
+                    # windowed reads seek inside the payload; a short
+                    # declared size would silently read neighbor bytes
+                    raise ValueError(
+                        f"{self.path}: sub-block at "
+                        f"{e.file_position:#x} declares {data_size} B for "
+                        f"{need} B of pixels"
+                    )
+            spans.append((e, data_pos, data_size))
+        layout = (spans, y0, x0, h, w, dtype)
         self._layouts[channel] = layout
         return layout
 
@@ -397,17 +432,10 @@ class CziFile:
         are skipped — they share the full-res tiles' C/S/T/Z coordinates
         and would otherwise overwrite real pixels with downsampled data.
         """
-        picks = self._picks(channel)
-        x0 = min(e.dim("X") for e in picks)
-        y0 = min(e.dim("Y") for e in picks)
-        h, w = self.channel_shape(channel)
-        dtype = _PIXEL_DTYPES.get(picks[0].pixel_type, np.dtype(np.uint16))
-        plane = np.zeros((h, w), dtype)
-        for e in picks:
-            tile = self._read_subblock(e)
-            r, c = e.dim("Y") - y0, e.dim("X") - x0
-            plane[r : r + tile.shape[0], c : c + tile.shape[1]] = tile
-        return plane
+        h, _w = self.channel_shape(channel)
+        # one mosaic-assembly implementation: the windowed path (which
+        # also validates payload coverage and pixel-type agreement)
+        return self.read_rows(channel, 0, h)
 
 
 def read_czi_channel(path: str, channel: int) -> np.ndarray:
