@@ -111,6 +111,8 @@ class Nd2File:
         self.close()
 
     def _read_chunk_map(self) -> Dict[bytes, Tuple[int, int]]:
+        if self._file_size < 8 + len(CHUNK_MAP_SIGNATURE):
+            raise ValueError(f"{self.path}: not an ND2 file (too small)")
         self._f.seek(-8, 2)
         map_pos, = struct.unpack("<Q", self._f.read(8))
         self._f.seek(-8 - len(CHUNK_MAP_SIGNATURE), 2)
@@ -126,20 +128,47 @@ class Nd2File:
             name = data[pos : end + 1]
             if name == CHUNK_MAP_SIGNATURE:
                 break
+            if end + 17 > len(data):
+                raise ValueError(
+                    f"{self.path}: truncated ND2 chunk-map record"
+                )
             offset, size = struct.unpack_from("<QQ", data, end + 1)
             chunks[name] = (offset, size)
             pos = end + 1 + 16
         return chunks
 
-    def _chunk_data_at(self, pos: int) -> bytes:
+    def _chunk_header_at(self, pos: int) -> Tuple[int, int]:
+        """Checked chunk header -> (data_start, data_len).
+
+        Every header-driven quantity is bounded by the file size and
+        short reads raise ValueError (never struct.error — serve maps
+        ValueError to HTTP 400)."""
         self._f.seek(pos)
-        magic, name_len, data_len = struct.unpack("<IIQ", self._f.read(16))
+        head = self._f.read(16)
+        if len(head) != 16:
+            raise ValueError(f"{self.path}: truncated chunk header at {pos:#x}")
+        magic, name_len, data_len = struct.unpack("<IIQ", head)
         if magic != CHUNK_MAGIC:
             raise ValueError(f"{self.path}: bad chunk magic at {pos:#x}")
-        if not 0 <= data_len <= self._file_size:
-            raise ValueError(f"{self.path}: corrupt chunk size {data_len}")
-        self._f.seek(name_len, 1)
-        return self._f.read(data_len)
+        data_start = pos + 16 + name_len
+        if (not 0 <= data_len <= self._file_size
+                or not 0 <= name_len <= self._file_size
+                or data_start + data_len > self._file_size):
+            raise ValueError(
+                f"{self.path}: corrupt chunk at {pos:#x} "
+                f"(name_len={name_len}, data_len={data_len})"
+            )
+        return data_start, data_len
+
+    def _chunk_data_at(self, pos: int) -> bytes:
+        data_start, data_len = self._chunk_header_at(pos)
+        self._f.seek(data_start)
+        data = self._f.read(data_len)
+        if len(data) != data_len:
+            raise ValueError(
+                f"{self.path}: chunk at {pos:#x} truncated by EOF"
+            )
+        return data
 
     def _read_chunk(self, name: str) -> Optional[bytes]:
         entry = self.chunks.get(name.encode("ascii"))
@@ -147,19 +176,21 @@ class Nd2File:
             return None
         return self._chunk_data_at(entry[0])
 
-    def _frame_data_pos(self, seq: int) -> int:
-        """Absolute file offset of frame ``seq``'s pixel payload."""
+    def _frame_span(self, seq: int) -> Tuple[int, int]:
+        """(pixel payload offset, payload bytes) of frame ``seq`` — the
+        8-byte timestamp header is skipped and excluded from the size."""
         entry = self.chunks.get(f"ImageDataSeq|{seq}!".encode("ascii"))
         if entry is None:
             raise IndexError(
                 f"frame {seq} not present ({self.n_frames} frames)"
             )
-        pos = entry[0]
-        self._f.seek(pos)
-        magic, name_len, _data_len = struct.unpack("<IIQ", self._f.read(16))
-        if magic != CHUNK_MAGIC:
-            raise ValueError(f"{self.path}: bad chunk magic at {pos:#x}")
-        return pos + 16 + name_len + 8  # + timestamp header
+        data_start, data_len = self._chunk_header_at(entry[0])
+        if data_len < 8:
+            raise ValueError(
+                f"{self.path}: frame {seq} chunk smaller than its "
+                "timestamp header"
+            )
+        return data_start + 8, data_len - 8
 
     def read_rows(self, channel: int, r0: int, nrows: int) -> np.ndarray:
         """Rows [r0, r0+nrows) of one channel plane, windowed (seeks into
@@ -179,7 +210,15 @@ class Nd2File:
         if b > a:
             item = np.dtype(self.dtype).itemsize
             row_bytes = self.width * self.components * item
-            self._f.seek(self._frame_data_pos(seq) + a * row_bytes)
+            data_pos, data_len = self._frame_span(seq)
+            if self.height * row_bytes > data_len:
+                # a short declared payload would otherwise read the next
+                # chunk's bytes as pixels (mirrors the CZI guard)
+                raise ValueError(
+                    f"{self.path}: frame {seq} payload {data_len} B < "
+                    f"{self.height * row_bytes} B of declared pixels"
+                )
+            self._f.seek(data_pos + a * row_bytes)
             raw = self._f.read((b - a) * row_bytes)
             px = np.frombuffer(
                 raw, np.dtype(self.dtype).newbyteorder("<"),
@@ -208,14 +247,10 @@ class Nd2File:
         first frame; single-component files treat ``channel`` as the frame
         index (the nd2reader iteration the reference indexes into).
         """
-        if self.components > 1:
-            if not 0 <= channel < self.components:
-                raise IndexError(
-                    f"channel {channel} out of range "
-                    f"({self.components} components)"
-                )
-            return np.ascontiguousarray(self.read_frame(0)[:, :, channel])
-        return np.ascontiguousarray(self.read_frame(channel)[:, :, 0])
+        # the windowed path holds the payload-coverage validation and
+        # the only de-interleave implementation; it also avoids
+        # materializing the full interleaved frame for one plane
+        return np.ascontiguousarray(self.read_rows(channel, 0, self.height))
 
 
 def read_nd2_channel(path: str, channel: int) -> np.ndarray:
