@@ -101,7 +101,6 @@ VARIANTS = {
     ),
 }
 
-# At inference all v2 flavors compute the identical graph; alias.
 def get_variant(name: str) -> VariantConfig:
     return VARIANTS[name]
 
@@ -124,7 +123,14 @@ def _precision(compute_dtype, precision=None):
     # Explicit override wins; otherwise f32 mode defaults to full-f32 MXU
     # passes (TPU would silently round to bf16), bf16 mode to DEFAULT.
     if precision is not None:
-        return _PRECISIONS[precision] if isinstance(precision, str) else precision
+        if isinstance(precision, str):
+            if precision not in _PRECISIONS:
+                raise ValueError(
+                    f"precision {precision!r} not in "
+                    f"{sorted(_PRECISIONS)}"
+                )
+            return _PRECISIONS[precision]
+        return precision
     return jax.lax.Precision.HIGHEST if compute_dtype is None else None
 
 
@@ -269,7 +275,10 @@ def init_params(
             "moving_variance": jnp.ones((width,), jnp.float32),
         }
 
-    keys = iter(jax.random.split(rng, 64 + 8 * hp.n_layers))
+    # exact consumption is 2*n_layers*(n_extra_convs+2)+2 draws; split
+    # with slack so no config can hit a bare StopIteration mid-init
+    n_keys = 2 * hp.n_layers * (hp.n_extra_convs + 2) + 8
+    keys = iter(jax.random.split(rng, max(n_keys, 64)))
     params: Params = {"down": [], "up": []}
     for i in range(hp.n_layers):
         layer = {
@@ -367,6 +376,10 @@ def apply(
     In training mode returns ``(probs, new_params)`` where ``new_params``
     carries updated BN moving statistics (the functional replacement for
     TF's UPDATE_OPS control dependency, ``UnMicst1-5.py:375-380``).
+    ``train=True`` with ``rng=None`` runs DETERMINISTIC training —
+    dropout off, BN still in batch-stats mode — the contract the
+    trajectory/convergence oracles rely on (TF and JAX cannot share a
+    dropout mask stream); pass a key for reference-faithful training.
 
     ``compute_dtype=jnp.bfloat16`` runs convolutions in bf16 with f32
     accumulation (the TPU fast path); BN/softmax stay f32.
@@ -377,6 +390,21 @@ def apply(
     """
     cfg = get_variant(variant)
     act = cfg.act
+    # spatial contract: every down level must divide evenly, else the
+    # SAME conv_transpose (out = in*stride) cannot meet its skip's odd
+    # size.  The reference threads TF's explicit output_shape instead
+    # (UnMicst.py:152-155); no shipped zoo model needs it, so this is a
+    # loud documented limit rather than a cryptic concat trace error.
+    s_chk = x.shape[1]
+    for _lvl in range(hp.n_layers):
+        if s_chk % hp.down_samp_fact:
+            raise NotImplementedError(
+                f"spatial size {x.shape[1]} not divisible by "
+                f"down_samp_fact^n_layers "
+                f"({hp.down_samp_fact}^{hp.n_layers}); odd intermediate "
+                "levels need TF-style explicit transpose output_shape"
+            )
+        s_chk //= hp.down_samp_fact
     conv_p = partial(conv, precision=precision, grad_safe=train)
     conv_transpose_p = partial(conv_transpose, precision=precision,
                                grad_safe=train)

@@ -48,6 +48,7 @@ def spatial_infer(
     axis: str = "data",
     tile_batch: int = 64,
     compute_dtype=None,
+    precision=None,
     halo_impl: str = "ppermute",
     pallas_interpret: bool = False,
 ) -> jnp.ndarray:
@@ -85,7 +86,8 @@ def spatial_infer(
     global_tail = canvas[npr_pad * sub :]
 
     def forward(t):
-        return unet.apply(params, t, hp, variant, compute_dtype=compute_dtype)
+        return unet.apply(params, t, hp, variant,
+                          compute_dtype=compute_dtype, precision=precision)
 
     if halo_impl in ("pallas", "pallas_overlap"):
         from unmicst_tpu.kernels.halo_rdma import ring_shift
