@@ -50,21 +50,19 @@ def tiff_plane(tf: TiffFile, channel: int) -> int:
 
 
 def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
+    if channel < 0:
+        # the TIFF page list would Python-wrap (silently reading the LAST
+        # plane) while CZI/ND2/OME raise — one contract for all formats
+        raise IndexError(f"channel {channel} out of range")
     if file_type in TIFF_LIKE:
-        try:
-            with TiffFile(image_path) as tf:
-                arr = tf.read_page(tiff_plane(tf, channel))
-            if arr.dtype.byteorder not in ("=", "|"):
-                arr = arr.astype(arr.dtype.newbyteorder("="))
-            return arr
-        except (NotImplementedError, ValueError):
-            # exotic codec: PIL fallback, page == channel (no OME mapping
-            # for containers our native parser cannot walk)
-            from PIL import Image
+        with TiffFile(image_path) as tf:
+            plane = tiff_plane(tf, channel)
+        # tiff.imread owns the native-first/PIL-fallback policy (incl.
+        # re-raising PageTooLargeError so the fallback never attempts the
+        # refused materialization)
+        from unmicst_tpu.io.tiff import imread
 
-            im = Image.open(image_path)
-            im.seek(channel)
-            return np.asarray(im)
+        return imread(image_path, plane)
     if file_type == "czi":
         from unmicst_tpu.io.czi import read_czi_channel
 
@@ -90,6 +88,13 @@ def _streamed_int_stats(read_rows, height: int, width: int, dtype,
     range and the preview scale (streamed slides are read once less).
     """
     dtype = np.dtype(dtype)
+    if outlier != -1 and not 0 <= outlier <= 100:
+        # np.percentile (the oracle and the reference's in-memory path)
+        # raises for out-of-range q; the streamed path must not silently
+        # return a garbage range instead
+        raise ValueError(
+            f"outlier percentile {outlier} not in [0, 100] (or -1)"
+        )
     if dtype == np.int16:
         offset = 32768
     elif dtype in (np.dtype(np.uint8), np.dtype(np.uint16)):
@@ -99,9 +104,15 @@ def _streamed_int_stats(read_rows, height: int, width: int, dtype,
     hist = np.zeros(65536, np.int64)
     chunk = max(1, (64 << 20) // max(1, width * 2))
     for r0 in range(0, height, chunk):
-        rows = read_rows(r0, min(chunk, height - r0)).astype(np.int64) + offset
+        rows = read_rows(r0, min(chunk, height - r0))
+        if offset:
+            # int16 -> shifted uint16 via the two's-complement XOR trick
+            # (monotonic, == value + 32768) — no 8-byte temporaries
+            rows = rows.view(np.uint16) ^ 0x8000
         hist += np.bincount(rows.ravel(), minlength=65536)[:65536]
     nz = np.nonzero(hist)[0]
+    if nz.size == 0:
+        raise ValueError("zero-area plane (corrupt or empty source)")
     lo = float(nz[0]) - offset
     vmax = float(nz[-1]) - offset
     if outlier == -1:
@@ -217,11 +228,17 @@ def open_channel_source(image_path: str, file_type: str,
     open (bad channel index, unsupported compression, ...) — no fd leaks
     for long-lived callers (serve, batch sweeps).
     """
+    if channel < 0:
+        raise IndexError(f"channel {channel} out of range")
     if file_type in TIFF_LIKE:
         tf = TiffFile(image_path)
         try:
             plane = tiff_plane(tf, channel)
             page = tf.pages[plane]
+            # eager 1-row probe: unsupported codec/predictor/planar must
+            # fail HERE (the documented setup contract), not mid-stream
+            # after the engine compiled
+            tf.read_region(plane, 0, 0, 1, page.width)
             return ChannelSource(
                 page.height, page.width, page.dtype,
                 lambda r0, n: tf.read_region(plane, r0, 0, n, page.width),

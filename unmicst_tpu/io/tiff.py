@@ -713,9 +713,9 @@ def imread(path: str, page: int = 0) -> np.ndarray:
     except (NotImplementedError, ValueError):
         from PIL import Image
 
-        im = Image.open(path)
-        im.seek(page)
-        return np.asarray(im)
+        with Image.open(path) as im:  # close promptly: sweeps leak fds
+            im.seek(page)
+            return np.asarray(im)
 
 
 def num_pages(path: str) -> int:
