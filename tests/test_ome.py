@@ -133,3 +133,50 @@ def test_serve_and_batch_use_ome_plane(tmp_path, rng):
         tw.write(planes[2])
     body2, _ = srv.infer_tiff_path(str(solo), "nucleiDAPI", 0, True, -1)
     assert body == body2
+
+
+def test_namespace_prefixed_ome_root(rng):
+    """<ome:OME xmlns:ome=...> roots must parse (the sniff previously
+    required a bare '<OME')."""
+    from unmicst_tpu.io import ome
+
+    xml = (
+        '<ome:OME xmlns:ome="http://www.openmicroscopy.org/Schemas/OME/'
+        '2016-06"><ome:Image><ome:Pixels DimensionOrder="XYZCT" SizeC="2"'
+        ' SizeZ="2" SizeT="1"/></ome:Image></ome:OME>'
+    )
+    assert ome.parse_pixels(xml) is not None
+    # C=1 under XYZCT: Z varies fastest -> plane = 1*SizeZ = 2
+    assert ome.plane_index(xml, 1, 4) == 2
+
+
+def test_explicit_tiffdata_mapping_wins(rng):
+    """Explicit TiffData IFD mappings are authoritative over the
+    DimensionOrder walk (OME-TIFF spec)."""
+    from unmicst_tpu.io import ome
+
+    xml = (
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image><Pixels DimensionOrder="XYCZT" SizeC="2" SizeZ="2" '
+        'SizeT="1">'
+        '<TiffData IFD="3" FirstC="0" FirstZ="0" FirstT="0"/>'
+        '<TiffData IFD="2" FirstC="1" FirstZ="0" FirstT="0"/>'
+        '<TiffData IFD="1" FirstC="0" FirstZ="1" FirstT="0"/>'
+        '<TiffData IFD="0" FirstC="1" FirstZ="1" FirstT="0"/>'
+        '</Pixels></Image></OME>'
+    )
+    assert ome.plane_index(xml, 0, 4) == 3
+    assert ome.plane_index(xml, 1, 4) == 2
+
+
+def test_exotic_container_pil_fallback(tmp_path, rng):
+    """A PNG named .tif (parser-rejected container) still reads through
+    the PIL fallback — the reference's tolerance, regression-pinned."""
+    from PIL import Image
+
+    from unmicst_tpu.io.slides import read_channel
+
+    arr = (rng.rand(20, 30) * 255).astype(np.uint8)
+    p = str(tmp_path / "fake.tif")
+    Image.fromarray(arr).save(p, format="PNG")
+    np.testing.assert_array_equal(read_channel(p, "tif", 0), arr)

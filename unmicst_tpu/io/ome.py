@@ -26,7 +26,10 @@ def parse_pixels(description: str) -> Optional[Tuple[str, dict]]:
 
     Only the first Image's Pixels element is considered (multi-Image OME
     companions are out of scope, as they are for the reference)."""
-    if not description or "<OME" not in description:
+    if not description or (
+        "<OME" not in description and ":OME" not in description
+    ):
+        # cheap sniff; ":OME" admits namespace-prefixed roots (<ome:OME>)
         return None
     try:
         root = ET.fromstring(description)
@@ -54,22 +57,68 @@ def parse_pixels(description: str) -> Optional[Tuple[str, dict]]:
     return order, sizes
 
 
+def _consistent_pixels(description: str, n_pages: int):
+    """(order, sizes) when the OME metadata matches the page chain, else
+    None — the shared gate for plane_index/channel_count."""
+    meta = parse_pixels(description)
+    if meta is None:
+        return None
+    order, sizes = meta
+    if sizes["C"] * sizes["Z"] * sizes["T"] != n_pages:
+        return None  # metadata inconsistent with the actual page chain
+    return order, sizes
+
+
+def _tiffdata_map(description: str):
+    """Explicit TiffData plane->IFD mappings (authoritative per the
+    OME-TIFF spec when present): {(C, Z, T): IFD} or None."""
+    try:
+        root = ET.fromstring(description)
+    except ET.ParseError:
+        return None
+    mapping = {}
+    for el in root.iter():
+        if not (el.tag == "TiffData" or el.tag.endswith("}TiffData")):
+            continue
+        ifd = el.get("IFD")
+        if ifd is None:
+            # bare <TiffData/> means "default order" — no explicit map
+            continue
+        try:
+            key = (int(el.get("FirstC") or 0), int(el.get("FirstZ") or 0),
+                   int(el.get("FirstT") or 0))
+            n = int(el.get("PlaneCount") or 1)
+            if n != 1:
+                return None  # multi-plane runs: fall back to the order walk
+            mapping[key] = int(ifd)
+        except ValueError:
+            return None
+    return mapping or None
+
+
 def plane_index(description: str, channel: int, n_pages: int) -> int:
     """IFD page index of plane (C=channel, Z=0, T=0).
 
-    Falls back to ``channel`` (the reference's page==channel read) when the
-    description isn't consistent OME-XML.  Raises IndexError when the OME
-    metadata says the channel doesn't exist."""
-    meta = parse_pixels(description)
-    if meta is None:
+    Explicit ``TiffData`` mappings win (spec: DimensionOrder only defines
+    the default when TiffData is absent); otherwise the DimensionOrder
+    stride walk.  Falls back to ``channel`` (the reference's
+    page==channel read) when the description isn't consistent OME-XML.
+    Raises IndexError when the OME metadata says the channel doesn't
+    exist."""
+    gated = _consistent_pixels(description, n_pages)
+    if gated is None:
         return channel
-    order, sizes = meta
-    if sizes["C"] * sizes["Z"] * sizes["T"] != n_pages:
-        return channel  # metadata inconsistent with the actual page chain
+    order, sizes = gated
     if not 0 <= channel < sizes["C"]:
         raise IndexError(
             f"channel {channel} not present (OME SizeC={sizes['C']})"
         )
+    explicit = _tiffdata_map(description)
+    if explicit is not None:
+        ifd = explicit.get((channel, 0, 0))
+        if ifd is not None and 0 <= ifd < n_pages:
+            return ifd
+        return channel  # partial/odd mapping: reference fallback
     stride = 1
     for d in order[2:]:  # post-XY dims, fastest-varying first
         if d == "C":
@@ -80,10 +129,7 @@ def plane_index(description: str, channel: int, n_pages: int) -> int:
 
 def channel_count(description: str, n_pages: int) -> int:
     """SizeC when consistent OME-XML is present, else the page count."""
-    meta = parse_pixels(description)
-    if meta is None:
+    gated = _consistent_pixels(description, n_pages)
+    if gated is None:
         return n_pages
-    order, sizes = meta
-    if sizes["C"] * sizes["Z"] * sizes["T"] != n_pages:
-        return n_pages
-    return sizes["C"]
+    return gated[1]["C"]

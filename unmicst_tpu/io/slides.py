@@ -55,14 +55,23 @@ def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
         # plane) while CZI/ND2/OME raise — one contract for all formats
         raise IndexError(f"channel {channel} out of range")
     if file_type in TIFF_LIKE:
-        with TiffFile(image_path) as tf:
-            plane = tiff_plane(tf, channel)
-        # tiff.imread owns the native-first/PIL-fallback policy (incl.
-        # re-raising PageTooLargeError so the fallback never attempts the
-        # refused materialization)
-        from unmicst_tpu.io.tiff import imread
+        from unmicst_tpu.io.tiff import PageTooLargeError
 
-        return imread(image_path, plane)
+        try:
+            with TiffFile(image_path) as tf:
+                return tf.read_page(tiff_plane(tf, channel))
+        except PageTooLargeError:
+            # deliberate refusal — the fallback must not attempt the
+            # very materialization the guard prevents
+            raise
+        except (NotImplementedError, ValueError):
+            # exotic container/codec: PIL fallback, page == channel (no
+            # OME mapping for files our native parser cannot walk)
+            from PIL import Image
+
+            with Image.open(image_path) as im:
+                im.seek(channel)
+                return np.asarray(im)
     if file_type == "czi":
         from unmicst_tpu.io.czi import read_czi_channel
 
@@ -280,12 +289,6 @@ def open_channel_source(image_path: str, file_type: str,
         f"Don't know how to stream image with extension .{file_type}"
     )
 
-
-def slide_shape(image_path: str, channel: int = 0) -> Tuple[int, int]:
-    """(H, W) without decoding pixel data (TIFF-like only)."""
-    with TiffFile(image_path) as tf:
-        page = tf.pages[tiff_plane(tf, channel)]
-        return page.height, page.width
 
 
 def n_channels(image_path: str) -> int:
