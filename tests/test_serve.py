@@ -4,6 +4,7 @@ import json
 import os
 import socket
 import threading
+import urllib.parse
 import urllib.request
 
 import numpy as np
@@ -490,3 +491,39 @@ def test_drain_completes_inflight_request(tmp_path, rng):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_model_param_path_traversal_rejected(server_url):
+    for bad in ("/etc", "../models/nucleiDAPI", "a/b"):
+        req = urllib.request.Request(
+            server_url + "/infer?model=" + urllib.parse.quote(bad, safe=""),
+            data=b"xx", method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        assert "plain model name" in json.loads(ei.value.read().decode())["error"]
+
+
+def test_strict_bool_and_outlier_validation(server_url, tmp_path, rng):
+    img = (rng.rand(40, 40) * 60000).astype(np.uint16)
+    p = str(tmp_path / "b.tif")
+    imwrite(p, img, bigtiff=False)
+    body = open(p, "rb").read()
+    for query in ("rescale=false", "rescale=no"):
+        # these must WORK and actually disable rescaling (strict parse)
+        req = urllib.request.Request(
+            server_url + "/infer?model=nucleiDAPI&" + query,
+            data=body, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            r.read()
+    for query in ("rescale=maybe", "compress=deflate", "outlier=150",
+                  "outlier=nan"):
+        req = urllib.request.Request(
+            server_url + "/infer?model=nucleiDAPI&" + query,
+            data=body, method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400, query

@@ -38,6 +38,17 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
+def _parse_bool(value: str, name: str) -> bool:
+    """Strict query-bool: silent misparse (rescale=false staying ON) is
+    worse than a 400."""
+    v = value.lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    raise ValueError(f"{name} must be a boolean, got {value!r}")
+
+
 class ModelServer:
     def __init__(
         self,
@@ -90,23 +101,55 @@ class ModelServer:
         return out
 
     def engine(self, model: str, kind: str = "whole"):
+        """Cached engine, built OUTSIDE the cache lock: a cold build
+        takes seconds-to-minutes (checkpoint over the device link) and
+        must not block cache hits for other models — with max_inflight
+        slots held by waiters, that would cascade into spurious 503s.
+        Concurrent requests for the SAME key wait on the builder."""
         key = (model, self.precision, kind)
         with self._lock:
-            if key not in self._engines:
-                from unmicst_tpu.cli import precision_mode, resolve_model_dir
-                from unmicst_tpu.core.checkpoint import load_params_for_bundle
+            ent = self._engines.get(key)
+            if ent is None:
+                ent = {"event": threading.Event(), "value": None,
+                       "error": None}
+                self._engines[key] = ent
+                builder = True
+            else:
+                builder = False
+        if builder:
+            try:
+                from unmicst_tpu.cli import (
+                    precision_mode, resolve_model_dir,
+                )
+                from unmicst_tpu.core.checkpoint import (
+                    load_params_for_bundle,
+                )
                 from unmicst_tpu.core.hp import load_model_dir
                 from unmicst_tpu.infer import InferenceEngine
                 from unmicst_tpu.runtime.pipeline import StreamingEngine
 
-                bundle = load_model_dir(resolve_model_dir(model, self.model_root))
+                bundle = load_model_dir(
+                    resolve_model_dir(model, self.model_root)
+                )
                 params = load_params_for_bundle(bundle)
                 dtype, mxu = precision_mode(self.precision)
-                cls = StreamingEngine if kind == "stream" else InferenceEngine
-                self._engines[key] = cls.from_bundle(
+                cls = (StreamingEngine if kind == "stream"
+                       else InferenceEngine)
+                ent["value"] = cls.from_bundle(
                     bundle, params, compute_dtype=dtype, precision=mxu
                 )
-            return self._engines[key]
+            except BaseException as e:
+                ent["error"] = e
+                with self._lock:
+                    self._engines.pop(key, None)  # failed builds retry
+                raise
+            finally:
+                ent["event"].set()
+        else:
+            ent["event"].wait()
+            if ent["error"] is not None:
+                raise ent["error"]
+        return ent["value"]
 
     def infer_tiff(
         self, body: bytes, model: str, channel: int, rescale: bool,
@@ -274,8 +317,8 @@ def make_handler(server: ModelServer):
                         if not chunk:
                             break
                         remaining -= len(chunk)
-                except OSError:
-                    pass
+                except (OSError, ValueError):
+                    pass  # malformed header: still send the 503 below
                 self._json(503, {
                     "error": f"server busy ({server.max_inflight} "
                     "requests in flight); retry later"
@@ -289,8 +332,21 @@ def make_handler(server: ModelServer):
         def _infer(self, url):
             q = parse_qs(url.query)
             model = q.get("model", ["nucleiDAPI"])[0]
-            rescale = q.get("rescale", ["1"])[0] != "0"
+            if (os.path.isabs(model) or os.sep in model
+                    or (os.altsep and os.altsep in model)
+                    or ".." in model):
+                # the model param reaches resolve_model_dir, which accepts
+                # filesystem paths — remote clients must not traverse the
+                # host filesystem or probe directories
+                server._count(client_error=1)
+                self._json(400, {
+                    "error": "model must be a plain model name"
+                })
+                return
             try:
+                rescale = _parse_bool(
+                    q.get("rescale", ["1"])[0], "rescale"
+                )
                 # repeated channel params or "0,1" select a 2-channel
                 # (duo) read
                 chan_vals = [
@@ -314,8 +370,15 @@ def make_handler(server: ModelServer):
                     return
                 channel = chan_vals[0] if len(chan_vals) == 1 else chan_vals
                 outlier = float(q.get("outlier", ["-1"])[0])
-                compress = q.get("compress", ["0"])[0].lower() in (
-                    "1", "true", "yes",
+                if outlier != -1 and not 0 <= outlier <= 100:
+                    # jitted jnp.percentile silently clamps/NaN-propagates
+                    # out-of-range q; the streamed path raises — make both
+                    # a 400 at the door
+                    raise ValueError(
+                        f"outlier must be -1 or in [0, 100], got {outlier}"
+                    )
+                compress = _parse_bool(
+                    q.get("compress", ["0"])[0], "compress"
                 )
                 length = int(self.headers.get("Content-Length", "0"))
             except ValueError as e:
@@ -335,25 +398,32 @@ def make_handler(server: ModelServer):
                 return
             try:
                 # spool to disk in chunks: a whole-slide POST must not
-                # occupy RAM twice (body + decoded pixels)
+                # occupy RAM twice (body + decoded pixels).  ONLY the
+                # spool loop treats ConnectionError as a client hangup —
+                # one from inside inference is a server fault
                 with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
-                    remaining = length
-                    while remaining:
-                        chunk = self.rfile.read(min(remaining, 16 << 20))
-                        if not chunk:
-                            raise ConnectionError("client hung up mid-body")
-                        tmp.write(chunk)
-                        remaining -= len(chunk)
-                    tmp.flush()
+                    try:
+                        remaining = length
+                        while remaining:
+                            chunk = self.rfile.read(
+                                min(remaining, 16 << 20)
+                            )
+                            if not chunk:
+                                raise ConnectionError(
+                                    "client hung up mid-body"
+                                )
+                            tmp.write(chunk)
+                            remaining -= len(chunk)
+                        tmp.flush()
+                    except ConnectionError:
+                        # nothing to write a response to, and not a
+                        # server fault
+                        server._count(client_error=1)
+                        return
                     out, meta = server.infer_tiff_path(
                         tmp.name, model, channel, rescale, outlier,
                         compress=compress,
                     )
-            except ConnectionError:
-                # client hung up mid-upload: nothing to write a response
-                # to, and it is not a server fault
-                server._count(client_error=1)
-                return
             except FileNotFoundError as e:
                 server._count(client_error=1)
                 self._json(404, {"error": str(e)})
