@@ -195,3 +195,26 @@ def test_train_loss_decreases_synthetic(model, tmp_path):
 
     b = load_model_dir(str(tmp_path / "m"))
     assert b.hp == hp and b.has_native_ckpt
+
+
+def test_build_canvas_channel_validation():
+    # regression: channel-count mismatches used to zero-fill (2D stack
+    # input under a multi-channel hp) or IndexError (too many planes)
+    hp = HParams(
+        im_size=32, n_channels=3, n_classes=3, n_out0=4, ks=3,
+        n_extra_convs=0, n_layers=2, batch_size=8,
+    )
+    with pytest.raises(ValueError):
+        halo.build_canvas(np.zeros((40, 40), np.float32), hp, 2,
+                          channel_mode="stack")
+    with pytest.raises(ValueError):
+        halo.build_canvas(np.zeros((5, 40, 40), np.float32), hp, 2,
+                          channel_mode="stack")
+    with pytest.raises(ValueError):
+        halo.build_canvas(np.zeros((2, 40, 40), np.float32), hp, 2,
+                          channel_mode="broadcast")
+    with pytest.raises(ValueError):
+        halo.build_canvas(np.zeros((1, 1, 40, 40), np.float32), hp, 2)
+    got = halo.build_canvas(np.ones((3, 40, 40), np.float32), hp, 2,
+                            channel_mode="stack")
+    assert got.shape[-1] == 3 and got.max() == 1.0

@@ -68,3 +68,39 @@ def test_schema_matches_tf_written_checkpoint(tmp_path):
         if k == "Variable":
             continue
         np.testing.assert_array_equal(ours.get_tensor(k), real.get_tensor(k))
+
+
+def test_bfloat16_roundtrip(tmp_path, rng):
+    # regression: DT_BFLOAT16 (dtype 14) used to come back as raw uint16
+    # bit patterns on stock numpy; ml_dtypes decodes it properly
+    import ml_dtypes
+
+    t = rng.rand(4, 6).astype(ml_dtypes.bfloat16)
+    prefix = str(tmp_path / "bf.ckpt")
+    write_tf1_checkpoint(prefix, {"w": t})
+    got = TF1Checkpoint(prefix).get_tensor("w")
+    assert got.dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(
+        got.astype(np.float32), t.astype(np.float32)
+    )
+
+
+def test_num_shards_read_from_header(tmp_path, rng, monkeypatch):
+    # regression: num_shards was inferred as 1 + max(shard_id), which names
+    # the data files wrong when the trailing shard holds no tensors
+    # (possible with device-sharded Saver output)
+    from unmicst_tpu.core import tf1_ckpt
+
+    real = tf1_ckpt._encode_header_proto
+    monkeypatch.setattr(
+        tf1_ckpt, "_encode_header_proto", lambda: real(num_shards=2)
+    )
+    tensors = {"a": rng.rand(3).astype(np.float32)}
+    prefix = str(tmp_path / "s.ckpt")
+    write_tf1_checkpoint(prefix, tensors)
+    os.rename(
+        prefix + ".data-00000-of-00001", prefix + ".data-00000-of-00002"
+    )
+    open(prefix + ".data-00001-of-00002", "wb").close()  # empty trailing shard
+    ck = TF1Checkpoint(prefix)
+    np.testing.assert_array_equal(ck.get_tensor("a"), tensors["a"])

@@ -60,3 +60,22 @@ def test_fold3d_matches_scatter(rng, shape):
         t3.crop_valid3d(jnp.array(folded / np.maximum(count, 1e-12)), g)
     )
     np.testing.assert_allclose(valid, vol, atol=1e-5)
+
+
+def test_grid3d_validation():
+    # same guards as the 2D TileGrid: margin=0 zeroes the window's outer
+    # ring -> zero blend count on every seam plane (NaN after the divide)
+    with pytest.raises(ValueError):
+        t3.make_grid3d(0, 10, 10, 16, 2)
+    with pytest.raises(ValueError):
+        t3.make_grid3d(10, 10, 10, 16, 0)
+    with pytest.raises(ValueError):
+        t3.make_grid3d(10, 10, 10, 16, -1)
+    with pytest.raises(ValueError):
+        t3.make_grid3d(10, 10, 10, 4, 2)  # patch <= 2*margin
+
+
+def test_pad_canvas3d_shape_guard():
+    g = t3.make_grid3d(10, 12, 14, 16, 2)
+    with pytest.raises(ValueError):
+        t3.pad_canvas3d(jnp.zeros((10, 12, 15)), g)

@@ -146,3 +146,59 @@ def test_program_cache_eviction_and_concurrency():
     for t in threads:
         t.join()
     assert len(n_builds) == 1 and all(r is results[0] for r in results)
+
+
+def test_program_cache_hit_not_blocked_by_unrelated_build():
+    # regression: the cache used to hold one global lock across the whole
+    # build, so a hit blocked behind an unrelated key's 10-200 s compile
+    import threading
+
+    from unmicst_tpu.utils.progcache import ProgramCache
+
+    cache = ProgramCache(max_entries=4)
+    cache.get_or_build("fast", lambda: "fast-prog")
+    release, entered = threading.Event(), threading.Event()
+
+    def slow_build():
+        entered.set()
+        assert release.wait(10)
+        return "slow-prog"
+
+    owner = threading.Thread(
+        target=lambda: cache.get_or_build("slow", slow_build)
+    )
+    owner.start()
+    assert entered.wait(10)
+    res, done = [], threading.Event()
+    reader = threading.Thread(
+        target=lambda: (
+            res.append(cache.get_or_build("fast", lambda: "dup")),
+            done.set(),
+        )
+    )
+    reader.start()
+    assert done.wait(5), "cache hit blocked behind an unrelated build"
+    assert res == ["fast-prog"]
+    release.set()
+    owner.join(10)
+    reader.join(10)
+    assert cache.get_or_build("slow", lambda: "dup") == "slow-prog"
+
+
+def test_program_cache_build_error_recovers():
+    from unmicst_tpu.utils.progcache import ProgramCache
+
+    cache = ProgramCache(max_entries=4)
+    with pytest.raises(RuntimeError):
+        cache.get_or_build("k", lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    # a failed build must not wedge the key
+    assert cache.get_or_build("k", lambda: "ok") == "ok"
+
+
+def test_describe_indices_are_valid_gpu_flags():
+    # describe()'s [i] entries must be valid --GPU arguments: both sides
+    # enumerate jax.local_devices() (the global list diverges on multi-host)
+    entries = describe().split(", ")
+    assert len(entries) == len(jax.local_devices())
+    last = len(entries) - 1
+    assert select_device(last) is jax.local_devices()[last]

@@ -21,8 +21,9 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
+import ml_dtypes
 import numpy as np
 
 _TABLE_MAGIC = 0xDB4775248B80FB57
@@ -38,7 +39,9 @@ _DTYPES = {
     7: np.bytes_,  # string (unsupported for data read)
     9: np.int64,
     10: np.bool_,
-    14: np.dtype("bfloat16") if hasattr(np, "bfloat16") else np.uint16,
+    # stock numpy has no bfloat16; ml_dtypes (a jax dependency) decodes the
+    # bit pattern correctly instead of silently returning raw uint16 codes
+    14: np.dtype(ml_dtypes.bfloat16),
     17: np.uint16,
     19: np.float16,
     22: np.uint32,
@@ -215,6 +218,29 @@ class BundleEntry:
         return e
 
 
+def _parse_header_num_shards(buf: bytes) -> Optional[int]:
+    """num_shards (field 1) from the BundleHeaderProto stored under key ''."""
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 0:
+            n, _ = _varint(buf, pos)
+            return n or None
+        if wire == 0:
+            _, pos = _varint(buf, pos)
+        elif wire == 2:
+            ln, pos = _varint(buf, pos)
+            pos += ln
+        elif wire == 5:
+            pos += 4
+        elif wire == 1:
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+    return None
+
+
 class TF1Checkpoint:
     """Random access to a TF1 tensor-bundle checkpoint.
 
@@ -244,17 +270,22 @@ class TF1Checkpoint:
         idx_size, pos = _varint(footer, pos)
 
         self.entries: Dict[str, BundleEntry] = {}
+        header_num_shards = None
         index_block = _read_block(blob, idx_off, idx_size)
         for _, handle in _iter_block_entries(index_block):
             hoff, hpos = _varint(handle, 0)
             hsize, _ = _varint(handle, hpos)
             for key, value in _iter_block_entries(_read_block(blob, hoff, hsize)):
                 if not key:
+                    header_num_shards = _parse_header_num_shards(value)
                     continue  # BundleHeaderProto
                 self.entries[key.decode("utf-8")] = BundleEntry.parse(value)
 
-        self._num_shards = 1 + max(
-            (e.shard_id for e in self.entries.values()), default=0
+        # The header is authoritative: shard filenames carry num_shards in
+        # their -of-NNNNN suffix, and a trailing shard may hold no tensors
+        # (so inferring from max shard_id would name the files wrong).
+        self._num_shards = header_num_shards or (
+            1 + max((e.shard_id for e in self.entries.values()), default=0)
         )
         self._shard_files = {}
 
@@ -440,7 +471,8 @@ def _crc32c_compute(data: bytes) -> int:
 
 
 _NP_TO_DT = {np.dtype(np.float32): 1, np.dtype(np.float64): 2,
-             np.dtype(np.int32): 3, np.dtype(np.int64): 9}
+             np.dtype(np.int32): 3, np.dtype(np.int64): 9,
+             np.dtype(ml_dtypes.bfloat16): 14}
 
 
 def write_tf1_checkpoint(prefix: str, tensors: Dict[str, np.ndarray]) -> None:

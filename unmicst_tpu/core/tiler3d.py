@@ -10,7 +10,9 @@ jit-able.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,6 +51,17 @@ class TileGrid3D:
         )
 
     def __post_init__(self):
+        # same guards as the 2D TileGrid (tiler.py): margin=0 zeroes the
+        # window's outer ring -> zero blend count on every seam plane (NaN
+        # after the divide); negatives mis-slice every tile
+        if self.depth <= 0 or self.height <= 0 or self.width <= 0:
+            raise ValueError(
+                f"empty volume: {self.depth}x{self.height}x{self.width}"
+            )
+        if self.margin < 1:
+            raise ValueError(f"margin must be >= 1, got {self.margin}")
+        if self.patch <= 2 * self.margin:
+            raise ValueError("patch must exceed 2*margin")
         if self.sub < 2 * self.margin:
             raise ValueError("3D overlap-add requires sub >= 2*margin")
 
@@ -75,6 +88,12 @@ def ramp_window3d(patch: int, margin: int, dtype=np.float32) -> np.ndarray:
 
 
 def pad_canvas3d(volume: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:
+    if volume.shape[:3] != (grid.depth, grid.height, grid.width):
+        # mirror pad_canvas: a mismatched grid would pad/misplace silently
+        raise ValueError(
+            f"volume {volume.shape[:3]} does not match grid "
+            f"{(grid.depth, grid.height, grid.width)}"
+        )
     pz, pr, pc = grid.padded
     m = grid.margin
     pads = [
@@ -119,12 +138,27 @@ def fold3d(tiles: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:
     return jnp.moveaxis(t, (0, 1, 2), (2, 1, 0))  # (Z', H', W', ...)
 
 
+@functools.lru_cache(maxsize=32)
+def _count_map3d_jit(grid_key):
+    grid = TileGrid3D(*grid_key)
+
+    def impl(win):
+        tiles = jnp.broadcast_to(
+            win[None, None, None],
+            (grid.npz, grid.npr, grid.npc) + win.shape,
+        )
+        return fold3d(tiles, grid)
+
+    return jax.jit(impl)
+
+
 def count_map3d(grid: TileGrid3D, window: jnp.ndarray) -> jnp.ndarray:
-    tiles = jnp.broadcast_to(
-        window[None, None, None],
-        (grid.npz, grid.npr, grid.npc) + window.shape,
-    )
-    return fold3d(tiles, grid)
+    """Per-voxel sum of overlapping blend windows (PI3D ``Count``).
+
+    Jitted (cached per grid) like the 2D ``count_map``: eagerly the
+    broadcast would materialize the full (npz, npr, npc, P, P, P) stack on
+    device; under jit XLA fuses it into the fold adds."""
+    return _count_map3d_jit(dataclasses.astuple(grid))(window)
 
 
 def crop_valid3d(canvas: jnp.ndarray, grid: TileGrid3D) -> jnp.ndarray:

@@ -40,6 +40,10 @@ def select_device(index: int = -1) -> jax.Device:
 
 
 def describe() -> str:
+    # local_devices, not devices: the printed [i] must be valid --GPU
+    # arguments, and select_device indexes the LOCAL list (on a multi-host
+    # topology the global list is longer and differently ordered)
     return ", ".join(
-        f"[{i}] {d.platform}:{d.device_kind}" for i, d in enumerate(jax.devices())
+        f"[{i}] {d.platform}:{d.device_kind}"
+        for i, d in enumerate(jax.local_devices())
     )

@@ -93,9 +93,15 @@ def spatial_infer(
         from unmicst_tpu.kernels.halo_rdma import ring_shift
 
         # ring_shift(x, axis, s) delivers device (i-s)'s block to device i,
-        # matching ppermute's perm [(j, (j+s) % n)]
+        # matching ppermute's perm [(j, (j+s) % n)].  The input (-1) and
+        # output (+1) hops are distinct collectives whose entry barriers
+        # must not alias: with one collective_id a fast neighbor's
+        # output-hop signal could release a slow device's input-hop wait
+        # before the remote landing buffer exists (id 8 is the overlap
+        # start kernel's, kept separate for the same reason).
         def exchange(buf, s):
-            return ring_shift(buf, axis, s, interpret=pallas_interpret)
+            return ring_shift(buf, axis, s, collective_id=7 if s < 0 else 9,
+                              interpret=pallas_interpret)
     elif halo_impl == "ppermute":
         def exchange(buf, s):
             return jax.lax.ppermute(
@@ -205,8 +211,21 @@ def build_canvas(
     patch, margin = hp.im_size, hp.margin
     if image.ndim == 2:
         planes = [image] * (hp.n_channels if channel_mode == "broadcast" else 1)
+    elif image.ndim == 3:
+        if channel_mode == "broadcast":
+            if image.shape[0] != 1:
+                raise ValueError("broadcast mode expects a single plane")
+            planes = [image[0]] * hp.n_channels
+        else:
+            planes = list(image)
     else:
-        planes = [image[0]] * hp.n_channels if channel_mode == "broadcast" else list(image)
+        raise ValueError("image must be [H, W] or [C, H, W]")
+    # same contract as InferenceEngine.make_canvas: a silent mismatch would
+    # zero-fill (or overflow) channels and infer on mostly-blank input
+    if len(planes) != hp.n_channels:
+        raise ValueError(
+            f"model expects {hp.n_channels} channels, got {len(planes)}"
+        )
     height, width = planes[0].shape
     grid = tiler.make_grid(height, width, patch, margin)
     npr_pad = _round_up(grid.npr, n_dev)
