@@ -15,11 +15,22 @@ OUT = os.path.join(
 
 
 def build() -> str:
+    # Portable flags only (no -march=native): the .so lands in the package
+    # tree and may be shared/copied across hosts — a host-tuned build would
+    # SIGILL on an older CPU instead of falling back to the Python codecs.
+    # Compile to a per-process temp name and os.replace so concurrent
+    # first-use autobuilds never interleave writes into one corrupt file.
+    tmp = f"{OUT}.tmp.{os.getpid()}"
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", OUT, os.path.join(HERE, "tiffcodec.cpp"),
+        "g++", "-O3", "-shared", "-fPIC",
+        "-o", tmp, os.path.join(HERE, "tiffcodec.cpp"),
     ]
-    subprocess.run(cmd, check=True)
+    try:
+        subprocess.run(cmd, check=True)
+        os.replace(tmp, OUT)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return OUT
 
 

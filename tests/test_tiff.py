@@ -326,3 +326,38 @@ def test_short_strip_list_rejected(tmp_path, rng):
     with TiffFile(fn) as tf:
         with pytest.raises(ValueError, match="cover"):
             tf.read_page(0)
+
+
+def test_native_corrupt_so_falls_back(tmp_path, monkeypatch):
+    # regression: a truncated/foreign .so used to raise OSError out of
+    # CDLL on every decode instead of degrading to the Python codecs
+    from unmicst_tpu.io import _native
+
+    bad = tmp_path / "libbad.so"
+    bad.write_bytes(b"not an elf")
+    monkeypatch.setattr(_native, "_LIB_PATH", str(bad))
+    monkeypatch.setattr(_native, "_lib", None)
+    monkeypatch.setattr(_native, "_load_failed", False)
+    monkeypatch.setattr(_native, "_build_attempted", True)
+    assert _native.get_lib() is None
+    assert _native.lzw_decode(b"x", 16) is None
+
+
+def test_no_autobuild_env_flag_is_value_sensitive(monkeypatch):
+    # regression: UNMICST_NO_AUTOBUILD=0 used to DISABLE the autobuild
+    from unmicst_tpu.io import _native
+
+    monkeypatch.setenv("UNMICST_NO_AUTOBUILD", "0")
+    assert not _native._autobuild_disabled()
+    monkeypatch.setenv("UNMICST_NO_AUTOBUILD", "1")
+    assert _native._autobuild_disabled()
+    monkeypatch.delenv("UNMICST_NO_AUTOBUILD")
+    assert not _native._autobuild_disabled()
+
+
+def test_native_predictor_undo_rejects_wide_samples():
+    # the C routine only handles 1/2-byte samples; returning arr for a
+    # float32 input would hand difference values back as pixels
+    from unmicst_tpu.io import _native
+
+    assert _native.predictor_undo(np.zeros((2, 3), np.float32)) is None

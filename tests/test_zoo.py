@@ -59,3 +59,15 @@ def test_mousenuclei_alternate_bundle_loads():
     y = unet.apply(params, x, bundle.hp, bundle.variant)
     assert y.shape == (1, 64, 64, bundle.hp.n_classes)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_zoo_s3_urls_match_reference_dockerfile():
+    # regression: the S3 keys are "unmicst1-5"/"unmicst2", NOT the
+    # model-dir names — a wrong URL 404s the day egress appears
+    import re
+
+    text = open(os.path.join(REFERENCE, "Dockerfile")).read()
+    urls = set(re.findall(r"https://\S+", text))
+    for entry in ZOO.values():
+        if entry.ckpt_url:
+            assert entry.ckpt_url in urls, entry.ckpt_url

@@ -15,6 +15,12 @@ import numpy as np
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libunmicst_tiffcodec.so")
 _lib = None
 _build_attempted = False
+_load_failed = False
+
+
+def _autobuild_disabled() -> bool:
+    # value-sensitive: UNMICST_NO_AUTOBUILD=0 means "autobuild enabled"
+    return os.environ.get("UNMICST_NO_AUTOBUILD", "") not in ("", "0")
 
 
 def _try_autobuild() -> None:
@@ -27,7 +33,7 @@ def _try_autobuild() -> None:
     correct, just slow) but leave a one-line note on stderr.
     """
     global _build_attempted
-    if _build_attempted or os.environ.get("UNMICST_NO_AUTOBUILD"):
+    if _build_attempted or _autobuild_disabled():
         return
     _build_attempted = True
     import shutil
@@ -57,57 +63,95 @@ def _try_autobuild() -> None:
         )
 
 
-def get_lib() -> Optional[ctypes.CDLL]:
-    global _lib
-    if _lib is None and not os.path.exists(_LIB_PATH):
-        _try_autobuild()
-    if _lib is None and os.path.exists(_LIB_PATH):
-        lib = ctypes.CDLL(_LIB_PATH)
-        for name in ("unmicst_lzw_decode", "unmicst_packbits_decode"):
-            fn = getattr(lib, name)
-            fn.restype = ctypes.c_longlong
-            fn.argtypes = [
-                ctypes.c_char_p,
-                ctypes.c_longlong,
-                ctypes.c_void_p,
-                ctypes.c_longlong,
-            ]
-        lib.unmicst_predictor_undo.restype = None
-        lib.unmicst_predictor_undo.argtypes = [
+def _load(path: str) -> ctypes.CDLL:
+    lib = ctypes.CDLL(path)
+    for name in ("unmicst_lzw_decode", "unmicst_packbits_decode"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_longlong
+        fn.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_longlong,
             ctypes.c_void_p,
             ctypes.c_longlong,
-            ctypes.c_longlong,
-            ctypes.c_int,
         ]
-        _lib = lib
+    lib.unmicst_predictor_undo.restype = None
+    lib.unmicst_predictor_undo.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+        ctypes.c_int,
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _try_autobuild()
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        _lib = _load(_LIB_PATH)
+    except (OSError, AttributeError):
+        # truncated or stale artifact (killed compiler, copied from a
+        # different host, missing symbol): rebuild once if allowed, else
+        # fall back permanently — a bad .so must degrade to the Python
+        # codecs, never crash every TIFF decode
+        if not _build_attempted and not _autobuild_disabled():
+            try:
+                os.remove(_LIB_PATH)
+            except OSError:
+                pass
+            _try_autobuild()
+            try:
+                _lib = _load(_LIB_PATH)
+            except (OSError, AttributeError):
+                _load_failed = True
+        else:
+            _load_failed = True
     return _lib
 
 
-def lzw_decode(data: bytes, max_out: int) -> Optional[bytes]:
+def lzw_decode(data: bytes, max_out: int) -> Optional[np.ndarray]:
+    """Decoded bytes as a uint8 array view (buffer-protocol compatible),
+    or None if the lib is absent.  np.empty (not a zeroed ctypes buffer)
+    and a sliced view (not a .raw copy): the hot multi-GB decode path must
+    not pay a memset + memcpy of the full strip on top of the decode."""
     lib = get_lib()
     if lib is None:
         return None
-    buf = ctypes.create_string_buffer(max_out)
-    n = lib.unmicst_lzw_decode(data, len(data), buf, max_out)
+    buf = np.empty(max_out, np.uint8)
+    n = lib.unmicst_lzw_decode(
+        data, len(data), buf.ctypes.data_as(ctypes.c_void_p), max_out
+    )
     if n < 0:
         raise ValueError("native LZW: corrupt stream or undersized buffer")
-    return buf.raw[:n]
+    return buf[:n]
 
 
-def packbits_decode(data: bytes, max_out: int) -> Optional[bytes]:
+def packbits_decode(data: bytes, max_out: int) -> Optional[np.ndarray]:
     lib = get_lib()
     if lib is None:
         return None
-    buf = ctypes.create_string_buffer(max_out)
-    n = lib.unmicst_packbits_decode(data, len(data), buf, max_out)
+    buf = np.empty(max_out, np.uint8)
+    n = lib.unmicst_packbits_decode(
+        data, len(data), buf.ctypes.data_as(ctypes.c_void_p), max_out
+    )
     if n < 0:
         raise ValueError("native PackBits: corrupt stream")
-    return buf.raw[:n]
+    return buf[:n]
 
 
 def predictor_undo(arr: np.ndarray) -> Optional[np.ndarray]:
     """In-place horizontal-predictor undo for a (rows, cols) C-contiguous
-    uint8/uint16 array.  Returns the array, or None if the lib is absent."""
+    uint8/uint16 array.  Returns the array, or None if the lib is absent
+    or the itemsize unsupported (the C function only handles 1- and
+    2-byte samples — returning arr for wider types would silently hand
+    back difference values as pixels)."""
+    if arr.dtype.itemsize not in (1, 2):
+        return None
     lib = get_lib()
     if lib is None:
         return None

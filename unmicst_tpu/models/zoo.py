@@ -34,12 +34,14 @@ ZOO = {
     ),
     "nucleiDAPI1-5": ZooEntry(
         "nucleiDAPI1-5", "unmicst-solo", "v2", 64, 3, 1,
-        ckpt_url=f"{S3_BASE}/nucleiDAPI1-5/model.ckpt.data-00000-of-00001",
+        # S3 key is "unmicst1-5", not the model-dir name (Dockerfile:5)
+        ckpt_url=f"{S3_BASE}/unmicst1-5/model.ckpt.data-00000-of-00001",
         notes="default solo model; blob fetched from S3 (Dockerfile:5)",
     ),
     "nucleiDAPILAMIN": ZooEntry(
         "nucleiDAPILAMIN", "unmicst-duo", "v2", 128, 3, 2,
-        ckpt_url=f"{S3_BASE}/nucleiDAPILAMIN/model.ckpt.data-00000-of-00001",
+        # S3 key is "unmicst2", not the model-dir name (Dockerfile:4)
+        ckpt_url=f"{S3_BASE}/unmicst2/model.ckpt.data-00000-of-00001",
         notes="default duo model; blob fetched from S3 (Dockerfile:4)",
     ),
     "CytoplasmIncell2": ZooEntry(
