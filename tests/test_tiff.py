@@ -361,3 +361,40 @@ def test_native_predictor_undo_rejects_wide_samples():
     from unmicst_tpu.io import _native
 
     assert _native.predictor_undo(np.zeros((2, 3), np.float32)) is None
+
+
+def test_uncompressed_noncontiguous_strips(tmp_path, rng):
+    # the contiguous-strip fast path must not misread files whose strips
+    # are stored out of order (legal TIFF; offsets are authoritative)
+    import struct
+
+    img = rng.randint(0, 255, (8, 6), np.uint8)
+    # classic little-endian TIFF, 2 strips of 4 rows, strip 1 stored FIRST
+    strip0, strip1 = img[:4].tobytes(), img[4:].tobytes()
+    data_start = 8
+    off1 = data_start                  # strip 1 bytes first in the file
+    off0 = data_start + len(strip1)    # strip 0 bytes after
+    ifd_off = off0 + len(strip0)
+    entries = [
+        (256, 3, 1, 6),        # ImageWidth
+        (257, 3, 1, 8),        # ImageLength
+        (258, 3, 1, 8),        # BitsPerSample
+        (259, 3, 1, 1),        # Compression: none
+        (262, 3, 1, 1),        # Photometric
+        (273, 4, 2, ifd_off + 2 + 12 * 9 + 4),  # StripOffsets array
+        (277, 3, 1, 1),        # SamplesPerPixel
+        (278, 3, 1, 4),        # RowsPerStrip
+        (279, 4, 2, ifd_off + 2 + 12 * 9 + 4 + 8),  # StripByteCounts array
+    ]
+    blob = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    blob += strip1 + strip0
+    blob += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        blob += struct.pack("<HHII", tag, typ, cnt, val)
+    blob += struct.pack("<I", 0)  # next IFD
+    blob += struct.pack("<II", off0, off1)  # strip offsets (logical order)
+    blob += struct.pack("<II", len(strip0), len(strip1))
+    path = tmp_path / "ooo.tif"
+    path.write_bytes(bytes(blob))
+    got = TiffFile(str(path)).read_page(0)
+    np.testing.assert_array_equal(got, img)
