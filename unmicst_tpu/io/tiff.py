@@ -548,10 +548,19 @@ class TiffWriter:
     _MAGIC_BIG = 43
 
     def __init__(self, path: str, bigtiff: bool = True, append: bool = False,
-                 compression: Optional[str] = None):
+                 compression: Optional[str] = None,
+                 compression_level: int = 3):
         if compression not in (None, "deflate"):
             raise ValueError(f"unsupported output compression {compression!r}")
+        if not 1 <= int(compression_level) <= 9:
+            raise ValueError(
+                f"compression_level must be 1..9, got {compression_level}"
+            )
         self._compress = compression == "deflate"
+        # default 3: ~level-1 encode speed (2-3x faster than zlib's
+        # default 6) at nearly level-6 ratio on probability maps
+        # (measured: 384 vs 178 MB/s, 14.9x vs 19.3x — BASELINE.md)
+        self._level = int(compression_level)
         self.path = path
         self.big = bigtiff
         exists = os.path.exists(path) and os.path.getsize(path) > 0
@@ -624,7 +633,7 @@ class TiffWriter:
         for s in range(n_strips):
             data = image[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
             if self._compress:
-                data = zlib.compress(data, 6)
+                data = zlib.compress(data, self._level)
             strip_offsets.append(fh.tell())
             strip_counts.append(len(data))
             fh.write(data)
@@ -766,9 +775,10 @@ def num_pages(path: str) -> int:
 
 def imwrite(
     path: str, image: np.ndarray, bigtiff: bool = True, append: bool = False,
-    compression: Optional[str] = None,
+    compression: Optional[str] = None, compression_level: int = 3,
 ) -> None:
     """Write/append one grayscale page (reference contract ``UnMicst1-5.py:852-862``)."""
     with TiffWriter(path, bigtiff=bigtiff, append=append,
-                    compression=compression) as tw:
+                    compression=compression,
+                    compression_level=compression_level) as tw:
         tw.write(image)
