@@ -70,6 +70,18 @@ def main():
             "pil_mb_s": mbps(img.nbytes, dt_pil),
         }
 
+    # deflate again with the native lib masked: isolates the native
+    # inflate's contribution vs the pure-zlib fallback path
+    lib, failed = _native._lib, _native._load_failed
+    try:
+        _native._lib, _native._load_failed = None, True
+        tf = tiff.TiffFile(os.path.join(tmp, "deflate.tif"))
+        ours, dt = best(lambda: tf.read_page(0))
+        assert np.array_equal(ours, img)
+        report["deflate_decode"]["zlib_fallback_mb_s"] = mbps(img.nbytes, dt)
+    finally:
+        _native._lib, _native._load_failed = lib, failed
+
     # encode (deflate is the one compressed writer codec)
     enc_path = os.path.join(tmp, "enc.tif")
     _, dt = best(

@@ -398,3 +398,78 @@ def test_uncompressed_noncontiguous_strips(tmp_path, rng):
     path.write_bytes(bytes(blob))
     got = TiffFile(str(path)).read_page(0)
     np.testing.assert_array_equal(got, img)
+
+
+def test_native_inflate_matches_zlib(rng):
+    """Native DEFLATE decode (native/tiffcodec.cpp::unmicst_inflate) must
+    reproduce zlib byte-for-byte across block types: dynamic-Huffman
+    (image-like), fixed-Huffman (tiny inputs), stored (incompressible),
+    and multi-block streams from compressobj flushes."""
+    import zlib as _zlib
+
+    from unmicst_tpu.io import _native
+
+    if _native.get_lib() is None:
+        pytest.skip("native codec library unavailable")
+    img = (rng.rand(257, 61) * 255).astype(np.uint8).tobytes()
+    payloads = [
+        img,                                        # dynamic blocks
+        b"abc",                                     # fixed block
+        b"",                                        # empty stream
+        np.frombuffer(os.urandom(70000), np.uint8).tobytes(),  # stored
+        (np.arange(100000) % 251).astype(np.uint16).tobytes(),  # matches
+    ]
+    for raw in payloads:
+        for level in (0, 1, 6, 9):
+            comp = _zlib.compress(raw, level)
+            out = _native.inflate(comp, len(raw) + 64)
+            assert out is not None
+            assert out.tobytes() == raw
+    co = _zlib.compressobj(6)
+    multi = co.compress(img) + co.flush(_zlib.Z_FULL_FLUSH) + co.flush()
+    out = _native.inflate(multi, len(img) + 64)
+    assert out.tobytes() == img
+
+
+def test_native_inflate_rejects_corrupt_and_oversize(rng):
+    """Corrupt streams (bad adler32, truncation, bit flips) and
+    capacity-exceeding output must raise, never crash or return garbage."""
+    import zlib as _zlib
+
+    from unmicst_tpu.io import _native
+
+    if _native.get_lib() is None:
+        pytest.skip("native codec library unavailable")
+    raw = (rng.rand(64, 64) * 255).astype(np.uint8).tobytes()
+    comp = _zlib.compress(raw, 6)
+    bad = bytearray(comp)
+    bad[-1] ^= 0xFF  # adler32 trailer
+    with pytest.raises(ValueError):
+        _native.inflate(bytes(bad), len(raw) + 64)
+    with pytest.raises(ValueError):
+        _native.inflate(comp[: len(comp) // 2], len(raw) + 64)
+    with pytest.raises(ValueError):
+        _native.inflate(comp, len(raw) // 2)  # undersized buffer
+
+
+def test_deflate_tiff_read_uses_native_path(tmp_path, rng, monkeypatch):
+    """The strip decode routes deflate through the native inflate when the
+    lib is present, and the result equals the pure-zlib decode."""
+    from unmicst_tpu.io import _native
+
+    if _native.get_lib() is None:
+        pytest.skip("native codec library unavailable")
+    img = (rng.rand(300, 200) * 65535).astype(np.uint16)
+    fn = str(tmp_path / "d.tif")
+    imwrite(fn, img, compression="deflate")
+    calls = []
+    orig = _native.inflate
+
+    def spy(data, max_out):
+        calls.append(len(data))
+        return orig(data, max_out)
+
+    monkeypatch.setattr(_native, "inflate", spy)
+    got = TiffFile(fn).read_page(0)
+    np.testing.assert_array_equal(got, img)
+    assert calls, "native inflate was not used for a deflate strip"

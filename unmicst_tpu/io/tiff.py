@@ -154,6 +154,15 @@ def _decode(data: bytes, compression: int, max_out: int = 0) -> bytes:
             # bound the output like the LZW/PackBits paths: a crafted
             # strip must not decompression-bomb the host (slack covers
             # writer-padded final strips; callers truncate)
+            from unmicst_tpu.io import _native
+
+            try:
+                out = _native.inflate(data, max_out + 65536)
+                if out is not None:
+                    return out
+            except ValueError:
+                pass  # over-slack padding or native-rejected stream:
+                # the zlib path below decodes and the caller truncates
             out = zlib.decompressobj().decompress(data, max_out + 65536)
             return out
         return zlib.decompress(data)
