@@ -473,3 +473,126 @@ def test_deflate_tiff_read_uses_native_path(tmp_path, rng, monkeypatch):
     got = TiffFile(fn).read_page(0)
     np.testing.assert_array_equal(got, img)
     assert calls, "native inflate was not used for a deflate strip"
+
+
+# --- libtiff (OpenCV) cross-validation: streams encoded by an
+# independent production encoder, and our writer read back by libtiff ---
+
+_CV2_CODECS = [("none", 1), ("lzw", 5), ("deflate", 8),
+               ("adobe_deflate", 32946), ("packbits", 32773)]
+
+
+@pytest.mark.parametrize("name,code", _CV2_CODECS)
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_reader_against_libtiff_encoder(tmp_path, rng, name, code, dtype):
+    """libtiff (via cv2) is an encoder we did not write: its strip
+    layout, codec framing, and tag choices validate the reader against
+    streams the builder did not construct to match it."""
+    cv2 = pytest.importorskip("cv2")
+    hi = 255 if dtype == np.uint8 else 65535
+    img = (rng.rand(203, 317) * hi).astype(dtype)
+    p = str(tmp_path / f"{name}.tif")
+    assert cv2.imwrite(p, img, [cv2.IMWRITE_TIFF_COMPRESSION, code])
+    got = TiffFile(p).read_page(0)
+    np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.parametrize("compression", [None, "deflate"])
+def test_libtiff_reads_our_writer(tmp_path, rng, compression):
+    cv2 = pytest.importorskip("cv2")
+    img = (rng.rand(203, 317) * 65535).astype(np.uint16)
+    p = str(tmp_path / "ours.tif")
+    imwrite(p, img, compression=compression)
+    back = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(back, img)
+
+
+# --- tile-organized pages (OME pyramids are typically 512x512-tiled);
+# fixtures hand-built per TIFF 6.0 ("Tiled Images"): every tile stores
+# the full tile_w x tile_h, edge tiles padded ---
+
+
+def _write_tiled_tiff(path, img, tile_w, tile_h, compression=None,
+                      predictor=1):
+    import struct
+    import zlib as _zlib
+
+    h, w = img.shape
+    itemsize = img.dtype.itemsize
+    tiles = []
+    for r0 in range(0, h, tile_h):
+        for c0 in range(0, w, tile_w):
+            t = np.zeros((tile_h, tile_w), img.dtype)
+            blk = img[r0 : r0 + tile_h, c0 : c0 + tile_w]
+            t[: blk.shape[0], : blk.shape[1]] = blk
+            if predictor == 2:
+                t = t.copy()
+                t[:, 1:] = (t[:, 1:].astype(np.int64)
+                            - t[:, :-1].astype(np.int64)).astype(img.dtype)
+            raw = t.tobytes()
+            tiles.append(_zlib.compress(raw, 6) if compression else raw)
+    ntiles = len(tiles)
+    header = 8
+    ifd_off = header
+    nentries = 12
+    ifd_size = 2 + nentries * 12 + 4
+    arrays_off = ifd_off + ifd_size
+    offsets_off = arrays_off
+    counts_off = offsets_off + 4 * ntiles
+    data_off = counts_off + 4 * ntiles
+    offs, pos = [], data_off
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    comp_tag = 8 if compression else 1
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, itemsize * 8),
+        (259, 3, 1, comp_tag), (262, 3, 1, 1), (277, 3, 1, 1),
+        (317, 3, 1, predictor), (322, 3, 1, tile_w), (323, 3, 1, tile_h),
+        (324, 4, ntiles, offsets_off), (325, 4, ntiles, counts_off),
+        (339, 3, 1, 1),
+    ]
+    assert len(entries) == nentries
+    blob = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    blob += struct.pack("<H", nentries)
+    for tag, typ, cnt, val in sorted(entries):
+        blob += struct.pack("<HHII", tag, typ, cnt, val)
+    blob += struct.pack("<I", 0)
+    blob += struct.pack(f"<{ntiles}I", *offs)
+    blob += struct.pack(f"<{ntiles}I", *(len(t) for t in tiles))
+    for t in tiles:
+        blob += t
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+
+
+@pytest.mark.parametrize("compression", [None, "deflate"])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_tiled_page_whole_and_windowed(tmp_path, rng, compression,
+                                       predictor):
+    """Tile-organized pages: whole-page read, windowed reads crossing
+    tile boundaries, and edge-tile padding discard — with and without
+    Deflate + horizontal predictor (the common pyramid combination)."""
+    img = (rng.rand(150, 203) * 65535).astype(np.uint16)  # 64px tiles:
+    p = str(tmp_path / "tiled.tif")                        # ragged edges
+    _write_tiled_tiff(p, img, 64, 64, compression, predictor)
+    tf = TiffFile(p)
+    assert tf.pages[0].tiled
+    np.testing.assert_array_equal(tf.read_page(0), img)
+    # windows: interior crossing 4 tiles, exact tile, edge-clipped
+    for (r0, c0, nr, nc) in [(30, 30, 70, 70), (64, 64, 64, 64),
+                             (100, 150, 50, 53), (0, 0, 1, 203)]:
+        got = tf.read_region(0, r0, c0, nr, nc)  # samples==1 -> 2D
+        np.testing.assert_array_equal(got, img[r0 : r0 + nr, c0 : c0 + nc])
+
+
+def test_tiled_int16_predictor(tmp_path, rng):
+    """Predictor arithmetic on signed 16-bit tiles (wraparound must use
+    modular arithmetic, not saturate)."""
+    img = (rng.rand(100, 100) * 60000 - 30000).astype(np.int16)
+    p = str(tmp_path / "t16.tif")
+    _write_tiled_tiff(p, img, 32, 32, compression="deflate", predictor=2)
+    # SampleFormat tag says unsigned in the helper; patch dtype expectation
+    # by comparing through the unsigned view (bit pattern equality)
+    got = TiffFile(p).read_page(0)
+    np.testing.assert_array_equal(got.view(np.int16) if got.dtype == np.uint16 else got, img)
