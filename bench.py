@@ -66,8 +66,8 @@ def _wall(thunk, repeats=REPEATS) -> float:
     return best
 
 
-def _time_calls(fn, *args, repeats=REPEATS) -> float:
-    return _wall(lambda: _fetch(fn(*args)), repeats)
+def _time_calls(fn, *args, repeats=REPEATS, **kw) -> float:
+    return _wall(lambda: _fetch(fn(*args, **kw)), repeats)
 
 
 def _resident(engine, slide, jnp, tiler, hp):
@@ -76,7 +76,8 @@ def _resident(engine, slide, jnp, tiler, hp):
     jitted = engine._build_slide(h, w, np.dtype(slide.dtype), -1, True, None)
     raw_dev = jnp.asarray(slide)
     win_dev = jnp.asarray(tiler.ramp_window(hp.im_size, hp.margin))
-    return _time_calls(jitted, engine.params, raw_dev, win_dev)
+    qs = engine._quant_for_raw(slide, -1, True) if engine.quantized else None
+    return _time_calls(jitted, engine.params, raw_dev, win_dev, quant=qs)
 
 
 def main() -> None:
@@ -198,6 +199,10 @@ def main() -> None:
         for label, kw in [
             ("bf16", dict(compute_dtype=jnp.bfloat16)),
             ("f32_high", dict(precision="high")),
+            # int8 PTQ (opt-in fast mode): fastest measured config —
+            # accuracy/perf writeup in BASELINE.md "int8 post-training
+            # quantization"; calibration cost is one-time per engine
+            ("int8", dict(compute_dtype=jnp.bfloat16, quantized=True)),
         ]:
             eng = InferenceEngine(
                 v2_hp, v2_params, "v2", 0.3, 0.2,

@@ -149,6 +149,59 @@ def test_cli_streaming_scaling_factor_matches_whole(tmp_path, rng):
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
 
 
+@needs_reference
+def test_cli_int8_precision_close_to_f32(tmp_path, rng):
+    """--precision int8 on REAL legacy weights: the PTQ accuracy contract
+    on weights the builder did not choose.  Max pixel diff is the wrong
+    metric (class-boundary pixels near softmax 0.5 legitimately flip
+    under any perturbation), so the contract is distributional: small
+    mean, bounded p99, rare argmax changes.  Measured on this crop:
+    mean 3.4 levels, p99 41, argmax disagreement 1.9% (BASELINE.md r3
+    int8 section)."""
+    img_dir = tmp_path / "sample" / "registration"
+    img_dir.mkdir(parents=True)
+    crop = imread(
+        os.path.join(REFERENCE, "UNet sample data/registration/105.tif")
+    )[:192, :160]
+    imwrite(str(img_dir / "crop.tif"), crop, bigtiff=False)
+    outs = {}
+    for prec in ("float32", "int8"):
+        out = tmp_path / prec
+        rc = cli.main(
+            [str(img_dir / "crop.tif"), "--tool", "unmicst-legacy",
+             "--outputPath", str(out), "--stackOutput"]
+            + (["--precision", prec] if prec != "float32" else [])
+        )
+        assert rc == 0
+        outs[prec] = np.stack([
+            imread(str(out / "crop_Probabilities_1.tif"), k).astype(int)
+            for k in range(3)
+        ])
+    diff = np.abs(outs["int8"] - outs["float32"])
+    assert diff.mean() < 6.0, diff.mean()
+    assert np.percentile(diff, 99) <= 60, np.percentile(diff, 99)
+    dis = (outs["int8"].argmax(0) != outs["float32"].argmax(0)).mean()
+    assert dis < 0.04, dis
+
+
+def test_streaming_rejects_int8(tmp_path, rng):
+    from unmicst_tpu.io.tiff import TiffWriter
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    img = (rng.rand(96, 80) * 60000).astype(np.uint16)
+    src = tmp_path / "s" / "registration" / "img.tif"
+    src.parent.mkdir(parents=True)
+    with TiffWriter(str(src), bigtiff=False) as tw:
+        tw.write(img)
+    with pytest.raises(SystemExit, match="int8"):
+        cli.main(
+            [str(src), "--tool", "unmicst-solo", "--model", "blobDemo",
+             "--modelRoot", os.path.join(repo, "models"),
+             "--outputPath", str(tmp_path / "o"),
+             "--precision", "int8", "--engine", "streaming"]
+        )
+
+
 def test_compress_output_flag(tmp_path, rng):
     """--compressOutput writes Deflate pages the stack contract intact."""
     from unmicst_tpu.io.tiff import TiffFile, TiffWriter

@@ -93,13 +93,15 @@ def build_parser() -> argparse.ArgumentParser:
     # framework additions
     p.add_argument("--modelRoot", help="directory containing model subdirs")
     p.add_argument(
-        "--precision", choices=["float32", "highest", "bfloat16"],
+        "--precision", choices=["float32", "highest", "bfloat16", "int8"],
         default="float32",
         help="float32 = parity mode (3-pass MXU, <=1 uint8 level vs the "
         "reference, ~1.8x faster than 'highest'); highest = full-f32 MXU; "
         "bfloat16 = fast path (~2x float32; drifts up to ~27 levels on "
         "extreme pixels — the single-pass MXU rounding, distributed "
-        "across layers, see scripts/precision_bisect_report.json)",
+        "across layers, see scripts/precision_bisect_report.json); "
+        "int8 = post-training-quantized convs (core/quant.py; drifts up "
+        "to ~5 levels; calibrated per slide)",
     )
     p.add_argument(
         "--tileBatch", type=int, default=0,
@@ -147,6 +149,9 @@ def precision_mode(name: str):
         "float32": (None, "high"),
         "highest": (None, "highest"),
         "bfloat16": (jnp.bfloat16, None),
+        # int8: quantized convs; everything not quantized (transpose
+        # convs, top conv, BN/softmax glue) runs bf16
+        "int8": (jnp.bfloat16, None),
     }[name]
 
 
@@ -270,6 +275,13 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
     from unmicst_tpu.runtime.pipeline import StreamingEngine
 
     params = load_params_for_bundle(bundle)
+    if args.precision == "int8":
+        # streaming sources read rows lazily; per-slide calibration there
+        # is future work — the whole-image engine covers int8 today
+        raise SystemExit(
+            "--precision int8 requires --engine whole (the streaming "
+            "engine has no quantized path yet)"
+        )
     compute_dtype, mxu_precision = precision_mode(args.precision)
     stream = StreamingEngine.from_bundle(
         bundle, params, compute_dtype=compute_dtype,
@@ -574,7 +586,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     compute_dtype, mxu_precision = precision_mode(args.precision)
     engine = InferenceEngine.from_bundle(
         bundle, params, compute_dtype=compute_dtype,
-        precision=mxu_precision, tile_batch=args.tileBatch or None
+        precision=mxu_precision, tile_batch=args.tileBatch or None,
+        quantized=args.precision == "int8",
     )
     t_load = time.perf_counter()
 

@@ -189,6 +189,35 @@ def conv_transpose(
     )
 
 
+def quant_conv(
+    x: jnp.ndarray, qk: Params, in_scale: jnp.ndarray
+) -> jnp.ndarray:
+    """int8 SAME conv (s8 x s8 -> s32 on the MXU's double-rate int path),
+    dequantized to f32.
+
+    ``in_scale``: PER-INPUT-CHANNEL activation scales ``a[cin]`` from
+    calibration; ``qk["w8"]`` quantizes ``a[cin] * W`` (the scales are
+    folded into the weights host-side, ``core/quant.py``), so the int32
+    accumulator directly approximates ``sum_k (x_k/a_k) * (a_k w_k) =
+    conv(x, W)`` and dequantization is one per-output-channel multiply
+    ``qk["w_scale"]``.  Per-channel activation resolution costs nothing at
+    runtime and is what keeps real-weight error down: post-conv channel
+    ranges differ by orders of magnitude, and the skip/upsample concat
+    feeding the up-path convs doubly so.  Lives here (not quant.py) so
+    ``apply`` can call it without a circular import."""
+    x8 = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / in_scale), -127, 127
+    ).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        x8, qk["w8"], (1, 1), "SAME",
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, qk["w8"].shape, _DN
+        ),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * qk["w_scale"]
+
+
 def max_pool(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """2x2 SAME max-pool (``UnMicst.py:101-102``)."""
     return jax.lax.reduce_window(
@@ -370,6 +399,8 @@ def apply(
     compute_dtype=None,
     precision=None,
     return_logits: bool = False,
+    tap=None,
+    quant: Optional[Params] = None,
 ) -> jnp.ndarray | Tuple[jnp.ndarray, Params]:
     """Forward pass.  ``x``: [B, S, S, C] float.  Returns softmax [B, S, S, K].
 
@@ -387,7 +418,14 @@ def apply(
     overriding the per-dtype MXU pass count — 'high' (3 bf16 passes) is the
     measured sweet spot for f32 parity at ~3x the DEFAULT cost instead of
     HIGHEST's 6x.
+
+    ``tap``: optional ``tap(site, x)`` callback invoked with each plain
+    conv's input (quantization calibration; run eagerly).  ``quant``: a
+    ``core.quant.QuantState`` pytree — plain convs whose site appears in
+    ``quant['kernels']`` run int8 (``quant_conv``); inference only.
     """
+    if quant is not None and train:
+        raise ValueError("quantized forward is inference-only")
     cfg = get_variant(variant)
     act = cfg.act
     # spatial contract: every down level must divide evenly, else the
@@ -408,6 +446,16 @@ def apply(
     conv_p = partial(conv, precision=precision, grad_safe=train)
     conv_transpose_p = partial(conv_transpose, precision=precision,
                                grad_safe=train)
+
+    def site_conv(h, site, kernel):
+        """Plain conv with a calibration tap and optional int8 execution.
+        Site names are the contract with ``core.quant.conv_sites``."""
+        if tap is not None:
+            tap(site, h)
+        if quant is not None and site in quant["kernels"]:
+            return quant_conv(h, quant["kernels"][site],
+                              quant["scales"][site])
+        return conv_p(h, kernel, compute_dtype)
     dsf = hp.down_samp_fact
     new_params = jax.tree_util.tree_map(lambda a: a, params) if train else None
     rngs = iter(jax.random.split(rng, 2 * hp.n_layers + 4)) if rng is not None else None
@@ -431,12 +479,12 @@ def apply(
             # add folds into the weights — half the down-path conv FLOPs
             # for every v2 zoo model (nExtraConvs=0). Inference only:
             # training needs separate grads/regularizers per kernel.
-            pre = conv_p(h, fused, compute_dtype)
+            pre = site_conv(h, f"down{i}", fused)
         else:
-            c = conv_p(h, layer["kernel1"], compute_dtype)
-            for ke in layer["extra"]:
-                c = conv_p(act(c), ke, compute_dtype)
-            short = conv_p(h, layer["shortcut"], compute_dtype)
+            c = site_conv(h, f"down{i}.k1", layer["kernel1"])
+            for j, ke in enumerate(layer["extra"]):
+                c = site_conv(act(c), f"down{i}.extra{j}", ke)
+            short = site_conv(h, f"down{i}.short", layer["shortcut"])
             pre = c + short
 
         def set_down_bn(nb, i=i):
@@ -449,7 +497,7 @@ def apply(
             y = _dropout(y, cfg.dropout_down_per_layer * i, next_rng(), train)
         h = max_pool(y, dsf)
 
-    b = conv_p(h, params["bottom"]["kernel1"], compute_dtype)
+    b = site_conv(h, "bottom", params["bottom"]["kernel1"])
     if cfg.legacy:
         b = act(b)  # UnMicst.py:113-114
     else:
@@ -469,9 +517,11 @@ def apply(
         # conv(b,K[Ca:]), skipping the concat materialization) measured
         # +6.6% on an isolated up-layer but -5.8% in the full stripe
         # program — XLA already elides/fuses the concat in context.
-        # Killed with numbers; see BASELINE.md r3.
+        # Killed with numbers; see BASELINE.md r3.  (The int8 path keeps
+        # the fused conv too: per-channel activation scales absorb the
+        # skip/upsample range mismatch without a split.)
         cc = jnp.concatenate([skips[i].astype(u.dtype), u], axis=-1)
-        cv = conv_p(cc, layer["kernel2"], compute_dtype)
+        cv = site_conv(cc, f"up{i}.k2", layer["kernel2"])
 
         def set_up_bn(nb, i=i):
             new_params["up"][i]["bn"] = nb
@@ -480,8 +530,8 @@ def apply(
             cv = act(cv)
         else:
             cv = act(run_bn(cv, layer["bn"], set_up_bn))
-        for ke in layer["extra"]:
-            cv = act(conv_p(cv, ke, compute_dtype))
+        for j, ke in enumerate(layer["extra"]):
+            cv = act(site_conv(cv, f"up{i}.extra{j}", ke))
         if not cfg.legacy and cfg.dropout_up_base > 0:
             cv = _dropout(
                 cv, cfg.dropout_up_base - cfg.dropout_up_per_layer * i,

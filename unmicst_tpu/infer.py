@@ -116,6 +116,8 @@ class InferenceEngine:
         tile_batch: Optional[int] = None,
         accum_dtype=jnp.float32,
         stack_fold_max_bytes: int = 1 << 30,
+        quantized: bool = False,
+        calibration_percentile: float = 99.99,
     ):
         self.hp = hp
         # one batched host->device transfer at construction: the
@@ -133,6 +135,14 @@ class InferenceEngine:
         )
         self.accum_dtype = accum_dtype
         self.stack_fold_max_bytes = int(stack_fold_max_bytes)
+        # int8 PTQ fast mode (core/quant.py): calibrated lazily on the
+        # first input (activation scales are standardized-input-stable, so
+        # one calibration serves the engine's lifetime); host params kept
+        # for host-side weight quantization
+        self.quantized = bool(quantized)
+        self.calibration_percentile = float(calibration_percentile)
+        self._params_host = params if quantized else None
+        self._quant = None
         # bounded, thread-safe program cache: long-running services see
         # many slide geometries; each compiled program holds host+HBM
         # memory, so evict FIFO beyond the cache bound
@@ -166,10 +176,10 @@ class InferenceEngine:
         variant = self.variant
         accum_dtype = self.accum_dtype
 
-        def forward(params, t):
+        def forward(params, t, quant=None):
             return apply(
                 params, t, hp, variant, compute_dtype=compute_dtype,
-                precision=precision,
+                precision=precision, quant=quant,
             )
 
         stripe_rows = R * sub + 2 * margin
@@ -188,7 +198,7 @@ class InferenceEngine:
         # device->host fetch at lowering time (observed 35s per constant).
         # The blend window therefore enters as a traced argument and the
         # count map is computed on-device from it.
-        def run(params, canvas, win):
+        def run(params, canvas, win, quant=None):
             # canvas: (canvas_h, canvas_w, C) raw float32 (zero padded).
             # In bf16 mode, normalize once and store the canvas bf16: the
             # first conv rounds its input to bf16 anyway, so this halves
@@ -210,7 +220,7 @@ class InferenceEngine:
                 tiles = tiler.unfold(norm, stripe_grid)  # (R,npc,P,P,C)
                 flat = tiles.reshape(tiles_per_stripe, patch, patch, n_ch)
                 probs = chunked_forward(
-                    lambda t: forward(params, t), flat, chunk
+                    lambda t: forward(params, t, quant), flat, chunk
                 )
                 probs = probs.reshape(R, npc, patch, patch, n_cls)
                 row_ids = s * R + arange_r
@@ -283,6 +293,51 @@ class InferenceEngine:
             (height, width), lambda: self._build(height, width)
         )
 
+    # -- int8 PTQ calibration ------------------------------------------------
+
+    def _calibrate(self, tiles: np.ndarray):
+        """Build the engine's QuantState from sample tiles (first call
+        only — one calibration serves the engine's lifetime, see
+        ``core/quant.py`` for the scheme)."""
+        if self._quant is None:
+            from unmicst_tpu.core import quant as _q
+
+            self._quant = _q.calibrate(
+                self._params_host, tiles, self.hp, self.variant,
+                percentile=self.calibration_percentile,
+            )
+        return self._quant
+
+    def _quant_for_normalized(self, image: np.ndarray):
+        """QuantState for the pre-normalized paths (infer/make_canvas),
+        calibrating from the image itself on first use."""
+        if not self.quantized:
+            return None
+        if self._quant is None:
+            from unmicst_tpu.core import quant as _q
+
+            self._calibrate(_q.sample_tiles(
+                np.asarray(image), self.hp, self.mean, self.std
+            ))
+        return self._quant
+
+    def _quant_for_raw(self, raw: np.ndarray, outlier, rescale: bool):
+        """QuantState for the raw-slide paths, mirroring the device-side
+        preprocessing (im2double/rescale) when drawing calibration tiles."""
+        if not self.quantized:
+            return None
+        if self._quant is None:
+            from unmicst_tpu.core import quant as _q
+
+            scale = {
+                np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0
+            }.get(np.dtype(raw.dtype))
+            self._calibrate(_q.sample_tiles_raw(
+                raw, self.hp, self.mean, self.std,
+                scale=scale, outlier=outlier, rescale=rescale,
+            ))
+        return self._quant
+
     # -- public API ----------------------------------------------------------
 
     def make_canvas(
@@ -321,7 +376,10 @@ class InferenceEngine:
         jitted, _, _, _ = self._get(height, width)
         canvas = self.make_canvas(image, channel_mode)
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
-        probs = jitted(self.params, jnp.asarray(canvas), jnp.asarray(window))
+        qs = self._quant_for_normalized(image)
+        probs = jitted(
+            self.params, jnp.asarray(canvas), jnp.asarray(window), quant=qs
+        )
         return np.moveaxis(np.asarray(probs), -1, 0)
 
     # -- device-side end-to-end slide path -----------------------------------
@@ -363,7 +421,7 @@ class InferenceEngine:
         # instead of recompiling + churning the FIFO program cache
         has_outlier = outlier != -1
 
-        def run(params, raw, win, q=jnp.float32(0.0)):
+        def run(params, raw, win, q=jnp.float32(0.0), quant=None):
             x = raw.astype(jnp.float32)
             if scale is not None:
                 x = x / scale  # im2double
@@ -384,7 +442,7 @@ class InferenceEngine:
                 )
             canvas = jnp.zeros((canvas_h, canvas_w, n_ch), jnp.float32)
             canvas = jax.lax.dynamic_update_slice(canvas, body, (m, m, 0))
-            probs = core(params, canvas, win)  # (H, W, K) f32 — inlined jit
+            probs = core(params, canvas, win, quant)  # (H,W,K) f32, inlined jit
             if classes is not None:
                 # only the requested planes ride the link back (non-stack
                 # mode needs 2 of 3 — a third less D2H)
@@ -420,10 +478,11 @@ class InferenceEngine:
             ),
         )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
+        qs = self._quant_for_raw(raw, outlier, rescale)
         args = [self.params, jnp.asarray(raw), jnp.asarray(window)]
         if outlier != -1:
             args.append(jnp.float32(outlier))
-        out = jitted(*args)
+        out = jitted(*args, quant=qs)
         return np.moveaxis(np.asarray(out), -1, 0)
 
     # -- device-side multi-channel (duo) slide path --------------------------
@@ -465,8 +524,9 @@ class InferenceEngine:
             ),
         )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
+        qs = self._quant_for_raw(raw, outlier, rescale)
         args = [self.params, jnp.asarray(raw), jnp.asarray(window)]
         if outlier != -1:
             args.append(jnp.float32(outlier))
-        out = jitted(*args)
+        out = jitted(*args, quant=qs)
         return np.moveaxis(np.asarray(out), -1, 0)
