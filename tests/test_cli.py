@@ -184,7 +184,10 @@ def test_cli_int8_precision_close_to_f32(tmp_path, rng):
     assert dis < 0.04, dis
 
 
-def test_streaming_rejects_int8(tmp_path, rng):
+def test_cli_streaming_int8(tmp_path, rng):
+    """--precision int8 through the streaming engine: same distributional
+    contract as the whole-image int8 path (the per-slide calibration
+    samples differ, so the comparison is vs streaming f32, not bit-exact)."""
     from unmicst_tpu.io.tiff import TiffWriter
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -193,13 +196,26 @@ def test_streaming_rejects_int8(tmp_path, rng):
     src.parent.mkdir(parents=True)
     with TiffWriter(str(src), bigtiff=False) as tw:
         tw.write(img)
-    with pytest.raises(SystemExit, match="int8"):
-        cli.main(
+    outs = {}
+    for prec in ("float32", "int8"):
+        out = tmp_path / prec
+        rc = cli.main(
             [str(src), "--tool", "unmicst-solo", "--model", "blobDemo",
              "--modelRoot", os.path.join(repo, "models"),
-             "--outputPath", str(tmp_path / "o"),
-             "--precision", "int8", "--engine", "streaming"]
+             "--outputPath", str(out), "--stackOutput",
+             "--engine", "streaming"]
+            + (["--precision", prec] if prec != "float32" else [])
         )
+        assert rc == 0
+        outs[prec] = np.stack([
+            imread(str(out / "img_Probabilities_1.tif"), k).astype(int)
+            for k in range(3)
+        ])
+    diff = np.abs(outs["int8"] - outs["float32"])
+    assert diff.mean() < 6.0, diff.mean()
+    assert np.percentile(diff, 99) <= 60, np.percentile(diff, 99)
+    dis = (outs["int8"].argmax(0) != outs["float32"].argmax(0)).mean()
+    assert dis < 0.04, dis
 
 
 def test_compress_output_flag(tmp_path, rng):

@@ -327,6 +327,83 @@ def test_streaming_column_sharded_duo_stack(rng):
     assert np.abs(single.astype(int) - sharded.astype(int)).max() <= 1
 
 
+def test_stream_quantized_matches_whole_quantized(model, rng):
+    """StreamingEngine(quantized=True) == InferenceEngine(quantized=True)
+    given the SAME QuantState — the int8 math is identical across engines;
+    calibration-sample differences (window draws vs full-array draws) are
+    the only divergence left and are covered distributionally at the CLI
+    level (test_cli)."""
+    hp, params = model
+    raw = (rng.rand(150, 90) * 60000).astype(np.uint16)
+    stream = StreamingEngine(
+        hp, params, "legacy", 0.3, 0.2, compute_dtype=None,
+        stripe_tile_rows=2, quantized=True,
+    )
+    got = stream.infer(raw)
+    assert stream._quant is not None
+    whole = InferenceEngine(
+        hp, params, "legacy", 0.3, 0.2, quantized=True
+    )
+    whole._quant = stream._quant  # pin identical activation/weight scales
+    ref = whole.infer_slide(raw)
+    assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+    # one calibration serves the engine's lifetime (second slide reuses it)
+    q0 = stream._quant
+    stream.infer((rng.rand(100, 70) * 60000).astype(np.uint16))
+    assert stream._quant is q0
+
+
+def test_stream_quantized_duo_and_no_rescale(model, rng):
+    """Quantized cross-engine parity for the remaining preprocess modes —
+    per-channel duo ranges and the im2double-only solo quirk — via a
+    shared QuantState (these synthetic nets saturate softmax, so an
+    accuracy-style contract would measure the fixture, not the code;
+    real-weight accuracy lives in test_cli)."""
+    hp2 = HParams(im_size=32, n_channels=2, n_classes=3, n_out0=6, ks=3,
+                  n_layers=1, std_dev0=0.5)
+    params2 = unet.init_params(jax.random.PRNGKey(5), hp2, "duo")
+    a = (rng.rand(110, 90) * 60000).astype(np.uint16)
+    b = (rng.rand(110, 90) * 30000).astype(np.uint16)
+    qstream = StreamingEngine(hp2, params2, "duo", 0.18, 0.17,
+                              compute_dtype=None, stripe_tile_rows=2,
+                              quantized=True)
+    got = qstream.infer_stack([a, b])
+    whole = InferenceEngine(hp2, params2, "duo", 0.18, 0.17, quantized=True)
+    whole._quant = qstream._quant
+    ref = whole.infer_slide_stack([a, b])
+    assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+
+    hp, params = model
+    raw = (rng.rand(100, 60) * 60000).astype(np.uint16)
+    qs = StreamingEngine(hp, params, "legacy", 0.3, 0.2, compute_dtype=None,
+                         stripe_tile_rows=3, quantized=True)
+    got = qs.infer(raw, rescale=False)
+    whole = InferenceEngine(hp, params, "legacy", 0.3, 0.2, quantized=True)
+    whole._quant = qs._quant
+    ref = whole.infer_slide(raw, rescale=False)
+    assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+
+
+def test_streaming_column_sharded_quantized(model, rng):
+    """Sharded int8 streaming == single-device int8 streaming (the
+    engine's one QuantState rides to every device as a replicated arg)."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(devs[:8]), ("d",))
+    hp, params = model
+    raw = (rng.rand(155, 230) * 60000).astype(np.uint16)
+    stream = StreamingEngine(
+        hp, params, "legacy", 0.3, 0.2, compute_dtype=None,
+        stripe_tile_rows=2, quantized=True,
+    )
+    single = stream.infer(raw)
+    sharded = stream.infer_sharded(raw, mesh, axis="d")
+    assert np.abs(single.astype(int) - sharded.astype(int)).max() <= 1
+
+
 def test_streaming_validates_classes_and_empty(rng):
     """StreamingEngine rejects OOB class indexes and empty slides like
     the whole-image engine (serve routes by size — semantics must

@@ -63,6 +63,46 @@ def test_infer_roundtrip(server_url, tmp_path, rng):
     assert np.abs(total - 255).max() <= 3  # probabilities sum to ~1
 
 
+def test_serve_int8_precision(server_url, tmp_path, rng):
+    """A --precision int8 server answers with maps distributionally close
+    to the f32 server's (real legacy weights; the engine calibrates once
+    on its first slide — core/quant.py)."""
+    from http.server import ThreadingHTTPServer
+
+    raw = (rng.rand(100, 80) * 60000).astype(np.uint16)
+    src = str(tmp_path / "in8.tif")
+    imwrite(src, raw, bigtiff=False)
+    srv8 = ModelServer(
+        model_root=os.path.join(REFERENCE, "models"), precision="int8"
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv8))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        outs = {}
+        for label, url in [
+            ("f32", server_url),
+            ("int8", f"http://127.0.0.1:{httpd.server_address[1]}"),
+        ]:
+            req = urllib.request.Request(
+                url + "/infer?model=nucleiDAPI&channel=0",
+                data=open(src, "rb").read(), method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                body = r.read()
+            out = str(tmp_path / f"out_{label}.tif")
+            open(out, "wb").write(body)
+            with TiffFile(out) as tf:
+                outs[label] = np.stack(
+                    [tf.read_page(k).astype(int) for k in range(3)]
+                )
+    finally:
+        httpd.shutdown()
+    diff = np.abs(outs["int8"] - outs["f32"])
+    assert diff.mean() < 6.0, diff.mean()
+    dis = (outs["int8"].argmax(0) != outs["f32"].argmax(0)).mean()
+    assert dis < 0.04, dis
+
+
 def test_concurrent_requests(server_url, tmp_path, rng):
     """Two simultaneous inferences share one engine safely (cache lock)."""
     import concurrent.futures

@@ -275,17 +275,11 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
     from unmicst_tpu.runtime.pipeline import StreamingEngine
 
     params = load_params_for_bundle(bundle)
-    if args.precision == "int8":
-        # streaming sources read rows lazily; per-slide calibration there
-        # is future work — the whole-image engine covers int8 today
-        raise SystemExit(
-            "--precision int8 requires --engine whole (the streaming "
-            "engine has no quantized path yet)"
-        )
     compute_dtype, mxu_precision = precision_mode(args.precision)
     stream = StreamingEngine.from_bundle(
         bundle, params, compute_dtype=compute_dtype,
-        precision=mxu_precision, tile_batch=args.tileBatch or None
+        precision=mxu_precision, tile_batch=args.tileBatch or None,
+        quantized=args.precision == "int8",
     )
     # non-stack output needs only the contour+nuclei planes; fetching just
     # those cuts a third of the device->host traffic

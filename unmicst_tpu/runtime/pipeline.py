@@ -131,6 +131,8 @@ class StreamingEngine:
         tile_batch: Optional[int] = None,
         stripe_tile_rows: Optional[int] = None,
         in_flight: int = 4,
+        quantized: bool = False,
+        calibration_percentile: float = 99.99,
     ):
         self.hp = hp
         # one batched host->device transfer at construction: the
@@ -150,6 +152,15 @@ class StreamingEngine:
         )
         self.stripe_tile_rows = stripe_tile_rows
         self.in_flight = in_flight
+        # int8 PTQ fast mode (core/quant.py), mirroring InferenceEngine:
+        # calibrated lazily from the first source (activation scales are
+        # standardized-input-stable, so one calibration serves the
+        # engine's lifetime); host params kept for host-side weight
+        # quantization
+        self.quantized = bool(quantized)
+        self.calibration_percentile = float(calibration_percentile)
+        self._params_host = params if quantized else None
+        self._quant = None
         # bounded + locked: serving routes mega-slides here, one compiled
         # program per geometry must not accumulate forever
         self._compiled = ProgramCache(max_entries=16)
@@ -222,11 +233,11 @@ class StreamingEngine:
         canvas_w = grid.padded_width
         arange_rows = np.arange(rows_tiles)
 
-        def forward(params, t):
+        def forward(params, t, quant=None):
             return apply(params, t, hp, variant, compute_dtype=compute_dtype,
-                         precision=precision)
+                         precision=precision, quant=quant)
 
-        def run(params, raw_stripe, s0, lo, hi, win):
+        def run(params, raw_stripe, s0, lo, hi, win, quant=None):
             # raw_stripe: (in_rows, canvas_w, n_ch) raw dtype, already
             # laid out in padded-canvas columns (margin offset, zero fill).
             # s0: first tile row of this stripe minus 1 (may be -1).
@@ -242,7 +253,9 @@ class StreamingEngine:
             tiles = tiler.unfold(norm, band_grid)  # (S+1, npc, P, P, C)
             flat = tiles.reshape(n_tiles, patch, patch, n_ch)
             # full chunks + one static remainder: zero forward padding
-            probs = chunked_forward(lambda t: forward(params, t), flat, chunk)
+            probs = chunked_forward(
+                lambda t: forward(params, t, quant), flat, chunk
+            )
             probs = probs.reshape(rows_tiles, npc, patch, patch, n_cls)
             row_ids = s0 + arange_rows
             mask = ((row_ids >= 0) & (row_ids < grid.npr)).astype(jnp.float32)
@@ -324,6 +337,72 @@ class StreamingEngine:
         canvas[:, m : m + plan.width, :] = rows[:, :, None]
         return canvas
 
+    # -- int8 PTQ calibration --------------------------------------------------
+
+    def _quant_for_stream(self, sources, lo, hi, rescale: bool, in_dtype):
+        """QuantState for the streaming paths (first call only — one
+        calibration serves the engine's lifetime, like InferenceEngine).
+
+        Calibration tiles are drawn through :meth:`_read_rows`, so TIFF
+        windows / virtual resampled sources never fully materialize, and
+        preprocessed with the engine's OWN global stats — the exact
+        per-stripe device formula (zero-fill first, then rescale /
+        im2double, then standardize), not the whole-image path's
+        decimated re-estimate.
+
+        ``sources``: one per net channel (callers replicate a single
+        source, matching the stripe-canvas broadcast); ``lo``/``hi``:
+        scalar or per-channel raw-unit ranges.
+        """
+        if not self.quantized:
+            return None
+        if self._quant is not None:
+            return self._quant
+        from unmicst_tpu.core import quant as _q
+
+        hp = self.hp
+        height, width = _source_dims(sources[0])
+        s = hp.im_size
+        n_ch = hp.n_channels
+        inv_scale = 1.0 / _IM2DOUBLE_SCALE.get(np.dtype(in_dtype), 1.0)
+        lo = np.broadcast_to(np.asarray(lo, np.float32), (n_ch,))
+        hi = np.broadcast_to(np.asarray(hi, np.float32), (n_ch,))
+        # 64 tiles spread over the slide on a jittered grid (seeded:
+        # same slide -> same scales, cache-friendly), one row-band read
+        # per grid row per channel
+        grid_n = 8
+        rng = np.random.RandomState(0)
+        tiles = np.zeros((grid_n * grid_n, s, s, n_ch), np.float32)
+        k = 0
+        for gi in range(grid_n):
+            r0 = 0 if height <= s else int(
+                np.clip(gi * (height - s) / (grid_n - 1)
+                        + rng.randint(-s // 4, s // 4 + 1), 0, height - s)
+            )
+            rows = [
+                self._read_rows(src, r0, s).astype(np.float32)
+                for src in sources
+            ]
+            for gj in range(grid_n):
+                c0 = 0 if width <= s else int(
+                    np.clip(gj * (width - s) / (grid_n - 1)
+                            + rng.randint(-s // 4, s // 4 + 1), 0, width - s)
+                )
+                for ci, r in enumerate(rows):
+                    blk = r[:, c0 : c0 + s]
+                    tiles[k, :, : blk.shape[1], ci] = blk
+                k += 1
+        if rescale:
+            x = np.clip(tiles, lo, hi)
+            x = (x - lo) / np.maximum(hi - lo, 1e-12) * 0.983
+        else:
+            x = tiles * inv_scale
+        self._quant = _q.calibrate(
+            self._params_host, (x - self.mean) / self.std, hp, self.variant,
+            percentile=self.calibration_percentile,
+        )
+        return self._quant
+
     # -- public API ----------------------------------------------------------
 
     def global_stats(
@@ -391,6 +470,9 @@ class StreamingEngine:
             )
         else:
             lo, hi = 0.0, 1.0
+        qs = self._quant_for_stream(
+            [source] * self.hp.n_channels, lo, hi, rescale, in_dtype
+        )
         win = jnp.asarray(tiler.ramp_window(self.hp.im_size, self.hp.margin))
         grid = plan.grid
         m = grid.margin
@@ -404,7 +486,7 @@ class StreamingEngine:
             canvas = self._stripe_canvas(source, plan, s)
             dev = jitted(
                 self.params, jnp.asarray(canvas), jnp.int32(s * plan.S - 1),
-                jnp.float32(lo), jnp.float32(hi), win,
+                jnp.float32(lo), jnp.float32(hi), win, quant=qs,
             )
             pending.append((s, dev))
             if len(pending) >= self.in_flight:
@@ -469,6 +551,7 @@ class StreamingEngine:
         else:
             lo = np.zeros(len(sources), np.float32)
             hi = np.ones(len(sources), np.float32)
+        qs = self._quant_for_stream(sources, lo, hi, rescale, canvas_dtype)
         win = jnp.asarray(tiler.ramp_window(self.hp.im_size, self.hp.margin))
         grid = plan.grid
         m = grid.margin
@@ -488,7 +571,7 @@ class StreamingEngine:
                 )
             dev = jitted(
                 self.params, jnp.asarray(canvas), jnp.int32(s * plan.S - 1),
-                jnp.asarray(lo), jnp.asarray(hi), win,
+                jnp.asarray(lo), jnp.asarray(hi), win, quant=qs,
             )
             pending.append((s, dev))
             if len(pending) >= self.in_flight:
@@ -540,11 +623,11 @@ class StreamingEngine:
         arange_cols = np.arange(c_dev)
         band_h = S * sub
 
-        def forward(params, t):
+        def forward(params, t, quant=None):
             return apply(params, t, hp, variant, compute_dtype=compute_dtype,
-                         precision=precision)
+                         precision=precision, quant=quant)
 
-        def band_fn(params, block, tail, s0, lo, hi, win):
+        def band_fn(params, block, tail, s0, lo, hi, win, quant=None):
             # block: (in_rows, body_w / n_dev, C) raw; tail: (in_rows, 2m, C)
             d = jax.lax.axis_index(axis)
             # input halo FIRST, in the raw dtype (2 B/px over ICI for
@@ -565,7 +648,9 @@ class StreamingEngine:
 
             tiles = tiler.unfold(norm, dev_grid)  # (S+1, c_dev, P, P, C)
             flat = tiles.reshape(tiles_dev, patch, patch, n_ch)
-            probs = chunked_forward(lambda t: forward(params, t), flat, chunk)
+            probs = chunked_forward(
+                lambda t: forward(params, t, quant), flat, chunk
+            )
             probs = probs.reshape(rows_tiles, c_dev, patch, patch, n_cls)
             row_ids = s0 + arange_rows
             col_ids = d * c_dev + arange_cols
@@ -606,10 +691,16 @@ class StreamingEngine:
                 band[:, c_dev * sub :]
             )
 
+        # the QuantState (when the engine is quantized) rides as one more
+        # replicated arg — a closure constant would pay a device fetch per
+        # leaf at lowering time on tunneled links
+        in_specs = (P(), P(None, axis, None), P(), P(), P(), P(), P())
+        if self.quantized:
+            in_specs = in_specs + (P(),)
         fn = shard_map(
             band_fn,
             mesh=mesh,
-            in_specs=(P(), P(None, axis, None), P(), P(), P(), P(), P()),
+            in_specs=in_specs,
             out_specs=(P(None, axis, None), P(None, axis, None)),
         )
         jitted = jax.jit(fn)
@@ -767,6 +858,11 @@ class StreamingEngine:
             )
             self._drain((s, band), out, plan, m)
 
+        qs = self._quant_for_stream(sources, lo, hi, rescale, in_dtype)
+        extra = ()
+        if qs is not None:
+            extra = (jax.tree_util.tree_map(lambda a: _put(a, P()), qs),)
+
         # async pipeline (single-process; process_allgather is a collective
         # barrier, so mp keeps the serial order all hosts agree on)
         window_depth = 1 if mp_mode else self.in_flight
@@ -777,7 +873,7 @@ class StreamingEngine:
                 params_g, _put(canvas[:, :body_w], body_spec),
                 _put(canvas[:, body_w:], P()),
                 _put(np.int32(s * plan.S - 1), P()),
-                _put(lo, P()), _put(hi, P()), win,
+                _put(lo, P()), _put(hi, P()), win, *extra,
             )
             pending.append((s, band, tails))
             if len(pending) >= window_depth:

@@ -136,7 +136,11 @@ class ModelServer:
                 cls = (StreamingEngine if kind == "stream"
                        else InferenceEngine)
                 ent["value"] = cls.from_bundle(
-                    bundle, params, compute_dtype=dtype, precision=mxu
+                    bundle, params, compute_dtype=dtype, precision=mxu,
+                    # int8 calibrates on the engine's first slide and the
+                    # one QuantState serves every later request (scales
+                    # are standardized-input-stable, core/quant.py)
+                    quantized=self.precision == "int8",
                 )
             except BaseException as e:
                 ent["error"] = e
@@ -489,8 +493,8 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8800)
     p.add_argument("--modelRoot")
     p.add_argument(
-        "--precision", choices=["float32", "highest", "bfloat16"],
-        default="float32",  # parity mode (<=1 uint8 level); bf16 = fast
+        "--precision", choices=["float32", "highest", "bfloat16", "int8"],
+        default="float32",  # parity mode (<=1 uint8 level); bf16/int8 = fast
     )
     p.add_argument(
         "--maxBodyBytes", type=int, default=2 << 30,
