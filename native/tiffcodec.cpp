@@ -663,3 +663,39 @@ extern "C" void unmicst_predictor_undo(uint8_t* data, long long rows,
   }
 }
 
+
+// Batched strip decode: every compressed strip of a page in ONE native
+// call, written straight into the destination plane — no per-strip
+// Python crossing, landing buffer, or assembly copy.  `src` holds the
+// file span covering all strips; src_off/src_len are strip extents
+// within it, dst_off/dst_len the (ascending) output extents.  codec:
+// 8 = zlib DEFLATE, 5 = TIFF LZW, 32773 = PackBits (TIFF tag values).
+// Each mid-strip decodes with the REST of the plane as capacity, so the
+// inflate fast loop keeps its full-slack path to the end of the strip
+// (a corrupt over-long strip is caught by the exact-length check before
+// anything downstream of it is trusted).  Returns 0, or -(i+1) where i
+// is the first strip that failed to decode to exactly dst_len[i].
+extern "C" long long unmicst_decode_strips(
+    const uint8_t* src, const long long* src_off, const long long* src_len,
+    const long long* dst_off, const long long* dst_len, long long n,
+    long long codec, uint8_t* dst, long long dst_cap) {
+  for (long long i = 0; i < n; ++i) {
+    if (dst_off[i] < 0 || dst_len[i] < 0 || dst_off[i] > dst_cap ||
+        src_off[i] < 0 || src_len[i] < 0)
+      return -(i + 1);
+    long long got;
+    const uint8_t* s = src + src_off[i];
+    uint8_t* d = dst + dst_off[i];
+    long long cap = dst_cap - dst_off[i];
+    if (codec == 8)
+      got = unmicst_inflate(s, src_len[i], d, cap);
+    else if (codec == 5)
+      got = unmicst_lzw_decode(s, src_len[i], d, cap);
+    else if (codec == 32773)
+      got = unmicst_packbits_decode(s, src_len[i], d, cap);
+    else
+      return -(i + 1);
+    if (got != dst_len[i]) return -(i + 1);
+  }
+  return 0;
+}

@@ -453,8 +453,9 @@ def test_native_inflate_rejects_corrupt_and_oversize(rng):
 
 
 def test_deflate_tiff_read_uses_native_path(tmp_path, rng, monkeypatch):
-    """The strip decode routes deflate through the native inflate when the
-    lib is present, and the result equals the pure-zlib decode."""
+    """Full-page deflate reads route through the one-call batched native
+    decode (all strips in one ctypes crossing), and windowed reads still
+    route per-strip through the native inflate."""
     from unmicst_tpu.io import _native
 
     if _native.get_lib() is None:
@@ -462,17 +463,42 @@ def test_deflate_tiff_read_uses_native_path(tmp_path, rng, monkeypatch):
     img = (rng.rand(300, 200) * 65535).astype(np.uint16)
     fn = str(tmp_path / "d.tif")
     imwrite(fn, img, compression="deflate")
-    calls = []
+    batched, per_strip = [], []
+    orig_batch = _native.decode_strips
     orig = _native.inflate
 
+    def spy_batch(span, so, sl, do, dl, codec, out):
+        batched.append(len(so))
+        return orig_batch(span, so, sl, do, dl, codec, out)
+
     def spy(data, max_out):
-        calls.append(len(data))
+        per_strip.append(len(data))
         return orig(data, max_out)
 
+    monkeypatch.setattr(_native, "decode_strips", spy_batch)
     monkeypatch.setattr(_native, "inflate", spy)
     got = TiffFile(fn).read_page(0)
     np.testing.assert_array_equal(got, img)
-    assert calls, "native inflate was not used for a deflate strip"
+    assert batched == [len(TiffFile(fn).pages[0].strip_offsets)]
+    assert not per_strip, "full-page read fell back to per-strip decode"
+    # windowed read: per-strip native inflate
+    win = TiffFile(fn).read_region(0, 37, 0, 64, 200)
+    np.testing.assert_array_equal(win, img[37:101])
+    assert per_strip, "windowed read did not use the native inflate"
+
+
+def test_batched_decode_falls_back_per_strip(tmp_path, rng, monkeypatch):
+    """With the batched entry point masked, compressed reads take the
+    per-strip loop and produce identical pixels (the fallback the
+    sparse/descending/predictor cases rely on)."""
+    from unmicst_tpu.io import _native
+
+    img = (rng.rand(300, 200) * 65535).astype(np.uint16)
+    fn = str(tmp_path / "d.tif")
+    imwrite(fn, img, compression="deflate")
+    monkeypatch.setattr(_native, "decode_strips", lambda *a: None)
+    got = TiffFile(fn).read_page(0)
+    np.testing.assert_array_equal(got, img)
 
 
 # --- libtiff (OpenCV) cross-validation: streams encoded by an

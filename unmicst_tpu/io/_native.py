@@ -85,6 +85,21 @@ def _load(path: str) -> ctypes.CDLL:
         ctypes.c_longlong,
         ctypes.c_int,
     ]
+    # binding via getattr so a stale .so missing the symbol raises
+    # AttributeError here and takes the rebuild-once path in get_lib
+    fn = lib.unmicst_decode_strips
+    fn.restype = ctypes.c_longlong
+    fn.argtypes = [
+        ctypes.c_char_p,    # src span
+        ctypes.c_void_p,    # src offsets (int64[n])
+        ctypes.c_void_p,    # src lengths
+        ctypes.c_void_p,    # dst offsets
+        ctypes.c_void_p,    # dst lengths
+        ctypes.c_longlong,  # n
+        ctypes.c_longlong,  # codec (TIFF tag value)
+        ctypes.c_void_p,    # dst
+        ctypes.c_longlong,  # dst_cap
+    ]
     return lib
 
 
@@ -150,6 +165,40 @@ def inflate(data: bytes, max_out: int) -> Optional[np.ndarray]:
     if n < 0:
         raise ValueError("native inflate: corrupt stream or undersized buffer")
     return buf[:n]
+
+
+def decode_strips(
+    span: bytes,
+    src_offs: np.ndarray,
+    src_lens: np.ndarray,
+    dst_offs: np.ndarray,
+    dst_lens: np.ndarray,
+    codec: int,
+    out: np.ndarray,
+) -> Optional[bool]:
+    """Decode every strip of a page in one native call, straight into the
+    (uint8-viewed, C-contiguous) ``out`` plane — no per-strip Python
+    crossing, landing buffer, or assembly copy.  ``codec`` is the TIFF
+    compression tag value (8 deflate, 5 LZW, 32773 PackBits).  Offsets
+    are within ``span`` / ``out``; each strip must decode to exactly its
+    ``dst_lens`` entry.  None when the lib is absent; raises ValueError
+    naming the first bad strip otherwise.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(src_offs)
+    arrs = [np.ascontiguousarray(a, np.int64)
+            for a in (src_offs, src_lens, dst_offs, dst_lens)]
+    rc = lib.unmicst_decode_strips(
+        span, *(a.ctypes.data_as(ctypes.c_void_p) for a in arrs), n,
+        codec, out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
+    )
+    if rc < 0:
+        raise ValueError(
+            f"native strip decode: strip {-rc - 1} corrupt or wrong length"
+        )
+    return True
 
 
 def packbits_decode(data: bytes, max_out: int) -> Optional[np.ndarray]:
