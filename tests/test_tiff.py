@@ -487,6 +487,60 @@ def test_deflate_tiff_read_uses_native_path(tmp_path, rng, monkeypatch):
     assert per_strip, "windowed read did not use the native inflate"
 
 
+def test_native_deflate_encoder_roundtrips(rng):
+    """Native encoder output decodes bit-exactly via BOTH independent
+    zlib and our own native inflate, across payload shapes that exercise
+    every block type (stored for noise, dynamic for structure) and the
+    length-limit fixup (skewed histograms)."""
+    import zlib as _z
+
+    from unmicst_tpu.io import _native
+
+    if _native.get_lib() is None:
+        pytest.skip("native codec library unavailable")
+    payloads = [
+        b"",
+        b"a",
+        bytes(100000),                                   # one long run
+        rng.bytes(300000),                               # incompressible
+        (rng.rand(200000) * 4).astype(np.uint8).tobytes(),   # skewed freqs
+        (np.arange(150000) % 251).astype(np.uint8).tobytes(),
+        (rng.rand(65536) * 400).astype(np.uint16).tobytes(),
+        b"the quick brown fox " * 20000,
+    ]
+    for k, raw in enumerate(payloads):
+        comp = _native.deflate(raw)
+        assert _z.decompress(comp) == raw, k
+        got = _native.inflate(comp, len(raw) + 16)
+        assert bytes(got) == raw, k
+
+
+def test_deflate_writer_native_output_read_by_pil(tmp_path, rng, monkeypatch):
+    """Pages written through the native encoder (default level 3) decode
+    identically in PIL (independent zlib) and in our reader; with the
+    native lib masked the writer falls back to zlib and stays readable."""
+    from PIL import Image
+
+    from unmicst_tpu.io import _native
+
+    img = (rng.rand(317, 203) * 65535).astype(np.uint16)
+    p = str(tmp_path / "n.tif")
+    imwrite(p, img, bigtiff=False, compression="deflate")
+    with Image.open(p) as im:
+        np.testing.assert_array_equal(np.asarray(im), img)
+    np.testing.assert_array_equal(imread(p), img)
+    # high level keeps zlib (ratio mode), still round-trips
+    p9 = str(tmp_path / "n9.tif")
+    imwrite(p9, img, bigtiff=False, compression="deflate",
+            compression_level=9)
+    np.testing.assert_array_equal(imread(p9), img)
+    # masked lib: zlib fallback inside _encode_deflate
+    monkeypatch.setattr(_native, "deflate", lambda d: None)
+    pf = str(tmp_path / "f.tif")
+    imwrite(pf, img, bigtiff=False, compression="deflate")
+    np.testing.assert_array_equal(imread(pf), img)
+
+
 def test_batched_decode_falls_back_per_strip(tmp_path, rng, monkeypatch):
     """With the batched entry point masked, compressed reads take the
     per-strip loop and produce identical pixels (the fallback the

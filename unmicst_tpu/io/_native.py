@@ -85,8 +85,16 @@ def _load(path: str) -> ctypes.CDLL:
         ctypes.c_longlong,
         ctypes.c_int,
     ]
-    # binding via getattr so a stale .so missing the symbol raises
+    # bindings via getattr so a stale .so missing a symbol raises
     # AttributeError here and takes the rebuild-once path in get_lib
+    fn = lib.unmicst_deflate
+    fn.restype = ctypes.c_longlong
+    fn.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_longlong,
+        ctypes.c_void_p,
+        ctypes.c_longlong,
+    ]
     fn = lib.unmicst_decode_strips
     fn.restype = ctypes.c_longlong
     fn.argtypes = [
@@ -165,6 +173,26 @@ def inflate(data: bytes, max_out: int) -> Optional[np.ndarray]:
     if n < 0:
         raise ValueError("native inflate: corrupt stream or undersized buffer")
     return buf[:n]
+
+
+def deflate(data: bytes) -> Optional[bytes]:
+    """zlib-stream compress (native/tiffcodec.cpp::unmicst_deflate):
+    greedy single-probe matching + per-block dynamic Huffman with exact
+    stored/static/dynamic choice.  2-5x zlib level 3 (the writer
+    default) on probability maps and raw planes at <2% ratio cost on
+    real outputs — measured table in BASELINE.md.  None when the lib is
+    absent (callers fall back to zlib)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(data) + (len(data) >> 6) + 1024
+    buf = np.empty(cap, np.uint8)
+    n = lib.unmicst_deflate(
+        data, len(data), buf.ctypes.data_as(ctypes.c_void_p), cap
+    )
+    if n < 0:
+        raise ValueError("native deflate: output buffer undersized")
+    return buf[:n].tobytes()
 
 
 def decode_strips(

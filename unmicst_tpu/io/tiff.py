@@ -143,6 +143,20 @@ def _unpack_packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _encode_deflate(data: bytes, level: int) -> bytes:
+    """Strip encoder: levels 1..3 go through the native fast encoder
+    (greedy match + per-block dynamic Huffman, 2-5x zlib-3 at <2% ratio
+    cost on real probability maps — BASELINE.md); 4..9, or a missing
+    native lib, use zlib at that level for maximum ratio."""
+    if level <= 3:
+        from unmicst_tpu.io import _native
+
+        out = _native.deflate(data)
+        if out is not None:
+            return out
+    return zlib.compress(data, level)
+
+
 def _decode(data: bytes, compression: int, max_out: int = 0) -> bytes:
     """Decode one strip/tile.  Uses the native C++ codecs
     (``native/tiffcodec.cpp``, built via ``python native/build.py``) when
@@ -641,9 +655,9 @@ class TiffWriter:
                 f"compression_level must be 1..9, got {compression_level}"
             )
         self._compress = compression == "deflate"
-        # default 3: ~level-1 encode speed (2-3x faster than zlib's
-        # default 6) at nearly level-6 ratio on probability maps
-        # (measured: 384 vs 178 MB/s, 14.9x vs 19.3x — BASELINE.md)
+        # levels 1..3 (3 = default) route through the native encoder
+        # (2-5x zlib-3 at <2% ratio cost on real probability maps —
+        # BASELINE.md "deflate encode"); 4..9 keep zlib for max ratio
         self._level = int(compression_level)
         self.path = path
         self.big = bigtiff
@@ -717,7 +731,7 @@ class TiffWriter:
         for s in range(n_strips):
             data = image[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
             if self._compress:
-                data = zlib.compress(data, self._level)
+                data = _encode_deflate(data, self._level)
             strip_offsets.append(fh.tell())
             strip_counts.append(len(data))
             fh.write(data)
