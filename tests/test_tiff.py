@@ -481,10 +481,35 @@ def test_deflate_tiff_read_uses_native_path(tmp_path, rng, monkeypatch):
     np.testing.assert_array_equal(got, img)
     assert batched == [len(TiffFile(fn).pages[0].strip_offsets)]
     assert not per_strip, "full-page read fell back to per-strip decode"
-    # windowed read: per-strip native inflate
-    win = TiffFile(fn).read_region(0, 37, 0, 64, 200)
-    np.testing.assert_array_equal(win, img[37:101])
-    assert per_strip, "windowed read did not use the native inflate"
+    # windowed reads batch the intersecting strip range in one call too
+    win = TiffFile(fn).read_region(0, 37, 11, 64, 150)
+    np.testing.assert_array_equal(win, img[37:101, 11:161])
+    assert len(batched) == 2 and batched[1] <= batched[0]
+    assert not per_strip, "windowed read fell back to per-strip decode"
+
+
+def test_windowed_batched_equals_per_strip(tmp_path, rng, monkeypatch):
+    """read_region through the batched range decode == the per-strip
+    fallback, across window shapes (strip-aligned, straddling, partial
+    columns, beyond-image padding) and codecs."""
+    from unmicst_tpu.io import _native
+
+    if _native.get_lib() is None:
+        pytest.skip("native codec library unavailable")
+    from PIL import Image
+
+    img = (rng.rand(301, 211) * 65535).astype(np.uint16)
+    for codec in ("tiff_adobe_deflate", "tiff_lzw"):
+        fn = str(tmp_path / f"{codec}.tif")
+        Image.fromarray(img).save(fn, compression=codec)
+        windows = [(0, 0, 301, 211), (8, 0, 8, 211), (3, 5, 50, 60),
+                   (290, 200, 40, 40), (0, 0, 1, 1)]
+        for r0, c0, nr, nc in windows:
+            got = TiffFile(fn).read_region(0, r0, c0, nr, nc)
+            monkeypatch.setattr(_native, "decode_strips", lambda *a: None)
+            want = TiffFile(fn).read_region(0, r0, c0, nr, nc)
+            monkeypatch.undo()
+            np.testing.assert_array_equal(got, want, err_msg=f"{codec} {r0},{c0}")
 
 
 def test_native_deflate_encoder_roundtrips(rng):

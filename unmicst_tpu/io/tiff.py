@@ -410,29 +410,32 @@ class TiffFile:
         self._fh.seek(offset)
         return _decode(self._fh.read(count), page.compression, max_out)
 
-    def _read_page_batched(self, page, dtype, row_bytes, n_strips):
-        """One-call native decode of all strips into the plane buffer, or
-        None when the page/layout/library doesn't support it (caller
-        falls back to the per-strip loop).  See unmicst_decode_strips in
-        native/tiffcodec.cpp."""
+    def _read_strips_batched(self, page, dtype, row_bytes, s0, s1):
+        """One-call native decode of strips [s0, s1) into a band buffer
+        (rows ``s0*rps .. min(s1*rps, height)``, predictor undone, native
+        byte order), or None when the page/layout/library doesn't support
+        it (callers fall back to the per-strip loop).  Used whole-plane
+        by read_page and windowed by read_region.  See
+        unmicst_decode_strips in native/tiffcodec.cpp."""
         from unmicst_tpu.io import _native
 
+        n = s1 - s0
         if (
             page.compression not in (COMPRESSION_DEFLATE,
                                      COMPRESSION_DEFLATE_ADOBE,
                                      COMPRESSION_LZW, COMPRESSION_PACKBITS)
-            or n_strips == 0
+            or n <= 0
             or page.rows_per_strip <= 0
             or _native.get_lib() is None
-            # predictor undo below runs on the assembled plane; the
+            # predictor undo below runs on the assembled band; the
             # native helper handles 1- and 2-byte single-sample rows only
             or (page.predictor == 2
                 and not (page.samples == 1 and page.dtype.itemsize in (1, 2)))
         ):
             return None
-        offs = np.asarray(page.strip_offsets, np.int64)
-        cnts = np.asarray(page.strip_counts, np.int64)
-        if n_strips > 1 and np.any(np.diff(offs) < 0):
+        offs = np.asarray(page.strip_offsets[s0:s1], np.int64)
+        cnts = np.asarray(page.strip_counts[s0:s1], np.int64)
+        if n > 1 and np.any(np.diff(offs) < 0):
             return None  # descending layout: span read would be wasteful
         if np.any(cnts < 0) or np.any(offs < 0):
             return None
@@ -445,7 +448,7 @@ class TiffFile:
         if need < 0 or need > total + (total >> 2) + 65536:
             return None
         rows_left = page.height - page.rows_per_strip * np.arange(
-            n_strips, dtype=np.int64
+            s0, s1, dtype=np.int64
         )
         dst_lens = np.minimum(page.rows_per_strip, rows_left) * row_bytes
         if dst_lens.min() <= 0:
@@ -457,7 +460,8 @@ class TiffFile:
         span = self._fh.read(need)
         if len(span) < need:
             raise ValueError("TIFF data truncated mid-page")
-        out8 = np.empty(int(page.height) * row_bytes, np.uint8)
+        band_rows = int(dst_lens.sum()) // row_bytes
+        out8 = np.empty(band_rows * row_bytes, np.uint8)
         codec = (8 if page.compression == COMPRESSION_DEFLATE else
                  int(page.compression))
         if not _native.decode_strips(
@@ -467,13 +471,11 @@ class TiffFile:
         arr = out8.view(dtype)
         if dtype != page.dtype:  # byte-swapped file: one swap copy
             arr = arr.astype(page.dtype)
-        out = arr.reshape(page.height, page.width * page.samples)
+        out = arr.reshape(band_rows, page.width * page.samples)
         if page.predictor == 2:
             _undo_predictor(
-                out.reshape(page.height, page.width, page.samples), 2
+                out.reshape(band_rows, page.width, page.samples), 2
             )
-        if page.samples > 1:
-            out = out.reshape(page.height, page.width, page.samples)
         return out
 
     def read_page(self, index: int = 0) -> np.ndarray:
@@ -545,8 +547,10 @@ class TiffFile:
         # on deflate/LZW planes, scripts/codec_bench.py).  Falls through
         # to the per-strip loop for descending strip layouts, sparse
         # spans, or predictor/sample combos the native undo can't take.
-        batched = self._read_page_batched(page, dtype, row_bytes, n_strips)
+        batched = self._read_strips_batched(page, dtype, row_bytes, 0, n_strips)
         if batched is not None:
+            if page.samples > 1:
+                return batched.reshape(page.height, page.width, page.samples)
             return batched
         rows_done = 0
         out = np.empty((page.height, page.width * page.samples), page.dtype)
@@ -613,20 +617,42 @@ class TiffFile:
         else:
             rps = page.rows_per_strip
             s0, s1 = r0 // rps, (min(r1, page.height) + rps - 1) // rps
-            for s in range(s0, s1):
-                sr0 = s * rps
-                srows = min(rps, page.height - sr0)
-                buf = self._decode_segment(
-                    int(page.strip_offsets[s]), int(page.strip_counts[s]),
-                    page, srows * page.width * page.samples * (page.bits // 8),
-                )
-                arr = np.frombuffer(buf, dtype=dtype, count=srows * page.width * page.samples)
-                arr = arr.reshape(srows, page.width, page.samples).astype(page.dtype)
-                if page.predictor == 2:
-                    _undo_predictor(arr, 2)
-                a, b = max(r0, sr0), min(r1, sr0 + srows)
+            row_bytes = page.width * page.samples * (page.bits // 8)
+            band = (
+                self._read_strips_batched(page, dtype, row_bytes, s0, s1)
+                if s1 > s0 else None
+            )
+            if band is not None:
+                # one native call decoded strips [s0, s1) as whole rows;
+                # slice the window out of the band
+                band = band.reshape(-1, page.width, page.samples)
+                b0 = s0 * rps
+                a, b = max(r0, b0), min(r1, b0 + band.shape[0])
                 cc1 = min(c1, page.width)
-                out[a - r0 : b - r0, : cc1 - c0] = arr[a - sr0 : b - sr0, c0:cc1]
+                out[a - r0 : b - r0, : cc1 - c0] = band[a - b0 : b - b0, c0:cc1]
+            else:
+                for s in range(s0, s1):
+                    sr0 = s * rps
+                    srows = min(rps, page.height - sr0)
+                    buf = self._decode_segment(
+                        int(page.strip_offsets[s]), int(page.strip_counts[s]),
+                        page,
+                        srows * page.width * page.samples * (page.bits // 8),
+                    )
+                    arr = np.frombuffer(
+                        buf, dtype=dtype,
+                        count=srows * page.width * page.samples,
+                    )
+                    arr = arr.reshape(
+                        srows, page.width, page.samples
+                    ).astype(page.dtype)
+                    if page.predictor == 2:
+                        _undo_predictor(arr, 2)
+                    a, b = max(r0, sr0), min(r1, sr0 + srows)
+                    cc1 = min(c1, page.width)
+                    out[a - r0 : b - r0, : cc1 - c0] = arr[
+                        a - sr0 : b - sr0, c0:cc1
+                    ]
         if page.samples == 1:
             out = out[:, :, 0]
         return out
