@@ -691,6 +691,29 @@ def test_tiled_page_whole_and_windowed(tmp_path, rng, compression,
         np.testing.assert_array_equal(got, img[r0 : r0 + nr, c0 : c0 + nc])
 
 
+def test_tiled_batched_matches_per_tile(tmp_path, rng):
+    """The one-call native tile-band decode must agree with the per-tile
+    loop on every window shape — including a narrow column window whose
+    file span is sparse (the batched path declines it and falls back)."""
+    img = (rng.rand(256, 512) * 65535).astype(np.uint16)
+    p = str(tmp_path / "tb.tif")
+    _write_tiled_tiff(p, img, 64, 64, "deflate", 2)
+    tf = TiffFile(p)
+    windows = [(0, 0, 256, 512),    # whole page (dense span)
+               (10, 400, 200, 70),  # tall narrow column (sparse span)
+               (60, 60, 10, 10)]    # single interior tile
+    for (r0, c0, nr, nc) in windows:
+        got = tf.read_region(0, r0, c0, nr, nc)
+        orig = TiffFile._read_tiles_batched
+        TiffFile._read_tiles_batched = lambda *a, **kw: None
+        try:
+            ref = tf.read_region(0, r0, c0, nr, nc)
+        finally:
+            TiffFile._read_tiles_batched = orig
+        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_array_equal(got, img[r0 : r0 + nr, c0 : c0 + nc])
+
+
 def test_tiled_int16_predictor(tmp_path, rng):
     """Predictor arithmetic on signed 16-bit tiles (wraparound must use
     modular arithmetic, not saturate)."""

@@ -478,6 +478,80 @@ class TiffFile:
             )
         return out
 
+    def _read_tiles_batched(self, page, dtype, ti0, ti1, tj0, tj1,
+                            tiles_across):
+        """One-call native decode of the tile rectangle
+        ``[ti0, ti1) x [tj0, tj1)`` into a (n_tiles, th, tw, samples)
+        array (predictor undone, native byte order), or None when the
+        page/layout/library doesn't support it (callers fall back to the
+        per-tile loop).  Tiles always decode to the full padded tile size
+        (TIFF 6.0 "Tiled Images"), so every dst_len is tile_bytes; a
+        writer that over-pads a compressed tile fails the exact-length
+        native contract and falls back.  See unmicst_decode_strips in
+        native/tiffcodec.cpp."""
+        from unmicst_tpu.io import _native
+
+        tw, th = page.tile_width, page.tile_length
+        n = (ti1 - ti0) * (tj1 - tj0)
+        if (
+            page.compression not in (COMPRESSION_DEFLATE,
+                                     COMPRESSION_DEFLATE_ADOBE,
+                                     COMPRESSION_LZW, COMPRESSION_PACKBITS)
+            or n <= 0
+            or tw <= 0
+            or th <= 0
+            or _native.get_lib() is None
+            or (page.predictor == 2
+                and not (page.samples == 1 and page.dtype.itemsize in (1, 2)))
+        ):
+            return None
+        ks = (np.arange(ti0, ti1, dtype=np.int64)[:, None] * tiles_across
+              + np.arange(tj0, tj1, dtype=np.int64)[None, :]).ravel()
+        if int(ks[-1]) >= len(page.tile_offsets):
+            return None  # header promises fewer tiles: per-tile loop raises
+        offs = page.tile_offsets[ks].astype(np.int64)
+        cnts = page.tile_counts[ks].astype(np.int64)
+        if n > 1 and np.any(np.diff(offs) < 0):
+            return None  # non-sequential layout: span read would backtrack
+        if np.any(cnts < 0) or np.any(offs < 0):
+            return None
+        span0 = int(offs[0])
+        span1 = int((offs + cnts).max())
+        total = int(cnts.sum())
+        need = span1 - span0
+        # sparse span (e.g. a narrow column window skipping most of each
+        # tile row in the file): reading the span would pull in unrelated
+        # bytes; the per-tile loop wins there
+        if need < 0 or need > total + (total >> 2) + 65536:
+            return None
+        tile_bytes = th * tw * page.samples * (page.bits // 8)
+        dst_offs = np.arange(n, dtype=np.int64) * tile_bytes
+        dst_lens = np.full(n, tile_bytes, np.int64)
+        self._fh.seek(span0)
+        span = self._fh.read(need)
+        if len(span) < need:
+            raise ValueError("TIFF data truncated mid-page")
+        out8 = np.empty(n * tile_bytes, np.uint8)
+        codec = (8 if page.compression == COMPRESSION_DEFLATE else
+                 int(page.compression))
+        try:
+            if not _native.decode_strips(
+                span, offs - span0, cnts, dst_offs, dst_lens, codec, out8
+            ):
+                return None
+        except ValueError:
+            # a tile decoding to other than the exact padded size (writer
+            # slack): the per-tile path decodes with slack and truncates
+            return None
+        arr = out8.view(dtype)
+        if dtype != page.dtype:  # byte-swapped file: one swap copy
+            arr = arr.astype(page.dtype)
+        tiles = arr.reshape(n, th, tw, page.samples)
+        if page.predictor == 2:
+            # tile rows are independent predictor rows of width tw
+            _undo_predictor(tiles.reshape(n * th, tw, page.samples), 2)
+        return tiles
+
     def read_page(self, index: int = 0) -> np.ndarray:
         """Decode a full page to a numpy array (H, W) or (H, W, S)."""
         page = self.pages[index]
@@ -597,17 +671,28 @@ class TiffFile:
             tiles_across = (page.width + tw - 1) // tw
             ti0, ti1 = r0 // th, (min(r1, page.height) + th - 1) // th
             tj0, tj1 = c0 // tw, (min(c1, page.width) + tw - 1) // tw
+            band = self._read_tiles_batched(
+                page, dtype, ti0, ti1, tj0, tj1, tiles_across
+            )
+            idx = 0
             for ti in range(ti0, ti1):
                 for tj in range(tj0, tj1):
-                    k = ti * tiles_across + tj
-                    buf = self._decode_segment(
-                        int(page.tile_offsets[k]), int(page.tile_counts[k]),
-                        page, th * tw * page.samples * (page.bits // 8),
-                    )
-                    arr = np.frombuffer(buf, dtype=dtype, count=th * tw * page.samples)
-                    arr = arr.reshape(th, tw, page.samples).astype(page.dtype)
-                    if page.predictor == 2:
-                        _undo_predictor(arr, 2)
+                    if band is not None:
+                        arr = band[idx]
+                        idx += 1
+                    else:
+                        k = ti * tiles_across + tj
+                        buf = self._decode_segment(
+                            int(page.tile_offsets[k]),
+                            int(page.tile_counts[k]),
+                            page, th * tw * page.samples * (page.bits // 8),
+                        )
+                        arr = np.frombuffer(
+                            buf, dtype=dtype, count=th * tw * page.samples
+                        )
+                        arr = arr.reshape(th, tw, page.samples).astype(page.dtype)
+                        if page.predictor == 2:
+                            _undo_predictor(arr, 2)
                     tr0, tc0 = ti * th, tj * tw
                     sr0, sr1 = max(r0, tr0), min(r1, tr0 + th, page.height)
                     sc0, sc1 = max(c0, tc0), min(c1, tc0 + tw, page.width)
