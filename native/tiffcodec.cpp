@@ -1135,6 +1135,139 @@ constexpr int kEncHashBits = 15;
 // compressed size, or -1 when dst_cap is insufficient (callers size
 // dst >= n + n/64 + 1024; stored blocks bound the true worst case at
 // n + 5*ceil(n/65535) + 15 or so).
+// Chain-search DEFLATE encoder (zlib deflate_slow shape): head + prev
+// hash chains over the 32K window, lazy one-step match deferral, and
+// the good/lazy/nice/chain heuristics.  Same token/block emitter as the
+// greedy encoder.  Slower than the greedy path but reaches zlib-6-class
+// ratios on smooth/low-entropy planes where greedy single-probe leaves
+// 15-20% on the table; callers pick it for levels >= 4 (see
+// unmicst_tpu/io/tiff.py::_encode_deflate).
+extern "C" long long unmicst_deflate_chain(const uint8_t* src, long long n,
+                                           uint8_t* dst, long long dst_cap,
+                                           long long max_chain,
+                                           long long nice_len,
+                                           long long good_len,
+                                           long long max_lazy) {
+  if (n < 0 || dst_cap < 16) return -1;
+  dst[0] = 0x78;
+  dst[1] = 0x9c;
+  BitWriter bw{dst + 2, dst_cap - 2 - 4};
+
+  std::vector<int64_t> head((size_t)1 << kEncHashBits);
+  for (auto& h : head) h = -(1ll << 40);
+  std::vector<int64_t> prevtab((size_t)32768, -(1ll << 40));
+  BlockCtx blk;
+  blk.reset();
+
+  auto hash4 = [&](long long j) -> uint32_t {
+    uint32_t v;
+    __builtin_memcpy(&v, src + j, 4);
+    return (v * 0x9E3779B1u) >> (32 - kEncHashBits);
+  };
+  // chain walk FIRST, insert after: position j's slot (j & 32767) aliases
+  // j - 32768, whose link must stay readable while j's chain is walked
+  auto insert = [&](long long j) {
+    uint32_t h = hash4(j);
+    prevtab[j & 32767] = head[h];
+    head[h] = j;
+  };
+  auto longest_at = [&](long long j, long long chain, int* out_dist) -> int {
+    long long max_len = n - j;
+    if (max_len > 258) max_len = 258;
+    if (max_len < 4) return 0;
+    long long limit = j - 32768;
+    long long cand = head[hash4(j)];
+    uint32_t here;
+    __builtin_memcpy(&here, src + j, 4);
+    int best = 0;
+    long long bestpos = -1;
+    for (long long c = 0; c < chain && cand >= 0 && cand >= limit; ++c) {
+      // a longer match must extend the current best AND share the start
+      if (best == 0 || src[cand + best] == src[j + best]) {
+        uint32_t there;
+        __builtin_memcpy(&there, src + cand, 4);
+        if (there == here) {
+          int len = 4;
+          while (len < max_len && src[cand + len] == src[j + len]) ++len;
+          if (len > best) {
+            best = len;
+            bestpos = cand;
+            if (len >= nice_len || len >= max_len) break;
+          }
+        }
+      }
+      cand = prevtab[cand & 32767];
+    }
+    *out_dist = (int)(j - bestpos);
+    return best;
+  };
+
+  long long i = 0, block_start = 0;
+  const long long last_hashable = n - 4;
+  int prev_len = 0, prev_dist = 0;
+  bool have_lit = false;  // pending token decision at position i-1
+  while (i < n) {
+    if (prev_len < 4 && i - block_start >= kEncBlockIn + 1) {
+      // safe flush point: the only pending state is a plain literal
+      if (have_lit) {
+        blk.tokens.push_back(src[i - 1]);
+        blk.lfreq[src[i - 1]]++;
+        have_lit = false;
+        prev_len = 0;
+      }
+      emit_block(bw, blk, src + block_start, i - block_start, false);
+      if (bw.fail) return -1;
+      blk.reset();
+      block_start = i;
+    }
+    int len = 0, dist = 0;
+    if (i <= last_hashable) {
+      if (prev_len < max_lazy) {
+        long long chain = prev_len >= good_len ? max_chain >> 2 : max_chain;
+        len = longest_at(i, chain, &dist);
+      }
+      insert(i);
+    }
+    if (prev_len >= 4 && len <= prev_len) {
+      // the match starting at i-1 wins over anything at i
+      blk.tokens.push_back(0x80000000u | ((uint32_t)prev_len << 16) |
+                           (uint32_t)prev_dist);
+      blk.lfreq[257 + kLenLut.sym[prev_len]]++;
+      blk.dfreq[dist_sym(prev_dist)]++;
+      long long end = i - 1 + prev_len;  // first position after the match
+      for (long long j = i + 1; j < end && j <= last_hashable; ++j)
+        insert(j);
+      i = end;
+      prev_len = 0;
+      have_lit = false;
+    } else {
+      if (have_lit) {
+        blk.tokens.push_back(src[i - 1]);
+        blk.lfreq[src[i - 1]]++;
+      }
+      prev_len = len;
+      prev_dist = dist;
+      have_lit = true;
+      ++i;
+    }
+  }
+  if (have_lit) {
+    blk.tokens.push_back(src[n - 1]);
+    blk.lfreq[src[n - 1]]++;
+  }
+  emit_block(bw, blk, src + block_start, i - block_start, true);
+  bw.align_byte();
+  if (bw.fail) return -1;
+  long long out = 2 + bw.pos;
+  if (out + 4 > dst_cap) return -1;
+  uint32_t ad = adler32(src, n);
+  dst[out] = (uint8_t)(ad >> 24);
+  dst[out + 1] = (uint8_t)(ad >> 16);
+  dst[out + 2] = (uint8_t)(ad >> 8);
+  dst[out + 3] = (uint8_t)ad;
+  return out + 4;
+}
+
 extern "C" long long unmicst_deflate(const uint8_t* src, long long n,
                                      uint8_t* dst, long long dst_cap) {
   if (n < 0 || dst_cap < 16) return -1;

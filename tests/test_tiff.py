@@ -554,16 +554,59 @@ def test_deflate_writer_native_output_read_by_pil(tmp_path, rng, monkeypatch):
     with Image.open(p) as im:
         np.testing.assert_array_equal(np.asarray(im), img)
     np.testing.assert_array_equal(imread(p), img)
-    # high level keeps zlib (ratio mode), still round-trips
+    # high level takes the native chain-search encoder, still round-trips
     p9 = str(tmp_path / "n9.tif")
     imwrite(p9, img, bigtiff=False, compression="deflate",
             compression_level=9)
     np.testing.assert_array_equal(imread(p9), img)
+    with Image.open(p9) as im:
+        np.testing.assert_array_equal(np.asarray(im), img)
     # masked lib: zlib fallback inside _encode_deflate
     monkeypatch.setattr(_native, "deflate", lambda d: None)
     pf = str(tmp_path / "f.tif")
     imwrite(pf, img, bigtiff=False, compression="deflate")
     np.testing.assert_array_equal(imread(pf), img)
+
+
+def test_chain_deflate_roundtrip_all_levels(rng, monkeypatch):
+    """The chain-search encoder (levels 4..9) must produce valid zlib
+    streams on adversarial payloads — long runs (deep hash chains),
+    periodic data (lazy-match churn), incompressible noise, empty and
+    sub-minimum-match inputs — and fall back to zlib when the lib is
+    absent."""
+    import zlib as _z
+
+    from unmicst_tpu.io import _native
+    from unmicst_tpu.io.tiff import _encode_deflate
+
+    if _native.get_lib() is None:
+        pytest.skip("native lib not built")
+    payloads = [
+        b"",
+        b"a",
+        b"abc",
+        b"\x00" * 300000,                      # one run > block size
+        bytes(range(256)) * 1200,              # periodic, period 256
+        b"ab" * 100000,                        # period 2: maximal chains
+        (rng.rand(200000) * 255).astype(np.uint8).tobytes(),  # noise
+        np.kron(rng.rand(256, 256),
+                np.ones((2, 2))).astype(np.float32).tobytes(),  # smooth
+    ]
+    for data in payloads:
+        for lvl in (4, 6, 9):
+            out = _native.deflate_chain(data, lvl)
+            assert _z.decompress(out) == data
+        assert _z.decompress(_encode_deflate(data, 6)) == data
+    # chain ratio must beat greedy meaningfully on smooth data (the
+    # reason the mode exists)
+    smooth = np.kron(rng.rand(128, 128), np.ones((8, 8)))
+    smooth = (smooth * 4000).astype(np.uint16).tobytes()
+    n_chain = len(_native.deflate_chain(smooth, 6))
+    n_greedy = len(_native.deflate(smooth))
+    assert n_chain < n_greedy * 0.75
+    # masked lib: levels >= 4 fall back to zlib
+    monkeypatch.setattr(_native, "deflate_chain", lambda d, lvl: None)
+    assert _z.decompress(_encode_deflate(b"xyz" * 1000, 6)) == b"xyz" * 1000
 
 
 def test_batched_decode_falls_back_per_strip(tmp_path, rng, monkeypatch):

@@ -95,6 +95,18 @@ def _load(path: str) -> ctypes.CDLL:
         ctypes.c_void_p,
         ctypes.c_longlong,
     ]
+    fn = lib.unmicst_deflate_chain
+    fn.restype = ctypes.c_longlong
+    fn.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_longlong,
+        ctypes.c_void_p,
+        ctypes.c_longlong,
+        ctypes.c_longlong,  # max_chain
+        ctypes.c_longlong,  # nice_len
+        ctypes.c_longlong,  # good_len
+        ctypes.c_longlong,  # max_lazy
+    ]
     fn = lib.unmicst_decode_strips
     fn.restype = ctypes.c_longlong
     fn.argtypes = [
@@ -189,6 +201,40 @@ def deflate(data: bytes) -> Optional[bytes]:
     buf = np.empty(cap, np.uint8)
     n = lib.unmicst_deflate(
         data, len(data), buf.ctypes.data_as(ctypes.c_void_p), cap
+    )
+    if n < 0:
+        raise ValueError("native deflate: output buffer undersized")
+    return buf[:n].tobytes()
+
+
+# zlib's deflate_slow configuration_table rows (good, lazy, nice, chain)
+# for levels 4..9 — the reference speed/ratio trade each level names
+_CHAIN_PARAMS = {
+    4: (4, 4, 16, 16),
+    5: (8, 16, 32, 32),
+    6: (8, 16, 128, 128),
+    7: (8, 32, 128, 256),
+    8: (32, 128, 258, 1024),
+    9: (32, 258, 258, 4096),
+}
+
+
+def deflate_chain(data: bytes, level: int) -> Optional[bytes]:
+    """zlib-stream compress with hash-chain + lazy matching
+    (native/tiffcodec.cpp::unmicst_deflate_chain) at zlib's per-level
+    good/lazy/nice/chain parameters.  Reaches zlib-6-class ratios on
+    smooth planes where the greedy encoder leaves 15-20%; 2-4x zlib at
+    the same level (measured table in BASELINE.md).  None when the lib
+    is absent (callers fall back to zlib)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    good, lazy, nice, chain = _CHAIN_PARAMS[max(4, min(9, level))]
+    cap = len(data) + (len(data) >> 6) + 1024
+    buf = np.empty(cap, np.uint8)
+    n = lib.unmicst_deflate_chain(
+        data, len(data), buf.ctypes.data_as(ctypes.c_void_p), cap,
+        chain, nice, good, lazy,
     )
     if n < 0:
         raise ValueError("native deflate: output buffer undersized")

@@ -146,14 +146,18 @@ def _unpack_packbits(data: bytes) -> bytes:
 def _encode_deflate(data: bytes, level: int) -> bytes:
     """Strip encoder: levels 1..3 go through the native fast encoder
     (greedy match + per-block dynamic Huffman, 2-5x zlib-3 at <2% ratio
-    cost on real probability maps — BASELINE.md); 4..9, or a missing
-    native lib, use zlib at that level for maximum ratio."""
-    if level <= 3:
-        from unmicst_tpu.io import _native
+    cost on real probability maps — BASELINE.md); 4..9 use the native
+    chain-search encoder at zlib's own good/lazy/nice/chain parameters
+    for that level (zlib-class ratio, 2-4x faster — BASELINE.md).  A
+    missing native lib falls back to zlib at the requested level."""
+    from unmicst_tpu.io import _native
 
+    if level <= 3:
         out = _native.deflate(data)
-        if out is not None:
-            return out
+    else:
+        out = _native.deflate_chain(data, level)
+    if out is not None:
+        return out
     return zlib.compress(data, level)
 
 
