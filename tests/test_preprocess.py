@@ -72,6 +72,46 @@ def test_postprocess_double_quantization():
     assert abs(int(out[0, 0]) - 127) <= 1
 
 
+def test_preprocess_lut_fast_path_matches_float_path(rng):
+    """The scale-1 LUT fast paths of preprocess_channel/postprocess_pm
+    must be BIT-identical to the resize-based float path (the reference
+    formula) — including the degenerate constant-plane, min>0, outlier-
+    percentile, solo-quirk, and all-zero cases."""
+
+    def float_path(plane, outlier, use_rescaled):
+        resized = pp.resize(plane, plane.shape)
+        if outlier == -1:
+            max_limit = resized.max()
+        else:
+            max_limit = np.percentile(resized, outlier)
+        rescaled = pp.im2double(pp.rescale_intensity(
+            resized, (resized.min(), max_limit), (0, 0.983)))
+        raw_d = pp.im2double(plane)
+        raw_norm = raw_d / raw_d.max() if raw_d.max() > 0 else raw_d
+        return (rescaled if use_rescaled else resized), raw_norm
+
+    cases = [
+        ((rng.rand(61, 83) * 65535).astype(np.uint16), -1, True),
+        ((rng.rand(61, 83) * 255).astype(np.uint8), -1, True),
+        (np.full((16, 16), 1234, np.uint16), -1, True),   # imax == imin
+        (np.zeros((16, 16), np.uint16), -1, True),        # vmax == 0
+        ((rng.rand(50, 50) * 1000 + 5000).astype(np.uint16), -1, True),
+        ((rng.rand(64, 64) * 65535).astype(np.uint16), 99.0, True),
+        ((rng.rand(64, 64) * 65535).astype(np.uint16), -1, False),
+        ((rng.rand(64, 64) * 65535).astype(np.uint16), 95.0, False),
+    ]
+    for plane, outlier, use_rescaled in cases:
+        got = pp.preprocess_channel(plane, 1.0, outlier, use_rescaled)
+        net, raw = float_path(plane, outlier, use_rescaled)
+        np.testing.assert_array_equal(got.net_input, net)
+        np.testing.assert_array_equal(got.raw_norm, raw)
+    pm = rng.rand(61, 83).astype(np.float32)
+    q = np.uint8(255 * pm)
+    np.testing.assert_array_equal(
+        pp.postprocess_pm(pm, (61, 83)), np.uint8(255 * pp.resize(q, (61, 83)))
+    )
+
+
 def test_preview_u8_from_raw_matches_float_path(rng):
     """LUT preview == uint8(255 * raw_norm) bit-for-bit (uint16/uint8),
     and the float fallback handles other dtypes."""

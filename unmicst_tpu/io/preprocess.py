@@ -347,6 +347,41 @@ def preprocess_channel(
     raw_shape = plane.shape
     h = int(float(raw_shape[0]) * float(scaling_factor))
     w = int(float(raw_shape[1]) * float(scaling_factor))
+    if (h, w) == tuple(raw_shape) and plane.dtype in (
+        np.dtype(np.uint8), np.dtype(np.uint16)
+    ):
+        # scale-1 fast path: with no resampling, every per-pixel op in
+        # the chain (img_as_float, clip, linear rescale, /max) is a pure
+        # function of the 8/16-bit input value — run the float64 math
+        # over a value table and gather, bit-identical to the full-image
+        # float path (same ops per distinct value; min/max commute with
+        # the monotone v/divisor map).  ~11 full-plane float64 passes
+        # collapse to 2-3 gathers: 675 -> ~210 ms per 16 Mpx plane on a
+        # 1-core host (BASELINE.md).
+        values = np.arange(
+            256 if plane.dtype == np.uint8 else 65536, dtype=plane.dtype
+        )
+        lut_f = img_as_float(values)  # monotone: v / (255 | 65535)
+        vmin, vmax = int(plane.min()), int(plane.max())
+        resized = None
+        if outlier == -1:
+            max_limit = lut_f[vmax]
+        else:
+            resized = lut_f[plane]
+            max_limit = np.percentile(resized, outlier)
+        lut_net = im2double(
+            rescale_intensity(lut_f, (lut_f[vmin], max_limit), (0, 0.983))
+        )
+        lut_raw = lut_f / lut_f[vmax] if lut_f[vmax] > 0 else lut_f
+        if use_rescaled:
+            net_input = lut_net[plane]
+        else:
+            net_input = resized if resized is not None else lut_f[plane]
+        return PreprocessedChannel(
+            net_input=net_input,
+            raw_norm=lut_raw[plane],
+            raw_shape=raw_shape,
+        )
     resized = resize(plane, (h, w))  # float64 in [0,1]
     if outlier == -1:
         max_limit = resized.max()
@@ -396,5 +431,12 @@ def postprocess_pm(pm: np.ndarray, raw_shape: Tuple[int, int]) -> np.ndarray:
     resize then ``uint8(255*x)`` again; ``np.uint8`` truncates toward zero.
     """
     q = np.uint8(255 * pm)
+    if q.shape == tuple(raw_shape):
+        # scale-1 fast path: the identity resize is q/255 and the
+        # requantize is uint8(255*(q/255)) — a pure function of the
+        # uint8 value; one 256-entry LUT gather replaces the float64
+        # round-trip, bit-identical (same ops per distinct value)
+        lut = np.uint8(255 * img_as_float(np.arange(256, dtype=np.uint8)))
+        return lut[q]
     r = resize(q, raw_shape)
     return np.uint8(255 * r)
