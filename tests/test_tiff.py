@@ -99,6 +99,118 @@ def _write_predictor2_tiff(path, image):
         f.write(struct.pack("<I", 0))
 
 
+def _write_strip_tiff(path, image, codec_id, compress_fn, rows_per_strip=37):
+    """Hand-craft a multi-strip TIFF with an arbitrary compression tag
+    (for codecs PIL/cv2 can't write: zstd 50000, LZMA 34925)."""
+    import struct
+
+    h, w = image.shape
+    strips = [
+        compress_fn(image[r : r + rows_per_strip].tobytes())
+        for r in range(0, h, rows_per_strip)
+    ]
+    n = len(strips)
+    offs, pos = [], 8
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    arrays_off = pos
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h),
+        (258, 3, 1, image.dtype.itemsize * 8),
+        (259, 3, 1, codec_id), (262, 3, 1, 1),
+        (273, 4, n, arrays_off if n > 1 else offs[0]),
+        (277, 3, 1, 1), (278, 4, 1, rows_per_strip),
+        (279, 4, n, arrays_off + 4 * n if n > 1 else len(strips[0])),
+    ]
+    ifd_off = arrays_off + (8 * n if n > 1 else 0)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, ifd_off))
+        for s in strips:
+            f.write(s)
+        if n > 1:
+            f.write(struct.pack(f"<{n}I", *offs))
+            f.write(struct.pack(f"<{n}I", *(len(s) for s in strips)))
+        f.write(struct.pack("<H", len(entries)))
+        for tag, ftype, count, value in entries:
+            f.write(struct.pack("<HHII", tag, ftype, count, value))
+        f.write(struct.pack("<I", 0))
+
+
+def _zstd_compress(data):
+    import zstandard
+
+    return zstandard.ZstdCompressor(level=3).compress(data)
+
+
+def _lzma_compress(data):
+    import lzma as _lzma
+
+    return _lzma.compress(data)  # FORMAT_XZ, what libtiff writes
+
+
+@pytest.mark.parametrize("codec_id,compress_fn", [
+    (50000, _zstd_compress), (34925, _lzma_compress),
+])
+def test_zstd_lzma_strip_decode(tmp_path, rng, codec_id, compress_fn):
+    """tifffile/libtiff-style zstd (50000) and LZMA/xz (34925) strips:
+    whole-page and windowed reads, multi-strip, uint8 + uint16."""
+    for dtype, hi in ((np.uint8, 255), (np.uint16, 65535)):
+        img = (rng.rand(150, 97) * hi).astype(dtype)
+        p = str(tmp_path / f"{codec_id}_{dtype.__name__}.tif")
+        _write_strip_tiff(p, img, codec_id, compress_fn)
+        tf = TiffFile(p)
+        np.testing.assert_array_equal(tf.read_page(0), img)
+        np.testing.assert_array_equal(
+            tf.read_region(0, 30, 10, 60, 50), img[30:90, 10:60]
+        )
+        tf.close()
+
+
+@pytest.mark.parametrize("codec_id,compress_fn", [
+    (50000, _zstd_compress), (34925, _lzma_compress),
+])
+def test_zstd_lzma_corrupt_strip_raises(tmp_path, rng, codec_id,
+                                        compress_fn):
+    img = (rng.rand(40, 30) * 255).astype(np.uint8)
+    p = str(tmp_path / "c.tif")
+    _write_strip_tiff(p, img, codec_id, compress_fn, rows_per_strip=40)
+    blob = bytearray(open(p, "rb").read())
+    blob[12] ^= 0xFF  # mid-stream corruption
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError):
+        TiffFile(p).read_page(0)
+
+
+def test_zstd_strip_bomb_bounded(tmp_path):
+    """A zstd strip decompressing far beyond its strip geometry must be
+    rejected by the output bound, not allocated — BOTH for frames that
+    declare their content size in the header (zstandard ignores
+    max_output_size for those: the bound must pre-check the declared
+    size) and for streaming frames with unknown size."""
+    import io as _io
+
+    import zstandard
+
+    def streaming_frame(payload):
+        buf = _io.BytesIO()
+        with zstandard.ZstdCompressor(level=3).stream_writer(
+            buf, closefd=False
+        ) as w:
+            w.write(payload)
+        return buf.getvalue()
+
+    img = np.zeros((8, 8), np.uint8)
+    for maker in (_zstd_compress, streaming_frame):
+        p = str(tmp_path / "b.tif")
+        # strip claims 8x8 but the frame holds 100 MB of zeros
+        _write_strip_tiff(p, img, 50000,
+                          lambda _: maker(b"\0" * (100 << 20)),
+                          rows_per_strip=8)
+        with pytest.raises(ValueError):
+            TiffFile(p).read_page(0)
+
+
 @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
 def test_predictor2_decode(tmp_path, rng, dtype):
     """Horizontal-differencing predictor undo runs along the width axis

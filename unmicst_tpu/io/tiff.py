@@ -58,6 +58,8 @@ COMPRESSION_LZW = 5
 COMPRESSION_DEFLATE_ADOBE = 8
 COMPRESSION_DEFLATE = 32946
 COMPRESSION_PACKBITS = 32773
+COMPRESSION_LZMA = 34925   # libtiff: per-strip .xz streams
+COMPRESSION_ZSTD = 50000   # libtiff/tifffile: per-strip zstd frames
 
 # TIFF field types -> (struct char, size)
 _FIELD_TYPES = {
@@ -207,6 +209,25 @@ def _decode(data: bytes, compression: int, max_out: int = 0) -> bytes:
             except ValueError:
                 pass
         return _unpack_packbits(data)
+    if compression == COMPRESSION_ZSTD:
+        # tifffile/libtiff zstd strips: one zstd frame each.  Output is
+        # bounded by the strip geometry like every other codec here (the
+        # slack covers writer-padded final strips; callers truncate).
+        from unmicst_tpu.io import zstd as _zstd
+
+        return _zstd.decompress(data, max_out + 65536 if max_out else
+                                len(data) * 128 + 65536)
+    if compression == COMPRESSION_LZMA:
+        import lzma
+
+        try:
+            if max_out:
+                return lzma.LZMADecompressor().decompress(
+                    data, max_out + 65536
+                )
+            return lzma.decompress(data)
+        except lzma.LZMAError as exc:
+            raise ValueError(f"corrupt LZMA strip: {exc}") from None
     raise NotImplementedError(f"TIFF compression {compression} not supported")
 
 

@@ -37,6 +37,17 @@ def _load_backend() -> None:
         import zstandard
 
         def _py(data: bytes, max_out: int) -> bytes:
+            # zstandard IGNORES max_output_size when the frame header
+            # declares its content size (it allocates the declared size)
+            # — so a crafted frame declaring 100 GB would bypass the
+            # bound entirely.  Check the declared size first; -1 means
+            # unknown, where max_output_size does apply.
+            declared = zstandard.frame_content_size(data)
+            if declared > max_out:
+                raise ValueError(
+                    f"zstd frame declares {declared} bytes, bound is "
+                    f"{max_out}"
+                )
             # ZstdDecompressor instances are documented as not thread-safe;
             # construction is cheap next to a sub-block decompress, so make
             # one per call (concurrent CZI readers, threaded serving)
