@@ -233,9 +233,14 @@ def test_compress_output_flag(tmp_path, rng):
     assert cli.main(base + ["--outputPath", str(tmp_path / "c"),
                             "--compressOutput"]) == 0
     assert cli.main(base + ["--outputPath", str(tmp_path / "u")]) == 0
+    assert cli.main(base + ["--outputPath", str(tmp_path / "z"),
+                            "--compressOutput", "zstd"]) == 0
     with TiffFile(str(tmp_path / "c" / "img_Probabilities_1.tif")) as tc, \
-            TiffFile(str(tmp_path / "u" / "img_Probabilities_1.tif")) as tu:
-        assert len(tc.pages) == len(tu.pages) == 3
+            TiffFile(str(tmp_path / "u" / "img_Probabilities_1.tif")) as tu, \
+            TiffFile(str(tmp_path / "z" / "img_Probabilities_1.tif")) as tz:
+        assert len(tc.pages) == len(tu.pages) == len(tz.pages) == 3
         for k in range(3):
             assert tc.pages[k].compression == 8
+            assert tz.pages[k].compression == 50000
             np.testing.assert_array_equal(tc.read_page(k), tu.read_page(k))
+            np.testing.assert_array_equal(tz.read_page(k), tu.read_page(k))

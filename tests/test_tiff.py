@@ -182,6 +182,33 @@ def test_zstd_lzma_corrupt_strip_raises(tmp_path, rng, codec_id,
         TiffFile(p).read_page(0)
 
 
+def test_zstd_writer_roundtrip(tmp_path, rng):
+    """Opt-in zstd output (tag 50000): multi-strip, multi-page append,
+    strips are genuine zstd frames (independent zstandard decode)."""
+    import zstandard
+
+    img1 = (rng.rand(300, 200) * 255).astype(np.uint8)
+    img2 = (rng.rand(300, 200) * 65535).astype(np.uint16)
+    p = str(tmp_path / "z.tif")
+    imwrite(p, img1, bigtiff=True, compression="zstd")
+    imwrite(p, img2, bigtiff=True, append=True, compression="zstd",
+            compression_level=6)
+    tf = TiffFile(p)
+    assert tf.pages[0].compression == 50000
+    np.testing.assert_array_equal(tf.read_page(0), img1)
+    np.testing.assert_array_equal(tf.read_page(1), img2)
+    np.testing.assert_array_equal(tf.read_region(0, 10, 20, 50, 60),
+                                  img1[10:60, 20:80])
+    # first strip is a plain zstd frame an independent decoder accepts
+    pg = tf.pages[0]
+    tf._fh.seek(int(pg.strip_offsets[0]))
+    frame = tf._fh.read(int(pg.strip_counts[0]))
+    assert zstandard.ZstdDecompressor().decompress(
+        frame, max_output_size=1 << 20
+    ) == img1[: pg.rows_per_strip].tobytes()
+    tf.close()
+
+
 def test_zstd_strip_bomb_bounded(tmp_path):
     """A zstd strip decompressing far beyond its strip geometry must be
     rejected by the output bound, not allocated — BOTH for frames that

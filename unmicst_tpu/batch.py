@@ -26,7 +26,7 @@ import os
 import time
 import traceback
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List, Optional, Union
 
 import numpy as np
 
@@ -128,7 +128,7 @@ def run_sweep(
     resume: bool = True,
     verbose: bool = True,
     stream_above_px: int = 64_000_000,
-    compress_output: bool = False,
+    compress_output: Union[bool, str, None] = False,
 ) -> BatchReport:
     """Run the sweep over this shard's slides; resumable via cursor file.
 
@@ -148,9 +148,10 @@ def run_sweep(
     from unmicst_tpu.io.tiff import imwrite as _imwrite
     from unmicst_tpu.runtime.pipeline import StreamingEngine
 
-    imwrite = functools.partial(
-        _imwrite, compression="deflate" if compress_output else None
-    )
+    # compress_output: True/"deflate" -> deflate, "zstd" -> zstd
+    codec = ("deflate" if compress_output is True else
+             compress_output or None)
+    imwrite = functools.partial(_imwrite, compression=codec)
 
     bundle = load_model_dir(model_dir, mean, std)
     params = load_params_for_bundle(bundle)
@@ -328,8 +329,9 @@ def batch_main(argv=None) -> int:
     p.add_argument("--numShards", type=int, default=1)
     p.add_argument("--noResume", action="store_true")
     p.add_argument("--precision", choices=["float32", "bfloat16"], default="float32")
-    p.add_argument("--compressOutput", action="store_true",
-                   help="Deflate-compress output TIFF pages")
+    p.add_argument("--compressOutput", nargs="?", const="deflate",
+                   default=None, choices=["deflate", "zstd"],
+                   help="compress output TIFF pages (bare flag = deflate)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp

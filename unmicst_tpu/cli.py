@@ -127,10 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="print model zoo availability and exit",
     )
     p.add_argument(
-        "--compressOutput", action="store_true",
-        help="Deflate-compress output TIFF pages (probability maps shrink "
-        "~5-10x; any TIFF reader decodes them; the reference writes "
-        "uncompressed)",
+        "--compressOutput", nargs="?", const="deflate", default=None,
+        choices=["deflate", "zstd"],
+        help="compress output TIFF pages (probability maps shrink ~5-10x; "
+        "the reference writes uncompressed).  Bare flag = deflate (any "
+        "TIFF reader decodes it); 'zstd' is faster and smaller but needs "
+        "a zstd-aware reader (tifffile/libtiff, or this package)",
     )
     return p
 
@@ -231,9 +233,7 @@ def _write_outputs(args, stem, out_path, cyto, dapi_channel, class_order,
 
     imwrite = functools.partial(
         _imwrite,
-        compression=(
-            "deflate" if getattr(args, "compressOutput", False) else None
-        ),
+        compression=getattr(args, "compressOutput", None) or None,
     )
     chan_suffix = str(dapi_channel if cyto else dapi_channel + 1)
     qc_dir = out_path if cyto else os.path.join(out_path, "qc")

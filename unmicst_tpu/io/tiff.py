@@ -775,7 +775,10 @@ class TiffWriter:
     bigtiff, no extra metadata, per-page append.  Little-endian,
     strip-per-~1MB layout; uncompressed by default, opt-in per-strip
     Deflate (``compression="deflate"`` — probability maps shrink ~5-10x
-    and every TIFF reader, this one included, decodes tag 8).
+    and every TIFF reader, this one included, decodes tag 8) or Zstd
+    (``compression="zstd"``, tag 50000 — faster and smaller than
+    deflate on probability maps, readable by tifffile/libtiff-based
+    consumers; measured table in BASELINE.md).
     """
 
     _MAGIC_CLASSIC = 42
@@ -784,16 +787,25 @@ class TiffWriter:
     def __init__(self, path: str, bigtiff: bool = True, append: bool = False,
                  compression: Optional[str] = None,
                  compression_level: int = 3):
-        if compression not in (None, "deflate"):
+        if compression not in (None, "deflate", "zstd"):
             raise ValueError(f"unsupported output compression {compression!r}")
         if not 1 <= int(compression_level) <= 9:
             raise ValueError(
                 f"compression_level must be 1..9, got {compression_level}"
             )
-        self._compress = compression == "deflate"
-        # levels 1..3 (3 = default) route through the native encoder
-        # (2-5x zlib-3 at <2% ratio cost on real probability maps —
-        # BASELINE.md "deflate encode"); 4..9 keep zlib for max ratio
+        if compression == "zstd":
+            from unmicst_tpu.io import zstd as _zstd
+
+            if not _zstd.compress_available():
+                raise NotImplementedError(
+                    "compression='zstd' needs the 'zstandard' package or "
+                    "a system libzstd"
+                )
+        self._codec = compression
+        self._compress = compression is not None
+        # deflate levels 1..3 (3 = default) route through the native
+        # greedy encoder, 4..9 the native chain-search encoder
+        # (BASELINE.md "deflate encode"); zstd levels map 1:1
         self._level = int(compression_level)
         self.path = path
         self.big = bigtiff
@@ -866,8 +878,12 @@ class TiffWriter:
         strip_offsets, strip_counts = [], []
         for s in range(n_strips):
             data = image[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
-            if self._compress:
+            if self._codec == "deflate":
                 data = _encode_deflate(data, self._level)
+            elif self._codec == "zstd":
+                from unmicst_tpu.io import zstd as _zstd
+
+                data = _zstd.compress(data, self._level)
             strip_offsets.append(fh.tell())
             strip_counts.append(len(data))
             fh.write(data)
@@ -906,7 +922,8 @@ class TiffWriter:
             (TAG_IMAGE_LENGTH, 4, 1, [h]),
             (TAG_BITS_PER_SAMPLE, 3, 1, [itemsize * 8]),
             (TAG_COMPRESSION, 3, 1,
-             [COMPRESSION_DEFLATE_ADOBE if self._compress
+             [COMPRESSION_ZSTD if self._codec == "zstd"
+              else COMPRESSION_DEFLATE_ADOBE if self._compress
               else COMPRESSION_NONE]),
             (TAG_PHOTOMETRIC, 3, 1, [1]),
             (

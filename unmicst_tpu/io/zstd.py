@@ -113,6 +113,75 @@ def decompress(data: bytes, max_out: int) -> bytes:
         raise ValueError(f"corrupt zstd stream: {exc}") from None
 
 
+_compress_backend: Optional[Callable[[bytes, int], bytes]] = None
+_compress_err: Optional[str] = None
+
+
+def _load_compress_backend() -> None:
+    global _compress_backend, _compress_err
+    try:
+        import zstandard
+
+        def _py(data: bytes, level: int) -> bytes:
+            return zstandard.ZstdCompressor(level=level).compress(data)
+
+        _compress_backend = _py
+        return
+    except ImportError:
+        pass
+    lib = None
+    for name in ("libzstd.so.1", "libzstd.so"):
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lib is None:
+        _compress_err = (
+            "no zstd backend: install the 'zstandard' package or a "
+            "system libzstd"
+        )
+        return
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    lib.ZSTD_compress.restype = ctypes.c_size_t
+    lib.ZSTD_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+
+    def _native(data: bytes, level: int) -> bytes:
+        cap = lib.ZSTD_compressBound(len(data))
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.ZSTD_compress(buf, cap, data, len(data), level)
+        if lib.ZSTD_isError(n):
+            raise ValueError("zstd compression failed")
+        return buf.raw[:n]
+
+    _compress_backend = _native
+
+
+def compress_available() -> bool:
+    """True when a zstd COMPRESSION backend exists (the decode chain can
+    be satisfied by either backend; both also compress)."""
+    if _compress_backend is not None:
+        return True
+    with _lock:
+        if _compress_backend is None and _compress_err is None:
+            _load_compress_backend()
+    return _compress_backend is not None
+
+
+def compress(data: bytes, level: int = 3) -> bytes:
+    """Compress one zstd frame (used by the TIFF writer's opt-in
+    ``compression="zstd"`` output mode)."""
+    if not compress_available():
+        raise NotImplementedError(_compress_err)
+    return _compress_backend(data, level)
+
+
 def unpack_hilo(buf: bytes, itemsize: int) -> bytes:
     """Undo CZI "hi-lo byte packing" of 16-bit samples.
 
