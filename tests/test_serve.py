@@ -331,7 +331,7 @@ def test_serve_compress_query(server_url, tmp_path, rng):
     src = str(tmp_path / "in.tif")
     imwrite(src, raw, bigtiff=False)
     bodies = {}
-    for q in ("", "&compress=1"):
+    for q in ("", "&compress=1", "&compress=zstd"):
         req = urllib.request.Request(
             server_url + "/infer?model=nucleiDAPI&channel=0" + q,
             data=open(src, "rb").read(), method="POST",
@@ -339,14 +339,18 @@ def test_serve_compress_query(server_url, tmp_path, rng):
         with urllib.request.urlopen(req, timeout=300) as r:
             bodies[q] = r.read()
     assert len(bodies["&compress=1"]) < len(bodies[""])
+    assert len(bodies["&compress=zstd"]) < len(bodies[""])
     for name, blob in bodies.items():
         p = str(tmp_path / f"o{len(name)}.tif")
         open(p, "wb").write(blob)
     with TiffFile(str(tmp_path / "o0.tif")) as a, \
-            TiffFile(str(tmp_path / "o11.tif")) as b:
+            TiffFile(str(tmp_path / "o11.tif")) as b, \
+            TiffFile(str(tmp_path / "o14.tif")) as c:
         assert b.pages[0].compression == 8
+        assert c.pages[0].compression == 50000
         for k in range(3):
             np.testing.assert_array_equal(a.read_page(k), b.read_page(k))
+            np.testing.assert_array_equal(a.read_page(k), c.read_page(k))
 
 
 def test_empty_channel_descriptive_400(server_url):
@@ -558,7 +562,7 @@ def test_strict_bool_and_outlier_validation(server_url, tmp_path, rng):
         )
         with urllib.request.urlopen(req, timeout=120) as r:
             r.read()
-    for query in ("rescale=maybe", "compress=deflate", "outlier=150",
+    for query in ("rescale=maybe", "compress=gzip", "outlier=150",
                   "outlier=nan"):
         req = urllib.request.Request(
             server_url + "/infer?model=nucleiDAPI&" + query,

@@ -4,10 +4,12 @@ The reference is strictly batch CLI (model setup cost paid per invocation,
 ``UnMicst.py:596``).  For production pipelines (MCMICRO at scale) this
 module keeps the model resident and serves slides over HTTP:
 
-* ``POST /infer?model=nucleiDAPI&channel=0[&compress=1]`` with a
+* ``POST /infer?model=nucleiDAPI&channel=0[&compress=1|deflate|zstd]``
+  with a
   TIFF, CZI, or ND2 body (container sniffed from magic bytes; OME-aware
   channel mapping) -> multi-page TIFF response (the ``_Probabilities``
-  page stack, reversed class order, uint8);
+  page stack, reversed class order, uint8; optionally deflate- or
+  zstd-compressed pages);
 * ``GET /models`` -> zoo availability;
 * ``GET /healthz`` -> liveness + device info;
 * ``GET /stats`` -> request/throughput counters (uptime, px processed,
@@ -36,6 +38,15 @@ from typing import Dict, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
+
+
+def _parse_compress(value: str) -> Optional[str]:
+    """compress= accepts booleans (bare/1/true -> deflate, the
+    any-reader codec) or an explicit codec name ('deflate' | 'zstd')."""
+    v = value.lower()
+    if v in ("deflate", "zstd"):
+        return v
+    return "deflate" if _parse_bool(value, "compress") else None
 
 
 def _parse_bool(value: str, name: str) -> bool:
@@ -157,7 +168,7 @@ class ModelServer:
 
     def infer_tiff(
         self, body: bytes, model: str, channel: int, rescale: bool,
-        outlier: float, compress: bool = False,
+        outlier: float, compress: Optional[str] = None,
     ) -> Tuple[bytes, dict]:
         """In-memory convenience wrapper over :meth:`infer_tiff_path`."""
         with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
@@ -170,7 +181,7 @@ class ModelServer:
 
     def infer_tiff_path(
         self, path: str, model: str, channel, rescale: bool,
-        outlier: float, compress: bool = False,
+        outlier: float, compress: Optional[str] = None,
     ) -> Tuple[bytes, dict]:
         """Run channel(s) of any supported container (TIFF/CZI/ND2 —
         sniffed from magic bytes, uploads carry no trustworthy name)
@@ -231,7 +242,8 @@ class ModelServer:
         )
 
     def _encode(self, maps, model: str, shape, raw_size: int,
-                infer_s: float, compress: bool = False) -> Tuple[bytes, dict]:
+                infer_s: float,
+                compress: Optional[str] = None) -> Tuple[bytes, dict]:
         from unmicst_tpu.io.tiff import TiffWriter
 
         buf = tempfile.NamedTemporaryFile(suffix=".tif", delete=False)
@@ -239,7 +251,7 @@ class ModelServer:
         try:
             with TiffWriter(
                 buf.name, bigtiff=True,
-                compression="deflate" if compress else None,
+                compression=compress or None,
             ) as tw:
                 for k in range(maps.shape[0] - 1, -1, -1):  # reversed order
                     tw.write(maps[k])
@@ -381,9 +393,7 @@ def make_handler(server: ModelServer):
                     raise ValueError(
                         f"outlier must be -1 or in [0, 100], got {outlier}"
                     )
-                compress = _parse_bool(
-                    q.get("compress", ["0"])[0], "compress"
-                )
+                compress = _parse_compress(q.get("compress", ["0"])[0])
                 length = int(self.headers.get("Content-Length", "0"))
             except ValueError as e:
                 server._count(client_error=1)
