@@ -41,6 +41,35 @@ def test_resize_up_down(rng):
     assert abs(down.mean() - x.mean()) < 0.01
 
 
+def test_resize_matches_map_coordinates(rng):
+    """The separable two-stage lerp must match the reference
+    formulation — gaussian anti-alias + ndi.map_coordinates(order=1,
+    mode='mirror') on the outer-product grid — to float noise, across
+    up/down/mixed scales and degenerate 1-px axes."""
+    from scipy import ndimage as ndi
+
+    def ref(image, output_shape):
+        img = pp.img_as_float(image)
+        in_h, in_w = img.shape[:2]
+        out_h, out_w = output_shape
+        factors = (in_h / out_h, in_w / out_w)
+        sig = [max(0.0, (f - 1.0) / 2.0) for f in factors]
+        if any(s > 0 for s in sig):
+            img = ndi.gaussian_filter(img, sig, mode="mirror")
+        rows = (np.arange(out_h) + 0.5) * factors[0] - 0.5
+        cols = (np.arange(out_w) + 0.5) * factors[1] - 0.5
+        grid = np.meshgrid(rows, cols, indexing="ij")
+        return ndi.map_coordinates(img, grid, order=1, mode="mirror")
+
+    for shape, out in [((40, 60), (80, 120)), ((40, 60), (20, 30)),
+                       ((33, 47), (21, 59)), ((5, 5), (13, 3)),
+                       ((1, 7), (4, 9)), ((7, 1), (3, 5)),
+                       ((64, 64), (64, 32))]:
+        x = (rng.rand(*shape) * 65535).astype(np.uint16)
+        np.testing.assert_allclose(pp.resize(x, out), ref(x, out),
+                                   atol=1e-12, rtol=0)
+
+
 def test_preprocess_channel_solo_quirk(rng):
     plane = (rng.rand(50, 60) * 60000).astype(np.uint16)
     a = pp.preprocess_channel(plane, 1.0, -1, use_rescaled=True)

@@ -73,10 +73,57 @@ def img_as_float(image: np.ndarray) -> np.ndarray:
     return image.astype(np.float64)
 
 
+def _fold_coords(coords: np.ndarray, n: int):
+    """Mirror-fold sample coords into [0, n-1] and split into (lo index,
+    lerp fraction) — scipy's mode="mirror" for the single-reflection
+    range resize coordinates live in."""
+    c = np.abs(coords)
+    c = np.where(c > n - 1, 2.0 * (n - 1) - c, c)
+    lo = np.floor(c).astype(np.intp)
+    np.clip(lo, 0, n - 2, out=lo)
+    return lo, c - lo
+
+
+def _lerp_rows(img: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """Order-1 resample of axis 0 at ``coords``, the row half of the
+    separable bilinear in :func:`resize`.  In-place op chain: the lerp
+    `a + (b-a)*frac` allocates two big buffers total (the gathers), not
+    five — large fresh allocations fault-in at ~10x the cost of the
+    arithmetic on this class of host."""
+    n = img.shape[0]
+    if n == 1:
+        return np.repeat(img, len(coords), axis=0)
+    lo, frac = _fold_coords(coords, n)
+    b = np.take(img, lo + 1, axis=0)
+    a = np.take(img, lo, axis=0)
+    np.subtract(b, a, out=b)
+    np.multiply(b, frac[:, None], out=b)
+    np.add(b, a, out=b)
+    return b
+
+
+def _lerp_cols(img: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    n = img.shape[1]
+    if n == 1:
+        return np.repeat(img, len(coords), axis=1)
+    lo, frac = _fold_coords(coords, n)
+    b = np.take(img, lo + 1, axis=1)
+    a = np.take(img, lo, axis=1)
+    np.subtract(b, a, out=b)
+    np.multiply(b, frac[None, :], out=b)
+    np.add(b, a, out=b)
+    return b
+
+
 def resize(image: np.ndarray, output_shape: Tuple[int, int]) -> np.ndarray:
     """``skimage.transform.resize`` work-alike (float output in [0, 1]).
 
-    Identity (modulo dtype scaling) when the shape is unchanged.
+    Identity (modulo dtype scaling) when the shape is unchanged.  The
+    interpolation runs as a separable two-stage lerp (rows then columns)
+    — the same order-1/mirror sampling ``ndi.map_coordinates`` computes
+    on the outer-product grid (equal to ~1e-15), without materializing
+    two (out_h, out_w) float64 coordinate planes and ~4x faster on the
+    upscale-bound postprocess path (BASELINE.md).
     """
     img = img_as_float(image)
     in_h, in_w = img.shape[:2]
@@ -90,8 +137,7 @@ def resize(image: np.ndarray, output_shape: Tuple[int, int]) -> np.ndarray:
         img = ndi.gaussian_filter(img, sigmas, mode="mirror")
     rows = (np.arange(out_h) + 0.5) * factors[0] - 0.5
     cols = (np.arange(out_w) + 0.5) * factors[1] - 0.5
-    grid = np.meshgrid(rows, cols, indexing="ij")
-    return ndi.map_coordinates(img, grid, order=1, mode="mirror")
+    return _lerp_cols(_lerp_rows(img, rows), cols)
 
 
 def resize_rows(
@@ -131,8 +177,10 @@ def resize_rows(
     if sr > 0 or sc > 0:
         block = ndi.gaussian_filter(block, (sr, sc), mode="mirror")
     cols = (np.arange(out_w) + 0.5) * fc - 0.5
-    grid = np.meshgrid(ys - lo, cols, indexing="ij")
-    return ndi.map_coordinates(block, grid, order=1, mode="mirror")
+    # ys_fold - lo is exact (integer subtraction on float64), so floor/
+    # frac — and therefore every float op — match the whole-image resize
+    # bit-for-bit (test_resize_rows_blockwise_exact)
+    return _lerp_cols(_lerp_rows(block, ys_fold - lo), cols)
 
 
 class ResampledSource:
