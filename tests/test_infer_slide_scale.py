@@ -1,0 +1,107 @@
+"""Device-side --scalingFactor path: the fused on-chip resize + infer +
+map-upscale (``infer.py::_build_slide`` with ``scaling_factor != 1``,
+``core/resize_dev.py``) must match the host float chain
+(``preprocess_channel`` -> ``infer`` -> ``postprocess_pm``,
+``UnMicst1-5.py:813-854``) within 1 uint8 level."""
+
+import jax
+import numpy as np
+import pytest
+
+from unmicst_tpu.core import unet
+from unmicst_tpu.core.hp import HParams
+from unmicst_tpu.infer import InferenceEngine
+from unmicst_tpu.io import preprocess as pp
+
+
+@pytest.fixture(scope="module")
+def model():
+    hp = HParams(
+        im_size=32, n_channels=1, n_classes=3, n_out0=6, ks=3,
+        n_extra_convs=0, n_layers=2, batch_size=8, std_dev0=0.5,
+    )
+    params = unet.init_params(jax.random.PRNGKey(5), hp, "legacy")
+    return hp, params
+
+
+@pytest.fixture(scope="module")
+def duo_model():
+    hp = HParams(
+        im_size=32, n_channels=2, n_classes=3, n_out0=6, ks=3,
+        n_extra_convs=0, n_layers=2, batch_size=8, std_dev0=0.5,
+    )
+    params = unet.init_params(jax.random.PRNGKey(6), hp, "v2")
+    return hp, params
+
+
+def _host(engine, raw, sf, outlier=-1, use_rescaled=True):
+    pc = pp.preprocess_channel(raw, sf, outlier, use_rescaled=use_rescaled)
+    probs = engine.infer(pc.net_input.astype(np.float32))
+    return np.stack(
+        [pp.postprocess_pm(probs[k], pc.raw_shape) for k in range(3)]
+    )
+
+
+def _assert_close(dev, host, max_flip_frac=0.02):
+    assert dev.shape == host.shape
+    diff = np.abs(dev.astype(int) - host.astype(int))
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < max_flip_frac, (diff > 0).mean()
+
+
+def test_resize_plan_matches_host_resize(rng):
+    from unmicst_tpu.core.resize_dev import ResizePlan
+
+    for shape, out in [((60, 80), (30, 40)), ((60, 80), (120, 160)),
+                       ((45, 31), (29, 62)), ((7, 1), (3, 5))]:
+        x = (rng.rand(*shape) * 65535).astype(np.uint16)
+        host = pp.resize(x, out)
+        plan = ResizePlan(shape, out)
+        dev = np.asarray(jax.jit(plan.apply)(
+            (x.astype(np.float32) / 65535.0)
+        ))
+        np.testing.assert_allclose(dev, host, atol=2e-6, rtol=0)
+
+
+@pytest.mark.parametrize("sf", [0.5, 0.65, 2.0])
+def test_device_scale_matches_host(model, rng, sf):
+    hp, params = model
+    eng = InferenceEngine(hp, params, "legacy", 0.3, 0.2)
+    raw = (rng.rand(120, 90) * 60000).astype(np.uint16)
+    dev = eng.infer_slide(raw, scaling_factor=sf)
+    _assert_close(dev, _host(eng, raw, sf))
+
+
+def test_device_scale_outlier_and_solo_quirk(model, rng):
+    hp, params = model
+    eng = InferenceEngine(hp, params, "legacy", 0.3, 0.2)
+    raw = (rng.rand(100, 80) * 60000).astype(np.uint16)
+    dev = eng.infer_slide(raw, outlier=99.0, scaling_factor=0.5)
+    _assert_close(dev, _host(eng, raw, 0.5, outlier=99.0))
+    # solo quirk: un-rescaled resized input
+    dev = eng.infer_slide(raw, rescale=False, scaling_factor=0.5)
+    _assert_close(dev, _host(eng, raw, 0.5, use_rescaled=False))
+
+
+def test_device_scale_duo_stack(duo_model, rng):
+    hp, params = duo_model
+    eng = InferenceEngine(hp, params, "v2", 0.3, 0.2)
+    a = (rng.rand(96, 70) * 60000).astype(np.uint16)
+    b = (rng.rand(96, 70) * 30000).astype(np.uint16)
+    dev = eng.infer_slide_stack([a, b], scaling_factor=0.5)
+    # host chain with per-channel preprocess, stacked net input
+    pcs = [pp.preprocess_channel(p, 0.5, -1) for p in (a, b)]
+    net = np.stack([pc.net_input for pc in pcs]).astype(np.float32)
+    probs = eng.infer(net, "stack")
+    host = np.stack(
+        [pp.postprocess_pm(probs[k], pcs[0].raw_shape) for k in range(3)]
+    )
+    _assert_close(dev, host)
+
+
+def test_int8_scale_guard(model, rng):
+    hp, params = model
+    eng = InferenceEngine(hp, params, "legacy", 0.3, 0.2, quantized=True)
+    raw = (rng.rand(64, 64) * 60000).astype(np.uint16)
+    with pytest.raises(ValueError, match="scaling_factor"):
+        eng.infer_slide(raw, scaling_factor=0.5)

@@ -269,12 +269,14 @@ def run_sweep(
 
             raw = read_channel(slide, "tif", channel)  # OME-plane-aware
             t0 = time.perf_counter()
-            if scaling_factor == 1:
+            if scaling_factor == 1 or not engine.quantized:
                 # device-side preprocess + uint8 maps: the link carries
                 # raw uint16 up and 2 uint8 planes down (~3x less than
-                # the f32 host path); identical output at scale 1
+                # the f32 host path); any scalingFactor (the resize and
+                # map upscale-back ride the same jitted program)
                 contours, nuclei = engine.infer_slide(
-                    raw, outlier=outlier, classes=(1, 2)
+                    raw, outlier=outlier, classes=(1, 2),
+                    scaling_factor=scaling_factor,
                 )
                 preview = pp.preview_u8_from_raw(raw)  # parity-casts float32
             else:

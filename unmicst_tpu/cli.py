@@ -207,12 +207,16 @@ def _classes_subset(args, class_order):
 
 
 def _device_slide_ok(args, planes) -> bool:
-    """Gate for the device-side scale-1 slide path (shared by the solo/
-    legacy/cyto and duo branches): on-chip preprocessing requires scale 1
-    and a known im2double dtype; --check-numerics must see float maps
-    (uint8 would quantize NaN/Inf away), so it pins the float path."""
+    """Gate for the device-side slide path (shared by the solo/legacy/
+    cyto and duo branches): on-chip preprocessing needs a known
+    im2double dtype; --check-numerics must see float maps (uint8 would
+    quantize NaN/Inf away), so it pins the float path.  Any
+    ``--scalingFactor`` rides the device path (the resize + map
+    upscale-back fuse into the jitted program, ``core/resize_dev.py``)
+    EXCEPT under int8, whose calibration samples raw-scale statistics
+    (``InferenceEngine._check_scale_quant``)."""
     return (
-        args.scalingFactor == 1
+        (args.scalingFactor == 1 or args.precision != "int8")
         and not args.check_numerics
         and all(p.dtype in (np.uint8, np.uint16) for p in planes)
         # mixed-bit-depth duo stacks go through the float host path
@@ -593,11 +597,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             if channel_mode == "stack":
                 maps = engine.infer_slide_stack(
                     slide_raw, outlier=args.outlier, classes=classes,
+                    scaling_factor=args.scalingFactor,
                 )
             else:
                 maps = engine.infer_slide(
                     slide_raw, outlier=args.outlier, rescale=use_rescaled,
-                    classes=classes,
+                    classes=classes, scaling_factor=args.scalingFactor,
                 )
             idx = (
                 {c: i for i, c in enumerate(classes)} if classes else None

@@ -385,7 +385,8 @@ class InferenceEngine:
     # -- device-side end-to-end slide path -----------------------------------
 
     def _build_slide(self, height: int, width: int, in_dtype, outlier,
-                     rescale: bool, classes=None, n_in: int = 0):
+                     rescale: bool, classes=None, n_in: int = 0,
+                     scaling_factor: float = 1.0):
         """Jitted raw-slide pipeline: uint8/uint16 in, uint8 maps out.
 
         Fuses the host preprocessing (``UnMicst1-5.py:817-821``:
@@ -395,12 +396,26 @@ class InferenceEngine:
         and uint8 maps out (K B/px) instead of float32 both ways — the
         dominant cost on PCIe/tunnel-attached hosts.
 
+        ``scaling_factor != 1`` additionally fuses the resize (gaussian
+        anti-alias + bilinear, ``core/resize_dev.py``) AND the output
+        map upscale-back with the reference's double quantization
+        (``uint8(255*pm)`` -> resize -> ``uint8(255*r)``,
+        ``UnMicst1-5.py:848-854``) into the same program — the entire
+        ``--scalingFactor`` pipeline on-chip.
+
         ``n_in == 0``: a single [H, W] plane broadcast into every net
         channel (solo/legacy/cyto).  ``n_in > 0``: an [n_in, H, W] stack
         with per-channel intensity ranges (duo, ``UnMicst2.py:760-788``).
         """
+        from unmicst_tpu.core.resize_dev import ResizePlan
+
         hp = self.hp
-        grid = tiler.make_grid(height, width, hp.im_size, hp.margin)
+        # scaled net-input dims, matching preprocess_channel
+        sh = int(float(height) * float(scaling_factor))
+        sw = int(float(width) * float(scaling_factor))
+        grid = tiler.make_grid(sh, sw, hp.im_size, hp.margin)  # validates
+        fwd_plan = ResizePlan((height, width), (sh, sw))
+        back_plan = ResizePlan((sh, sw), (height, width))
         scale = {np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0}.get(
             np.dtype(in_dtype)
         )
@@ -412,7 +427,7 @@ class InferenceEngine:
                 f"device slide path (rescale=False) requires uint8/uint16 "
                 f"input, got {np.dtype(in_dtype)}"
             )
-        core, _, canvas_h, canvas_w = self._get(height, width)
+        core, _, canvas_h, canvas_w = self._get(sh, sw)
         n_ch = hp.n_channels
         m = grid.margin
 
@@ -426,6 +441,7 @@ class InferenceEngine:
             if scale is not None:
                 x = x / scale  # im2double
             planes = x[None] if n_in == 0 else x  # [C0, H, W]
+            planes = fwd_plan.apply(planes)  # [C0, sh, sw] (no-op at sf 1)
             if rescale:
                 lo = jnp.min(planes, axis=(1, 2), keepdims=True)
                 hi = (
@@ -435,19 +451,26 @@ class InferenceEngine:
                 )
                 planes = jnp.clip(planes, lo, hi)
                 planes = (planes - lo) / jnp.maximum(hi - lo, 1e-12) * 0.983
-            body = jnp.moveaxis(planes, 0, -1)  # [H, W, C0]
+            body = jnp.moveaxis(planes, 0, -1)  # [sh, sw, C0]
             if body.shape[-1] != n_ch:
                 body = jnp.broadcast_to(
-                    body[..., :1], (height, width, n_ch)
+                    body[..., :1], (sh, sw, n_ch)
                 )
             canvas = jnp.zeros((canvas_h, canvas_w, n_ch), jnp.float32)
             canvas = jax.lax.dynamic_update_slice(canvas, body, (m, m, 0))
-            probs = core(params, canvas, win, quant)  # (H,W,K) f32, inlined jit
+            probs = core(params, canvas, win, quant)  # (sh,sw,K) f32
             if classes is not None:
                 # only the requested planes ride the link back (non-stack
                 # mode needs 2 of 3 — a third less D2H)
                 probs = probs[..., list(classes)]
-            return (probs * 255.0).astype(jnp.uint8)
+            q8 = (probs * 255.0).astype(jnp.uint8)
+            if back_plan.identity:
+                return q8
+            # reference back-half double quantization (postprocess_pm)
+            r = back_plan.apply(
+                jnp.moveaxis(q8, -1, 0).astype(jnp.float32) / 255.0
+            )
+            return jnp.moveaxis((r * 255.0).astype(jnp.uint8), 0, -1)
 
         return jax.jit(run)
 
@@ -457,24 +480,29 @@ class InferenceEngine:
         outlier: float = -1,
         rescale: bool = True,
         classes=None,
+        scaling_factor: float = 1.0,
     ) -> np.ndarray:
         """Raw single-channel slide -> uint8 [K, H, W] probability maps.
 
-        Device-side preprocessing parity with the reference CLI at
-        ``scalingFactor == 1`` (float32 instead of float64 intermediate;
-        observed output difference <= 1 uint8 level).  ``classes``: optional
-        tuple of class indexes to return (in that order).
+        Device-side preprocessing parity with the reference CLI (float32
+        instead of float64 intermediate; observed output difference <= 1
+        uint8 level), including ``scaling_factor != 1`` (resize down,
+        infer, resize maps back — all in one jitted program).
+        ``classes``: optional tuple of class indexes to return (in that
+        order).
         """
         if raw.dtype == np.float32:
             raw = raw.astype(np.uint16)  # parity cast (UnMicst1-5.py:807-808)
+        self._check_scale_quant(scaling_factor)
         classes = self._check_classes(classes)
         height, width = raw.shape
         key = ("slide", height, width, np.dtype(raw.dtype), outlier != -1,
-               rescale, classes)
+               rescale, classes, float(scaling_factor))
         jitted = self._compiled.get_or_build(
             key,
             lambda: self._build_slide(
-                height, width, raw.dtype, outlier, rescale, classes
+                height, width, raw.dtype, outlier, rescale, classes,
+                scaling_factor=scaling_factor,
             ),
         )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
@@ -487,15 +515,27 @@ class InferenceEngine:
 
     # -- device-side multi-channel (duo) slide path --------------------------
 
+    def _check_scale_quant(self, scaling_factor: float) -> None:
+        if self.quantized and scaling_factor != 1.0:
+            # int8 calibration tiles sample the raw-scale distribution
+            # (core/quant.py::sample_tiles_raw); a scaled net input would
+            # silently calibrate on the wrong statistics — callers use
+            # the host float path there (cli._device_slide_ok)
+            raise ValueError(
+                "int8 device slide path supports scaling_factor == 1 only"
+            )
+
     def infer_slide_stack(
         self,
         raws,
         outlier: float = -1,
         rescale: bool = True,
         classes=None,
+        scaling_factor: float = 1.0,
     ) -> np.ndarray:
         """Raw [C] channel planes -> uint8 [K, H, W] maps (duo plumbing,
         per-channel ranges); otherwise :meth:`infer_slide` semantics."""
+        self._check_scale_quant(scaling_factor)
         planes = [
             r.astype(np.uint16) if r.dtype == np.float32 else r for r in raws
         ]
@@ -515,12 +555,12 @@ class InferenceEngine:
         classes = self._check_classes(classes)
         _, height, width = raw.shape
         key = ("slide_stack", height, width, np.dtype(raw.dtype),
-               outlier != -1, rescale, classes)
+               outlier != -1, rescale, classes, float(scaling_factor))
         jitted = self._compiled.get_or_build(
             key,
             lambda: self._build_slide(
                 height, width, raw.dtype, outlier, rescale, classes,
-                n_in=len(planes),
+                n_in=len(planes), scaling_factor=scaling_factor,
             ),
         )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
