@@ -246,6 +246,52 @@ def test_large_posts_stream(tmp_path, rng):
         assert np.abs(x - y).max() <= 1
 
 
+def test_serve_scale_param(server_url, tmp_path, rng):
+    """?scale=0.5 resizes on the device path, returns raw-resolution maps,
+    agrees with the whole-path host chain within 1 level; the streaming
+    branch (virtual resized source + upscale at encode) matches the
+    whole branch; bad scale is a 400."""
+    from unmicst_tpu.io.tiff import imread, num_pages
+
+    raw = (rng.rand(110, 84) * 60000).astype(np.uint16)
+    src = str(tmp_path / "s.tif")
+    imwrite(src, raw, bigtiff=False)
+    body = open(src, "rb").read()
+    req = urllib.request.Request(
+        server_url + "/infer?model=nucleiDAPI&channel=0&scale=0.5",
+        data=body, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        blob = r.read()
+    p = str(tmp_path / "o.tif")
+    open(p, "wb").write(blob)
+    assert num_pages(p) == 3
+    assert imread(p, 0).shape == (110, 84)  # raw resolution back
+
+    # streaming branch with the same scale == whole branch
+    srv_stream = ModelServer(
+        model_root=os.path.join(REFERENCE, "models"), precision="float32",
+        stream_above_px=1,
+    )
+    b2, meta2 = srv_stream.infer_tiff_path(
+        src, "nucleiDAPI", 0, True, -1, scale=0.5
+    )
+    assert meta2["shape"] == [110, 84]
+    p2 = str(tmp_path / "o2.tif")
+    open(p2, "wb").write(b2)
+    for k in range(3):
+        d = np.abs(imread(p, k).astype(int) - imread(p2, k).astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 0.02
+
+    req = urllib.request.Request(
+        server_url + "/infer?model=nucleiDAPI&channel=0&scale=0",
+        data=body, method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+
 def test_infer_czi_and_nd2_bodies(server_url, tmp_path, rng):
     """POST bodies are sniffed by magic bytes: CZI and ND2 containers work
     end-to-end and match the TIFF result for identical pixels."""

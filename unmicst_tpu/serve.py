@@ -4,8 +4,8 @@ The reference is strictly batch CLI (model setup cost paid per invocation,
 ``UnMicst.py:596``).  For production pipelines (MCMICRO at scale) this
 module keeps the model resident and serves slides over HTTP:
 
-* ``POST /infer?model=nucleiDAPI&channel=0[&compress=1|deflate|zstd]``
-  with a
+* ``POST /infer?model=nucleiDAPI&channel=0[&compress=1|deflate|zstd]
+  [&scale=0.5]`` with a
   TIFF, CZI, or ND2 body (container sniffed from magic bytes; OME-aware
   channel mapping) -> multi-page TIFF response (the ``_Probabilities``
   page stack, reversed class order, uint8; optionally deflate- or
@@ -169,6 +169,7 @@ class ModelServer:
     def infer_tiff(
         self, body: bytes, model: str, channel: int, rescale: bool,
         outlier: float, compress: Optional[str] = None,
+        scale: float = 1.0,
     ) -> Tuple[bytes, dict]:
         """In-memory convenience wrapper over :meth:`infer_tiff_path`."""
         with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
@@ -176,12 +177,13 @@ class ModelServer:
             tmp.flush()
             return self.infer_tiff_path(
                 tmp.name, model, channel, rescale, outlier,
-                compress=compress,
+                compress=compress, scale=scale,
             )
 
     def infer_tiff_path(
         self, path: str, model: str, channel, rescale: bool,
         outlier: float, compress: Optional[str] = None,
+        scale: float = 1.0,
     ) -> Tuple[bytes, dict]:
         """Run channel(s) of any supported container (TIFF/CZI/ND2 —
         sniffed from magic bytes, uploads carry no trustworthy name)
@@ -212,13 +214,25 @@ class ModelServer:
                 # branches so infer_s excludes first-request construction.
                 eng = self.engine(model, "stream")
                 t0 = time.perf_counter()
-                if len(srcs) > 1:
+                if scale != 1:
+                    # virtual resized slide + raw-resolution upscale at
+                    # encode, exactly the CLI streaming contract
+                    from unmicst_tpu.io import preprocess as _pp
+
+                    ins = [_pp.ResampledSource(s, scale) for s in srcs]
+                else:
+                    ins = srcs
+                if len(ins) > 1:
                     maps = eng.infer_stack(
-                        srcs, outlier=outlier, rescale=rescale
+                        ins, outlier=outlier, rescale=rescale
                     )
                 else:
                     maps = eng.infer(
-                        srcs[0], outlier=outlier, rescale=rescale
+                        ins[0], outlier=outlier, rescale=rescale
+                    )
+                if scale != 1:
+                    maps = np.stack(
+                        [_pp.upscale_pm(m, shape) for m in maps]
                     )
             else:
                 raws = [s.read_rows(0, shape[0]) for s in srcs]
@@ -229,11 +243,13 @@ class ModelServer:
                 t0 = time.perf_counter()
                 if len(raws) > 1:
                     maps = eng.infer_slide_stack(
-                        raws, outlier=outlier, rescale=rescale
+                        raws, outlier=outlier, rescale=rescale,
+                        scaling_factor=scale,
                     )
                 else:
                     maps = eng.infer_slide(
-                        raws[0], outlier=outlier, rescale=rescale
+                        raws[0], outlier=outlier, rescale=rescale,
+                        scaling_factor=scale,
                     )
             infer_s = time.perf_counter() - t0
         return self._encode(
@@ -394,6 +410,11 @@ def make_handler(server: ModelServer):
                         f"outlier must be -1 or in [0, 100], got {outlier}"
                     )
                 compress = _parse_compress(q.get("compress", ["0"])[0])
+                scale = float(q.get("scale", ["1"])[0])
+                if not 0.01 <= scale <= 16:
+                    raise ValueError(
+                        f"scale must be in [0.01, 16], got {scale}"
+                    )
                 length = int(self.headers.get("Content-Length", "0"))
             except ValueError as e:
                 server._count(client_error=1)
@@ -436,7 +457,7 @@ def make_handler(server: ModelServer):
                         return
                     out, meta = server.infer_tiff_path(
                         tmp.name, model, channel, rescale, outlier,
-                        compress=compress,
+                        compress=compress, scale=scale,
                     )
             except FileNotFoundError as e:
                 server._count(client_error=1)
