@@ -99,9 +99,21 @@ def test_device_scale_duo_stack(duo_model, rng):
     _assert_close(dev, host)
 
 
-def test_int8_scale_guard(model, rng):
+def test_int8_device_scale(model, rng):
+    """int8 at scaling_factor != 1 calibrates on a host-resized plane
+    (the scaled net-input distribution) and tracks the float device
+    path within the documented int8 tolerance."""
     hp, params = model
-    eng = InferenceEngine(hp, params, "legacy", 0.3, 0.2, quantized=True)
-    raw = (rng.rand(64, 64) * 60000).astype(np.uint16)
-    with pytest.raises(ValueError, match="scaling_factor"):
-        eng.infer_slide(raw, scaling_factor=0.5)
+    raw = (rng.rand(96, 96) * 60000).astype(np.uint16)
+    f32 = InferenceEngine(hp, params, "legacy", 0.3, 0.2).infer_slide(
+        raw, scaling_factor=0.5
+    )
+    q8 = InferenceEngine(
+        hp, params, "legacy", 0.3, 0.2, quantized=True
+    ).infer_slide(raw, scaling_factor=0.5)
+    assert q8.shape == f32.shape
+    diff = np.abs(q8.astype(int) - f32.astype(int))
+    # int8 acceptance thresholds mirror test_cli's int8 distribution
+    # checks (mean drift small, few argmax flips)
+    assert diff.mean() < 6.0, diff.mean()
+    assert (q8.argmax(0) != f32.argmax(0)).mean() < 0.04

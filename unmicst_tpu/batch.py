@@ -269,22 +269,15 @@ def run_sweep(
 
             raw = read_channel(slide, "tif", channel)  # OME-plane-aware
             t0 = time.perf_counter()
-            if scaling_factor == 1 or not engine.quantized:
-                # device-side preprocess + uint8 maps: the link carries
-                # raw uint16 up and 2 uint8 planes down (~3x less than
-                # the f32 host path); any scalingFactor (the resize and
-                # map upscale-back ride the same jitted program)
-                contours, nuclei = engine.infer_slide(
-                    raw, outlier=outlier, classes=(1, 2),
-                    scaling_factor=scaling_factor,
-                )
-                preview = pp.preview_u8_from_raw(raw)  # parity-casts float32
-            else:
-                pc = pp.preprocess_channel(raw, scaling_factor, outlier)
-                probs = engine.infer(pc.net_input.astype(np.float32))
-                contours = pp.postprocess_pm(probs[1], pc.raw_shape)
-                nuclei = pp.postprocess_pm(probs[2], pc.raw_shape)
-                preview = np.uint8(255 * pc.raw_norm)
+            # device-side preprocess + uint8 maps: the link carries
+            # raw uint16 up and 2 uint8 planes down (~3x less than the
+            # f32 host path); any scalingFactor (the resize and map
+            # upscale-back ride the same jitted program)
+            contours, nuclei = engine.infer_slide(
+                raw, outlier=outlier, classes=(1, 2),
+                scaling_factor=scaling_factor,
+            )
+            preview = pp.preview_u8_from_raw(raw)  # parity-casts float32
             dt = time.perf_counter() - t0
             # batch walker output contract (batchUnMicst.py:570-587):
             # ContoursPM is a 2-page stack [contours PM, normalized raw]

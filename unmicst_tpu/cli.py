@@ -212,12 +212,11 @@ def _device_slide_ok(args, planes) -> bool:
     im2double dtype; --check-numerics must see float maps (uint8 would
     quantize NaN/Inf away), so it pins the float path.  Any
     ``--scalingFactor`` rides the device path (the resize + map
-    upscale-back fuse into the jitted program, ``core/resize_dev.py``)
-    EXCEPT under int8, whose calibration samples raw-scale statistics
-    (``InferenceEngine._check_scale_quant``)."""
+    upscale-back fuse into the jitted program, ``core/resize_dev.py``;
+    int8 calibrates on a host-resized plane,
+    ``InferenceEngine._quant_for_raw``)."""
     return (
-        (args.scalingFactor == 1 or args.precision != "int8")
-        and not args.check_numerics
+        not args.check_numerics
         and all(p.dtype in (np.uint8, np.uint16) for p in planes)
         # mixed-bit-depth duo stacks go through the float host path
         and len({p.dtype for p in planes}) == 1

@@ -321,14 +321,35 @@ class InferenceEngine:
             ))
         return self._quant
 
-    def _quant_for_raw(self, raw: np.ndarray, outlier, rescale: bool):
+    def _quant_for_raw(self, raw: np.ndarray, outlier, rescale: bool,
+                       scaling_factor: float = 1.0):
         """QuantState for the raw-slide paths, mirroring the device-side
-        preprocessing (im2double/rescale) when drawing calibration tiles."""
+        preprocessing (im2double/rescale) when drawing calibration tiles.
+        At ``scaling_factor != 1`` the calibration tiles sample a host-
+        resized plane (one-time cost), so they see the SCALED net-input
+        distribution the device program feeds the int8 kernels."""
         if not self.quantized:
             return None
         if self._quant is None:
             from unmicst_tpu.core import quant as _q
 
+            if scaling_factor != 1.0:
+                from unmicst_tpu.io import preprocess as _pp
+
+                planes = raw if raw.ndim == 3 else raw[None]
+                sh = int(float(planes.shape[-2]) * float(scaling_factor))
+                sw = int(float(planes.shape[-1]) * float(scaling_factor))
+                # pp.resize includes img_as_float, so the resized planes
+                # are already im2double'd unit-scale floats (scale=None)
+                resized = np.stack(
+                    [_pp.resize(p, (sh, sw)).astype(np.float32)
+                     for p in planes]
+                )
+                self._calibrate(_q.sample_tiles_raw(
+                    resized, self.hp, self.mean, self.std,
+                    scale=None, outlier=outlier, rescale=rescale,
+                ))
+                return self._quant
             scale = {
                 np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0
             }.get(np.dtype(raw.dtype))
@@ -493,7 +514,6 @@ class InferenceEngine:
         """
         if raw.dtype == np.float32:
             raw = raw.astype(np.uint16)  # parity cast (UnMicst1-5.py:807-808)
-        self._check_scale_quant(scaling_factor)
         classes = self._check_classes(classes)
         height, width = raw.shape
         key = ("slide", height, width, np.dtype(raw.dtype), outlier != -1,
@@ -506,7 +526,7 @@ class InferenceEngine:
             ),
         )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
-        qs = self._quant_for_raw(raw, outlier, rescale)
+        qs = self._quant_for_raw(raw, outlier, rescale, scaling_factor)
         args = [self.params, jnp.asarray(raw), jnp.asarray(window)]
         if outlier != -1:
             args.append(jnp.float32(outlier))
@@ -514,16 +534,6 @@ class InferenceEngine:
         return np.moveaxis(np.asarray(out), -1, 0)
 
     # -- device-side multi-channel (duo) slide path --------------------------
-
-    def _check_scale_quant(self, scaling_factor: float) -> None:
-        if self.quantized and scaling_factor != 1.0:
-            # int8 calibration tiles sample the raw-scale distribution
-            # (core/quant.py::sample_tiles_raw); a scaled net input would
-            # silently calibrate on the wrong statistics — callers use
-            # the host float path there (cli._device_slide_ok)
-            raise ValueError(
-                "int8 device slide path supports scaling_factor == 1 only"
-            )
 
     def infer_slide_stack(
         self,
@@ -535,7 +545,6 @@ class InferenceEngine:
     ) -> np.ndarray:
         """Raw [C] channel planes -> uint8 [K, H, W] maps (duo plumbing,
         per-channel ranges); otherwise :meth:`infer_slide` semantics."""
-        self._check_scale_quant(scaling_factor)
         planes = [
             r.astype(np.uint16) if r.dtype == np.float32 else r for r in raws
         ]
@@ -564,7 +573,7 @@ class InferenceEngine:
             ),
         )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
-        qs = self._quant_for_raw(raw, outlier, rescale)
+        qs = self._quant_for_raw(raw, outlier, rescale, scaling_factor)
         args = [self.params, jnp.asarray(raw), jnp.asarray(window)]
         if outlier != -1:
             args.append(jnp.float32(outlier))
