@@ -182,6 +182,63 @@ def test_zstd_lzma_corrupt_strip_raises(tmp_path, rng, codec_id,
         TiffFile(p).read_page(0)
 
 
+@pytest.mark.parametrize("compression", [None, "deflate", "zstd"])
+def test_tiled_writer_roundtrip(tmp_path, rng, compression):
+    """Tile-organized output pages: ragged edges, both dtypes, every
+    writer codec; readable by our reader AND by PIL (independent
+    libtiff-derived tile decode)."""
+    for dtype, hi in ((np.uint8, 255), (np.uint16, 65535)):
+        img = (rng.rand(300, 210) * hi).astype(dtype)
+        p = str(tmp_path / f"t_{dtype.__name__}.tif")
+        with TiffWriter(p, bigtiff=False, compression=compression) as tw:
+            tw.write(img, tile=(64, 64))
+        tf = TiffFile(p)
+        assert tf.pages[0].tiled
+        np.testing.assert_array_equal(tf.read_page(0), img)
+        np.testing.assert_array_equal(
+            tf.read_region(0, 50, 30, 100, 120), img[50:150, 30:150]
+        )
+        tf.close()
+        if compression != "zstd":  # PIL lacks zstd
+            with Image.open(p) as im:
+                np.testing.assert_array_equal(np.asarray(im), img)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        with TiffWriter(str(tmp_path / "bad.tif")) as tw:
+            tw.write(np.zeros((32, 32), np.uint8), tile=(60, 64))
+
+
+def test_pyramid_writer(tmp_path, rng):
+    """write_pyramid: SubIFD (tag 330) chain of 2x box-mean levels, every
+    level tiled; the MAIN page chain stays a normal flat full-res page
+    (readers that ignore SubIFDs see the usual file)."""
+    from unmicst_tpu.io.tiff import _box_downsample2, num_pages
+
+    img = (rng.rand(1200, 900) * 65535).astype(np.uint16)
+    p = str(tmp_path / "pyr.tif")
+    with TiffWriter(p, bigtiff=True, compression="deflate") as tw:
+        n = tw.write_pyramid(img, tile=(128, 128), min_size=128)
+    assert n == 2  # 600x450, 300x225 (150x112 < 2*128 on short edge)
+    assert num_pages(p) == 1  # main chain unaffected
+    tf = TiffFile(p)
+    page = tf.pages[0]
+    assert page.subifds is not None and len(page.subifds) == 2
+    np.testing.assert_array_equal(tf.read_page(0), img)
+    lv = img
+    for k in range(2):
+        lv = _box_downsample2(lv)
+        got = tf.read_subifd(0, k)
+        np.testing.assert_array_equal(got, lv)
+    with pytest.raises(ValueError, match="pyramid level"):
+        tf.read_subifd(0, 2)
+    tf.close()
+    # appending a plain page after a pyramid keeps the chain intact
+    with TiffWriter(p, bigtiff=True, append=True) as tw:
+        tw.write(np.zeros((40, 40), np.uint8))
+    assert num_pages(p) == 2
+    with Image.open(p) as im:  # PIL sees the flat full-res page
+        np.testing.assert_array_equal(np.asarray(im), img)
+
+
 def test_zstd_writer_roundtrip(tmp_path, rng):
     """Opt-in zstd output (tag 50000): multi-strip, multi-page append,
     strips are genuine zstd frames (independent zstandard decode)."""

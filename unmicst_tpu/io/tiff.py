@@ -271,6 +271,7 @@ class TiffPage:
     tile_offsets: Optional[np.ndarray] = None
     tile_counts: Optional[np.ndarray] = None
     description: str = ""  # ImageDescription (OME-XML lives on page 0)
+    subifds: Optional[np.ndarray] = None  # tag 330 (pyramid levels)
 
     @property
     def tiled(self) -> bool:
@@ -425,7 +426,27 @@ class TiffFile:
             page.tile_length = scalar(TAG_TILE_LENGTH)
             page.tile_offsets = np.atleast_1d(tags[TAG_TILE_OFFSETS]).astype(np.int64)
             page.tile_counts = np.atleast_1d(tags[TAG_TILE_BYTE_COUNTS]).astype(np.int64)
+        if 330 in tags:  # SubIFDs: reduced-resolution pyramid levels
+            page.subifds = np.atleast_1d(tags[330]).astype(np.int64)
         return page, next_ifd
+
+    def read_subifd(self, index: int, level: int) -> np.ndarray:
+        """Decode one SubIFD pyramid level of page ``index`` whole.
+
+        The main page chain is unaffected by SubIFDs (``read_page(0)``
+        stays the full-resolution plane); this is the explicit accessor
+        for the reduced levels our pyramid writer (and QuPath-class
+        tools) store under tag 330."""
+        page = self.pages[index]
+        if page.subifds is None:
+            raise ValueError(f"page {index} has no SubIFDs")
+        if not 0 <= level < len(page.subifds):
+            raise ValueError(
+                f"page {index} has {len(page.subifds)} pyramid level(s), "
+                f"requested {level}"
+            )
+        sub, _ = self._read_ifd(int(page.subifds[level]))
+        return self._read_page_obj(sub)
 
     # -- decoding ------------------------------------------------------------
 
@@ -579,7 +600,9 @@ class TiffFile:
 
     def read_page(self, index: int = 0) -> np.ndarray:
         """Decode a full page to a numpy array (H, W) or (H, W, S)."""
-        page = self.pages[index]
+        return self._read_page_obj(self.pages[index])
+
+    def _read_page_obj(self, page: TiffPage) -> np.ndarray:
         if page.planar != 1 and page.samples > 1:
             raise NotImplementedError("planar TIFF not supported")
         if page.predictor not in (1, 2):
@@ -598,7 +621,7 @@ class TiffFile:
                 "the streaming engine)"
             )
         if page.tiled:
-            return self.read_region(index, 0, 0, page.height, page.width)
+            return self._read_region_obj(page, 0, 0, page.height, page.width)
         # Uncompressed pages whose strips sit back-to-back (the common
         # layout every sequential writer produces) read as ONE contiguous
         # region: one read + one dtype copy instead of a per-strip
@@ -681,7 +704,11 @@ class TiffFile:
         This is the streaming primitive: for a 100k x 100k tiled OME-TIFF we
         touch only the bytes under the requested stripe.
         """
-        page = self.pages[index]
+        return self._read_region_obj(self.pages[index], r0, c0, nrows, ncols)
+
+    def _read_region_obj(
+        self, page: TiffPage, r0: int, c0: int, nrows: int, ncols: int
+    ) -> np.ndarray:
         if page.planar != 1 and page.samples > 1:
             raise NotImplementedError("planar TIFF not supported")
         if page.predictor not in (1, 2):
@@ -766,6 +793,21 @@ class TiffFile:
         if page.samples == 1:
             out = out[:, :, 0]
         return out
+
+
+def _box_downsample2(img: np.ndarray) -> np.ndarray:
+    """2x2 box-mean pyramid reduction (the standard whole-slide level
+    generator); odd edges average the available pixels (edge-replicate
+    pad), integer dtypes round via +0.5 truncation (nonnegative data)."""
+    h, w = img.shape
+    ph, pw = h + (h & 1), w + (w & 1)
+    if (ph, pw) != (h, w):
+        img = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    acc = img.reshape(ph // 2, 2, pw // 2, 2).astype(np.float64)
+    acc = acc.mean(axis=(1, 3))
+    if np.issubdtype(img.dtype, np.integer):
+        return (acc + 0.5).astype(img.dtype)
+    return acc.astype(img.dtype)
 
 
 class TiffWriter:
@@ -855,11 +897,65 @@ class TiffWriter:
         self._last_ifd_ptr_pos = ptr_pos
         fh.seek(0, os.SEEK_END)
 
-    def write(self, image: np.ndarray, description: Optional[str] = None) -> None:
+    def write(self, image: np.ndarray, description: Optional[str] = None,
+              tile: Optional[Tuple[int, int]] = None) -> None:
         """Append one grayscale page (uint8/uint16/float32).
 
         ``description`` writes an ImageDescription tag (e.g. OME-XML on the
-        first page of an OME-TIFF)."""
+        first page of an OME-TIFF).  ``tile=(th, tw)`` writes a
+        tile-organized page (dims multiples of 16, TIFF 6.0 "Tiled
+        Images") — what pyramid viewers and window-readers want for
+        mega-slide outputs."""
+        self._write_page(image, description, tile=tile)
+
+    def write_pyramid(self, image: np.ndarray,
+                      description: Optional[str] = None,
+                      tile: Tuple[int, int] = (256, 256),
+                      min_size: int = 256) -> int:
+        """Append a pyramidal page: full resolution + SubIFD (tag 330)
+        chain of 2x box-mean reduced levels, every level tiled.
+
+        The layout QuPath/Avivator/tifffile-class viewers consume for
+        whole-slide outputs; levels halve until the next level would
+        drop under ``min_size`` on its short edge.  The main IFD chain
+        stays flat-page compatible — readers that ignore SubIFDs (ours
+        included, ``test_subifd_pyramid_levels_ignored``) see exactly
+        the usual full-res page sequence.  Returns the number of
+        reduced levels written."""
+        image = np.ascontiguousarray(image)
+        if image.ndim != 2:
+            raise ValueError("TiffWriter writes single-sample 2D pages")
+        levels = []
+        cur = image
+        while min(cur.shape[0], cur.shape[1]) >= 2 * min_size:
+            cur = _box_downsample2(cur)
+            levels.append(cur)
+        sub_offsets = [
+            self._write_page(lv, None, tile=tile, subfile_type=1,
+                             chain=False)
+            for lv in levels
+        ]
+        self._write_page(image, description, tile=tile,
+                         subifd_offsets=sub_offsets or None)
+        return len(levels)
+
+    def _encode_segment(self, data: bytes) -> bytes:
+        if self._codec == "deflate":
+            return _encode_deflate(data, self._level)
+        if self._codec == "zstd":
+            from unmicst_tpu.io import zstd as _zstd
+
+            return _zstd.compress(data, self._level)
+        return data
+
+    def _write_page(self, image: np.ndarray,
+                    description: Optional[str] = None,
+                    tile: Optional[Tuple[int, int]] = None,
+                    subifd_offsets=None, subfile_type: Optional[int] = None,
+                    chain: bool = True) -> int:
+        """Write one page's data + IFD; link it into the page chain
+        unless ``chain=False`` (SubIFD pyramid levels).  Returns the IFD
+        offset."""
         image = np.ascontiguousarray(image)
         if image.ndim != 2:
             raise ValueError("TiffWriter writes single-sample 2D pages")
@@ -868,25 +964,44 @@ class TiffWriter:
         h, w = image.shape
         itemsize = image.dtype.itemsize
         sample_format = 3 if image.dtype.kind == "f" else (2 if image.dtype.kind == "i" else 1)
-        rows_per_strip = max(1, min(h, (1 << 20) // max(1, w * itemsize)))
-        n_strips = (h + rows_per_strip - 1) // rows_per_strip
 
         fh = self._fh
         fh.seek(0, os.SEEK_END)
         if fh.tell() % 2:
             fh.write(b"\0")
-        strip_offsets, strip_counts = [], []
-        for s in range(n_strips):
-            data = image[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
-            if self._codec == "deflate":
-                data = _encode_deflate(data, self._level)
-            elif self._codec == "zstd":
-                from unmicst_tpu.io import zstd as _zstd
-
-                data = _zstd.compress(data, self._level)
-            strip_offsets.append(fh.tell())
-            strip_counts.append(len(data))
-            fh.write(data)
+        seg_offsets, seg_counts = [], []
+        if tile is not None:
+            th, tw = int(tile[0]), int(tile[1])
+            if th <= 0 or tw <= 0 or th % 16 or tw % 16:
+                raise ValueError(
+                    f"tile dims must be positive multiples of 16, got "
+                    f"({th}, {tw})"
+                )
+            for r0 in range(0, h, th):
+                for c0 in range(0, w, tw):
+                    blk = image[r0 : r0 + th, c0 : c0 + tw]
+                    if blk.shape != (th, tw):
+                        # edge tiles store the full padded tile (spec)
+                        full = np.zeros((th, tw), image.dtype)
+                        full[: blk.shape[0], : blk.shape[1]] = blk
+                        blk = full
+                    data = self._encode_segment(blk.tobytes())
+                    seg_offsets.append(fh.tell())
+                    seg_counts.append(len(data))
+                    fh.write(data)
+            rows_per_strip = 0  # unused in tiled pages
+        else:
+            rows_per_strip = max(1, min(h, (1 << 20) // max(1, w * itemsize)))
+            n_strips = (h + rows_per_strip - 1) // rows_per_strip
+            for s in range(n_strips):
+                data = self._encode_segment(
+                    image[s * rows_per_strip : (s + 1) * rows_per_strip]
+                    .tobytes()
+                )
+                seg_offsets.append(fh.tell())
+                seg_counts.append(len(data))
+                fh.write(data)
+        strip_offsets, strip_counts = seg_offsets, seg_counts
 
         # Out-of-line arrays (strip offsets/counts) when they don't fit inline.
         def maybe_outline(values, fmt_char, inline_slots):
@@ -905,6 +1020,9 @@ class TiffWriter:
             off_type, off_char, inline = 4, "I", 1
         so_ptr, _ = maybe_outline(strip_offsets, off_char, inline)
         sc_ptr, _ = maybe_outline(strip_counts, off_char, inline)
+        sub_ptr = None
+        if subifd_offsets is not None:
+            sub_ptr, _ = maybe_outline(subifd_offsets, off_char, inline)
         # ImageDescription: UTF-8 (OME-XML spec) + single terminating NUL;
         # count is the exact byte length, inline when it fits the value slot.
         desc_ptr = None
@@ -917,37 +1035,57 @@ class TiffWriter:
                 desc_ptr = fh.tell()
                 fh.write(desc_bytes)
 
+        # entries: (tag, ftype, count, values, is_ptr) in ASCENDING tag
+        # order (TIFF 6.0 requires it; some readers enforce it)
         entries = [
-            (TAG_IMAGE_WIDTH, 4, 1, [w]),
-            (TAG_IMAGE_LENGTH, 4, 1, [h]),
-            (TAG_BITS_PER_SAMPLE, 3, 1, [itemsize * 8]),
+            (TAG_IMAGE_WIDTH, 4, 1, [w], False),
+            (TAG_IMAGE_LENGTH, 4, 1, [h], False),
+            (TAG_BITS_PER_SAMPLE, 3, 1, [itemsize * 8], False),
             (TAG_COMPRESSION, 3, 1,
              [COMPRESSION_ZSTD if self._codec == "zstd"
               else COMPRESSION_DEFLATE_ADOBE if self._compress
-              else COMPRESSION_NONE]),
-            (TAG_PHOTOMETRIC, 3, 1, [1]),
-            (
-                TAG_STRIP_OFFSETS,
-                off_type,
-                len(strip_offsets),
-                [so_ptr] if so_ptr is not None else strip_offsets,
-            ),
-            (TAG_SAMPLES_PER_PIXEL, 3, 1, [1]),
-            (TAG_ROWS_PER_STRIP, 4, 1, [rows_per_strip]),
-            (
-                TAG_STRIP_BYTE_COUNTS,
-                off_type,
-                len(strip_counts),
-                [sc_ptr] if sc_ptr is not None else strip_counts,
-            ),
-            (TAG_SAMPLE_FORMAT, 3, 1, [sample_format]),
+              else COMPRESSION_NONE], False),
+            (TAG_PHOTOMETRIC, 3, 1, [1], False),
         ]
+        if subfile_type is not None:
+            # 254 NewSubfileType (bit 0 = reduced-resolution pyramid level)
+            entries.insert(0, (254, 4, 1, [int(subfile_type)], False))
         if description is not None:
-            # tag order: 270 sits between PHOTOMETRIC (262) and 273
-            entries.insert(5, (
+            entries.append((
                 TAG_IMAGE_DESCRIPTION, 2, len(desc_bytes),
                 [desc_ptr] if desc_ptr is not None else desc_bytes,
+                desc_ptr is not None,
             ))
+        if tile is None:
+            entries += [
+                (TAG_STRIP_OFFSETS, off_type, len(strip_offsets),
+                 [so_ptr] if so_ptr is not None else strip_offsets,
+                 so_ptr is not None),
+                (TAG_SAMPLES_PER_PIXEL, 3, 1, [1], False),
+                (TAG_ROWS_PER_STRIP, 4, 1, [rows_per_strip], False),
+                (TAG_STRIP_BYTE_COUNTS, off_type, len(strip_counts),
+                 [sc_ptr] if sc_ptr is not None else strip_counts,
+                 sc_ptr is not None),
+            ]
+        else:
+            entries += [
+                (TAG_SAMPLES_PER_PIXEL, 3, 1, [1], False),
+                (TAG_TILE_WIDTH, 4, 1, [tw], False),
+                (TAG_TILE_LENGTH, 4, 1, [th], False),
+                (TAG_TILE_OFFSETS, off_type, len(strip_offsets),
+                 [so_ptr] if so_ptr is not None else strip_offsets,
+                 so_ptr is not None),
+                (TAG_TILE_BYTE_COUNTS, off_type, len(strip_counts),
+                 [sc_ptr] if sc_ptr is not None else strip_counts,
+                 sc_ptr is not None),
+            ]
+        if subifd_offsets is not None:
+            entries.append((
+                330, off_type, len(subifd_offsets),
+                [sub_ptr] if sub_ptr is not None else subifd_offsets,
+                sub_ptr is not None,
+            ))
+        entries.append((TAG_SAMPLE_FORMAT, 3, 1, [sample_format], False))
 
         if fh.tell() % 2:
             fh.write(b"\0")
@@ -959,13 +1097,8 @@ class TiffWriter:
         else:
             slot, count_fmt, entry_fmt, ptr_fmt = 4, "<H", "<HHI", "<I"
         buf = struct.pack(count_fmt, len(entries))
-        for tag, ftype, count, values in entries:
+        for tag, ftype, count, values, is_ptr in entries:
             ch, _ = _FIELD_TYPES[ftype]
-            is_ptr = (
-                tag in (TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS)
-                and count > 1
-            ) or (tag == TAG_IMAGE_DESCRIPTION
-                  and not isinstance(values, bytes))
             if isinstance(values, bytes):
                 payload = values.ljust(slot, b"\0")
             elif is_ptr:
@@ -978,15 +1111,17 @@ class TiffWriter:
         buf += struct.pack(ptr_fmt, 0)
         fh.write(buf)
 
-        # Re-chain: point the previous IFD (or header) at this new IFD.
-        fh.seek(self._last_ifd_ptr_pos)
-        fh.write(struct.pack(self._ptr_fmt, ifd_pos))
-        # Next-IFD pointer position inside the IFD we just wrote:
-        if self.big:
-            self._last_ifd_ptr_pos = ifd_pos + 8 + 20 * len(entries)
-        else:
-            self._last_ifd_ptr_pos = ifd_pos + 2 + 12 * len(entries)
+        if chain:
+            # Re-chain: point the previous IFD (or header) at this new IFD.
+            fh.seek(self._last_ifd_ptr_pos)
+            fh.write(struct.pack(self._ptr_fmt, ifd_pos))
+            # Next-IFD pointer position inside the IFD we just wrote:
+            if self.big:
+                self._last_ifd_ptr_pos = ifd_pos + 8 + 20 * len(entries)
+            else:
+                self._last_ifd_ptr_pos = ifd_pos + 2 + 12 * len(entries)
         fh.flush()
+        return ifd_pos
 
     def close(self):
         self._fh.close()
