@@ -218,6 +218,33 @@ def test_cli_streaming_int8(tmp_path, rng):
     assert dis < 0.04, dis
 
 
+def test_pyramid_output_flag(tmp_path, rng):
+    """--pyramidOutput writes tiled SubIFD-pyramid pages with identical
+    full-res pixels to the flat run."""
+    from unmicst_tpu.io.tiff import TiffFile, TiffWriter
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    img = (rng.rand(600, 560) * 60000).astype(np.uint16)
+    src = tmp_path / "s" / "registration" / "img.tif"
+    src.parent.mkdir(parents=True)
+    with TiffWriter(str(src), bigtiff=False) as tw:
+        tw.write(img)
+    base = [str(src), "--tool", "unmicst-solo", "--model", "blobDemo",
+            "--modelRoot", os.path.join(repo, "models"), "--stackOutput"]
+    assert cli.main(base + ["--outputPath", str(tmp_path / "p"),
+                            "--pyramidOutput"]) == 0
+    assert cli.main(base + ["--outputPath", str(tmp_path / "u")]) == 0
+    with TiffFile(str(tmp_path / "p" / "img_Probabilities_1.tif")) as tp, \
+            TiffFile(str(tmp_path / "u" / "img_Probabilities_1.tif")) as tu:
+        assert len(tp.pages) == len(tu.pages) == 3
+        for k in range(3):
+            assert tp.pages[k].tiled
+            assert tp.pages[k].subifds is not None
+            np.testing.assert_array_equal(tp.read_page(k), tu.read_page(k))
+            lv = tp.read_subifd(k, 0)
+            assert lv.shape == (300, 280)
+
+
 def test_compress_output_flag(tmp_path, rng):
     """--compressOutput writes Deflate pages the stack contract intact."""
     from unmicst_tpu.io.tiff import TiffFile, TiffWriter

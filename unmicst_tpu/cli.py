@@ -134,6 +134,12 @@ def build_parser() -> argparse.ArgumentParser:
         "TIFF reader decodes it); 'zstd' is faster and smaller but needs "
         "a zstd-aware reader (tifffile/libtiff, or this package)",
     )
+    p.add_argument(
+        "--pyramidOutput", action="store_true",
+        help="write outputs as tiled SubIFD pyramids (viewer-ready for "
+        "QuPath/Minerva-class tools; flat-page readers still see the "
+        "full-resolution pages; the reference writes flat strips)",
+    )
     return p
 
 
@@ -237,6 +243,7 @@ def _write_outputs(args, stem, out_path, cyto, dapi_channel, class_order,
     imwrite = functools.partial(
         _imwrite,
         compression=getattr(args, "compressOutput", None) or None,
+        pyramid=getattr(args, "pyramidOutput", False),
     )
     chan_suffix = str(dapi_channel if cyto else dapi_channel + 1)
     qc_dir = out_path if cyto else os.path.join(out_path, "qc")

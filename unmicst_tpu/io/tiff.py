@@ -1162,9 +1162,17 @@ def num_pages(path: str) -> int:
 def imwrite(
     path: str, image: np.ndarray, bigtiff: bool = True, append: bool = False,
     compression: Optional[str] = None, compression_level: int = 3,
+    pyramid: bool = False, tile: Optional[Tuple[int, int]] = None,
 ) -> None:
-    """Write/append one grayscale page (reference contract ``UnMicst1-5.py:852-862``)."""
+    """Write/append one grayscale page (reference contract ``UnMicst1-5.py:852-862``).
+
+    ``pyramid=True`` writes the page tiled with a SubIFD pyramid
+    (viewer-ready, see :meth:`TiffWriter.write_pyramid`); ``tile``
+    alone writes a flat tiled page."""
     with TiffWriter(path, bigtiff=bigtiff, append=append,
                     compression=compression,
                     compression_level=compression_level) as tw:
-        tw.write(image)
+        if pyramid:
+            tw.write_pyramid(image, tile=tile or (256, 256))
+        else:
+            tw.write(image, tile=tile)
