@@ -129,6 +129,7 @@ def run_sweep(
     verbose: bool = True,
     stream_above_px: int = 64_000_000,
     compress_output: Union[bool, str, None] = False,
+    pyramid_output: bool = False,
 ) -> BatchReport:
     """Run the sweep over this shard's slides; resumable via cursor file.
 
@@ -151,7 +152,8 @@ def run_sweep(
     # compress_output: True/"deflate" -> deflate, "zstd" -> zstd
     codec = ("deflate" if compress_output is True else
              compress_output or None)
-    imwrite = functools.partial(_imwrite, compression=codec)
+    imwrite = functools.partial(_imwrite, compression=codec,
+                                pyramid=pyramid_output)
 
     bundle = load_model_dir(model_dir, mean, std)
     params = load_params_for_bundle(bundle)
@@ -327,6 +329,8 @@ def batch_main(argv=None) -> int:
     p.add_argument("--compressOutput", nargs="?", const="deflate",
                    default=None, choices=["deflate", "zstd"],
                    help="compress output TIFF pages (bare flag = deflate)")
+    p.add_argument("--pyramidOutput", action="store_true",
+                   help="write tiled SubIFD-pyramid output pages")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -351,6 +355,7 @@ def batch_main(argv=None) -> int:
         num_shards=args.numShards,
         resume=not args.noResume,
         compress_output=args.compressOutput,
+        pyramid_output=args.pyramidOutput,
     )
     print(
         f"[sweep] done: {len(report.completed)} completed, "
