@@ -53,7 +53,10 @@ def test_resize_plan_matches_host_resize(rng):
     from unmicst_tpu.core.resize_dev import ResizePlan
 
     for shape, out in [((60, 80), (30, 40)), ((60, 80), (120, 160)),
-                       ((45, 31), (29, 62)), ((7, 1), (3, 5))]:
+                       ((45, 31), (29, 62)), ((7, 1), (3, 5)),
+                       # extreme downscale: gaussian radius exceeds the
+                       # axis (the mirror-gather fallback in _blur_axis)
+                       ((8, 300), (1, 30)), ((6, 6), (2, 2))]:
         x = (rng.rand(*shape) * 65535).astype(np.uint16)
         host = pp.resize(x, out)
         plan = ResizePlan(shape, out)

@@ -230,6 +230,10 @@ def test_pyramid_writer(tmp_path, rng):
         np.testing.assert_array_equal(got, lv)
     with pytest.raises(ValueError, match="pyramid level"):
         tf.read_subifd(0, 2)
+    # a corrupt SubIFD offset raises a clean ValueError, not struct.error
+    tf.pages[0].subifds = np.array([os.path.getsize(p) + 7], np.int64)
+    with pytest.raises(ValueError, match="corrupt SubIFD"):
+        tf.read_subifd(0, 0)
     tf.close()
     # appending a plain page after a pyramid keeps the chain intact
     with TiffWriter(p, bigtiff=True, append=True) as tw:

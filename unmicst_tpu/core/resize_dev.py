@@ -68,10 +68,27 @@ class ResizePlan:
         import jax.numpy as jnp
 
         radius = (len(kernel) - 1) // 2
+        n = x.shape[axis]
+        if radius >= n:
+            # extreme downscale of a tiny axis: the reflect pad would
+            # exceed the axis; gather each tap through a precomputed
+            # mirror index map instead (scipy mirror = period 2(n-1))
+            out = None
+            base = np.arange(n, dtype=np.int64)
+            for i, w in enumerate(kernel):
+                idx = base + (i - radius)
+                if n == 1:
+                    idx = np.zeros_like(idx)
+                else:
+                    period = 2 * (n - 1)
+                    idx = np.abs(idx) % period
+                    idx = np.where(idx > n - 1, period - idx, idx)
+                term = jnp.take(x, idx, axis=axis) * jnp.float32(w)
+                out = term if out is None else out + term
+            return out
         pad = [(0, 0)] * x.ndim
         pad[axis] = (radius, radius)
         xp = jnp.pad(x, pad, mode="reflect")  # numpy reflect == scipy mirror
-        n = x.shape[axis]
         out = None
         for i, w in enumerate(kernel):
             sl = [slice(None)] * x.ndim

@@ -445,7 +445,14 @@ class TiffFile:
                 f"page {index} has {len(page.subifds)} pyramid level(s), "
                 f"requested {level}"
             )
-        sub, _ = self._read_ifd(int(page.subifds[level]))
+        try:
+            sub, _ = self._read_ifd(int(page.subifds[level]))
+        except struct.error:
+            # truncated/corrupt SubIFD offset: a clean error, not a
+            # struct unpack traceback
+            raise ValueError(
+                f"corrupt SubIFD at offset {int(page.subifds[level]):#x}"
+            ) from None
         return self._read_page_obj(sub)
 
     # -- decoding ------------------------------------------------------------
