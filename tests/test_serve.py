@@ -292,6 +292,34 @@ def test_serve_scale_param(server_url, tmp_path, rng):
     assert ei.value.code == 400
 
 
+def test_serve_pyramid_param(server_url, tmp_path, rng):
+    """?pyramid=1 returns tiled SubIFD-pyramid pages with identical
+    full-res pixels to the flat response."""
+    from unmicst_tpu.io.tiff import TiffFile
+
+    raw = (rng.rand(600, 560) * 60000).astype(np.uint16)
+    src = str(tmp_path / "s.tif")
+    imwrite(src, raw, bigtiff=False)
+    body = open(src, "rb").read()
+    blobs = {}
+    for q in ("", "&pyramid=1"):
+        req = urllib.request.Request(
+            server_url + "/infer?model=nucleiDAPI&channel=0" + q,
+            data=body, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            blobs[q] = r.read()
+    pa, pb = str(tmp_path / "flat.tif"), str(tmp_path / "pyr.tif")
+    open(pa, "wb").write(blobs[""])
+    open(pb, "wb").write(blobs["&pyramid=1"])
+    with TiffFile(pa) as a, TiffFile(pb) as b:
+        assert len(a.pages) == len(b.pages) == 3
+        for k in range(3):
+            assert b.pages[k].tiled and b.pages[k].subifds is not None
+            np.testing.assert_array_equal(a.read_page(k), b.read_page(k))
+            assert b.read_subifd(k, 0).shape == (300, 280)
+
+
 def test_infer_czi_and_nd2_bodies(server_url, tmp_path, rng):
     """POST bodies are sniffed by magic bytes: CZI and ND2 containers work
     end-to-end and match the TIFF result for identical pixels."""

@@ -169,7 +169,7 @@ class ModelServer:
     def infer_tiff(
         self, body: bytes, model: str, channel: int, rescale: bool,
         outlier: float, compress: Optional[str] = None,
-        scale: float = 1.0,
+        scale: float = 1.0, pyramid: bool = False,
     ) -> Tuple[bytes, dict]:
         """In-memory convenience wrapper over :meth:`infer_tiff_path`."""
         with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
@@ -177,13 +177,13 @@ class ModelServer:
             tmp.flush()
             return self.infer_tiff_path(
                 tmp.name, model, channel, rescale, outlier,
-                compress=compress, scale=scale,
+                compress=compress, scale=scale, pyramid=pyramid,
             )
 
     def infer_tiff_path(
         self, path: str, model: str, channel, rescale: bool,
         outlier: float, compress: Optional[str] = None,
-        scale: float = 1.0,
+        scale: float = 1.0, pyramid: bool = False,
     ) -> Tuple[bytes, dict]:
         """Run channel(s) of any supported container (TIFF/CZI/ND2 —
         sniffed from magic bytes, uploads carry no trustworthy name)
@@ -254,12 +254,12 @@ class ModelServer:
             infer_s = time.perf_counter() - t0
         return self._encode(
             maps, model, shape, shape[0] * shape[1], infer_s,
-            compress=compress,
+            compress=compress, pyramid=pyramid,
         )
 
     def _encode(self, maps, model: str, shape, raw_size: int,
-                infer_s: float,
-                compress: Optional[str] = None) -> Tuple[bytes, dict]:
+                infer_s: float, compress: Optional[str] = None,
+                pyramid: bool = False) -> Tuple[bytes, dict]:
         from unmicst_tpu.io.tiff import TiffWriter
 
         buf = tempfile.NamedTemporaryFile(suffix=".tif", delete=False)
@@ -270,7 +270,10 @@ class ModelServer:
                 compression=compress or None,
             ) as tw:
                 for k in range(maps.shape[0] - 1, -1, -1):  # reversed order
-                    tw.write(maps[k])
+                    if pyramid:
+                        tw.write_pyramid(maps[k])
+                    else:
+                        tw.write(maps[k])
             with open(buf.name, "rb") as f:
                 out = f.read()
         finally:
@@ -411,6 +414,9 @@ def make_handler(server: ModelServer):
                     )
                 compress = _parse_compress(q.get("compress", ["0"])[0])
                 scale = float(q.get("scale", ["1"])[0])
+                pyramid = _parse_bool(
+                    q.get("pyramid", ["0"])[0], "pyramid"
+                )
                 if not 0.01 <= scale <= 16:
                     raise ValueError(
                         f"scale must be in [0.01, 16], got {scale}"
@@ -457,7 +463,7 @@ def make_handler(server: ModelServer):
                         return
                     out, meta = server.infer_tiff_path(
                         tmp.name, model, channel, rescale, outlier,
-                        compress=compress, scale=scale,
+                        compress=compress, scale=scale, pyramid=pyramid,
                     )
             except FileNotFoundError as e:
                 server._count(client_error=1)
