@@ -102,12 +102,15 @@ def test_device_scale_duo_stack(duo_model, rng):
     _assert_close(dev, host)
 
 
-def test_int8_device_scale(model, rng):
+def test_int8_device_scale(model):
     """int8 at scaling_factor != 1 calibrates on a host-resized plane
     (the scaled net-input distribution) and tracks the float device
     path within the documented int8 tolerance."""
     hp, params = model
-    raw = (rng.rand(96, 96) * 60000).astype(np.uint16)
+    # local seed: the session-scoped rng fixture's consumption order
+    # otherwise changes this input (and the marginal int8 drift) when
+    # the file runs standalone vs in the full suite
+    raw = (np.random.RandomState(7).rand(96, 96) * 60000).astype(np.uint16)
     f32 = InferenceEngine(hp, params, "legacy", 0.3, 0.2).infer_slide(
         raw, scaling_factor=0.5
     )

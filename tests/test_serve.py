@@ -292,6 +292,29 @@ def test_serve_scale_param(server_url, tmp_path, rng):
     assert ei.value.code == 400
 
 
+def test_serve_compress_bool_compat_and_scale_bound(tmp_path, rng):
+    """Programmatic compress=True (pre-codec-string API) still means
+    deflate; an upscale whose scaled pixel count exceeds max_scaled_px
+    is rejected before any allocation."""
+    from unmicst_tpu.io.tiff import TiffFile
+
+    srv = ModelServer(
+        model_root=os.path.join(REFERENCE, "models"), precision="float32"
+    )
+    raw = (rng.rand(80, 60) * 60000).astype(np.uint16)
+    src = str(tmp_path / "s.tif")
+    imwrite(src, raw, bigtiff=False)
+    body, _ = srv.infer_tiff_path(src, "nucleiDAPI", 0, True, -1,
+                                  compress=True)
+    p = str(tmp_path / "o.tif")
+    open(p, "wb").write(body)
+    with TiffFile(p) as tf:
+        assert tf.pages[0].compression == 8  # deflate
+    srv.max_scaled_px = 100 * 75 - 1  # 80*60 at scale 1.25 = 100x75
+    with pytest.raises(ValueError, match="scaled pixel count"):
+        srv.infer_tiff_path(src, "nucleiDAPI", 0, True, -1, scale=1.25)
+
+
 def test_serve_pyramid_param(server_url, tmp_path, rng):
     """?pyramid=1 returns tiled SubIFD-pyramid pages with identical
     full-res pixels to the flat response."""

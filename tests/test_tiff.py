@@ -243,6 +243,37 @@ def test_pyramid_writer(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(im), img)
 
 
+def test_subifd_field_type_13(tmp_path, rng):
+    """Tag 330 written with TIFF field type 13 (IFD — what tifffile uses
+    on classic files) must parse; an unknown field type must not silently
+    drop the pyramid."""
+    import struct as _struct
+
+    img = (rng.rand(600, 600) * 255).astype(np.uint8)
+    p = str(tmp_path / "p13.tif")
+    with TiffWriter(p, bigtiff=False) as tw:
+        assert tw.write_pyramid(img, tile=(128, 128), min_size=128) >= 1
+    blob = bytearray(open(p, "rb").read())
+    # classic IFD: locate the tag-330 entry in the last IFD and flip its
+    # field type from LONG (4) to IFD (13)
+    (ifd_off,) = _struct.unpack("<I", blob[4:8])
+    (n,) = _struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+    patched = False
+    for i in range(n):
+        ent = ifd_off + 2 + 12 * i
+        tag, ftype = _struct.unpack("<HH", blob[ent : ent + 4])
+        if tag == 330:
+            assert ftype == 4
+            _struct.pack_into("<H", blob, ent + 2, 13)
+            patched = True
+    assert patched
+    open(p, "wb").write(bytes(blob))
+    tf = TiffFile(p)
+    assert tf.pages[0].subifds is not None
+    assert tf.read_subifd(0, 0).shape == (300, 300)
+    tf.close()
+
+
 def test_zstd_writer_roundtrip(tmp_path, rng):
     """Opt-in zstd output (tag 50000): multi-strip, multi-page append,
     strips are genuine zstd frames (independent zstandard decode)."""

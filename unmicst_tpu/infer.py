@@ -337,16 +337,36 @@ class InferenceEngine:
                 from unmicst_tpu.io import preprocess as _pp
 
                 planes = raw if raw.ndim == 3 else raw[None]
-                sh = int(float(planes.shape[-2]) * float(scaling_factor))
-                sw = int(float(planes.shape[-1]) * float(scaling_factor))
-                # pp.resize includes img_as_float, so the resized planes
-                # are already im2double'd unit-scale floats (scale=None)
-                resized = np.stack(
-                    [_pp.resize(p, (sh, sw)).astype(np.float32)
-                     for p in planes]
-                )
+                H, W = planes.shape[-2], planes.shape[-1]
+                sh = int(float(H) * float(scaling_factor))
+                sw = int(float(W) * float(scaling_factor))
+                # calibration needs ~1% representative statistics, not
+                # the whole resized slide: resize only ~8 tile-height
+                # row BANDS spread over the scaled image (block-exact
+                # resize_rows reads just the raw rows under each band)
+                # and let the sampler draw its windows from that mosaic.
+                # resize_rows includes img_as_float, so values are
+                # already im2double'd unit-scale (scale=None below).
+                s_tile, grid = self.hp.im_size, 8
+                bands = []
+                for ci in range(planes.shape[0]):
+                    rows = [
+                        _pp.resize_rows(
+                            lambda a, b, _p=planes[ci]: _p[a:b],
+                            (H, W), (sh, sw),
+                            0 if sh <= s_tile else min(
+                                gi * (sh - s_tile) // max(grid - 1, 1),
+                                sh - s_tile,
+                            ),
+                            min(s_tile, sh),
+                        )
+                        for gi in range(grid)
+                    ]
+                    bands.append(
+                        np.concatenate(rows, axis=0).astype(np.float32)
+                    )
                 self._calibrate(_q.sample_tiles_raw(
-                    resized, self.hp, self.mean, self.std,
+                    np.stack(bands), self.hp, self.mean, self.std,
                     scale=None, outlier=outlier, rescale=rescale,
                 ))
                 return self._quant

@@ -84,35 +84,30 @@ def _fold_coords(coords: np.ndarray, n: int):
     return lo, c - lo
 
 
-def _lerp_rows(img: np.ndarray, coords: np.ndarray) -> np.ndarray:
-    """Order-1 resample of axis 0 at ``coords``, the row half of the
-    separable bilinear in :func:`resize`.  In-place op chain: the lerp
+def _lerp_axis(img: np.ndarray, coords: np.ndarray, axis: int) -> np.ndarray:
+    """Order-1 resample of one axis at ``coords``, half of the separable
+    bilinear in :func:`resize`.  In-place op chain: the lerp
     `a + (b-a)*frac` allocates two big buffers total (the gathers), not
     five — large fresh allocations fault-in at ~10x the cost of the
     arithmetic on this class of host."""
-    n = img.shape[0]
+    n = img.shape[axis]
     if n == 1:
-        return np.repeat(img, len(coords), axis=0)
+        return np.repeat(img, len(coords), axis=axis)
     lo, frac = _fold_coords(coords, n)
-    b = np.take(img, lo + 1, axis=0)
-    a = np.take(img, lo, axis=0)
+    b = np.take(img, lo + 1, axis=axis)
+    a = np.take(img, lo, axis=axis)
     np.subtract(b, a, out=b)
-    np.multiply(b, frac[:, None], out=b)
+    np.multiply(b, frac[:, None] if axis == 0 else frac[None, :], out=b)
     np.add(b, a, out=b)
     return b
+
+
+def _lerp_rows(img: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    return _lerp_axis(img, coords, 0)
 
 
 def _lerp_cols(img: np.ndarray, coords: np.ndarray) -> np.ndarray:
-    n = img.shape[1]
-    if n == 1:
-        return np.repeat(img, len(coords), axis=1)
-    lo, frac = _fold_coords(coords, n)
-    b = np.take(img, lo + 1, axis=1)
-    a = np.take(img, lo, axis=1)
-    np.subtract(b, a, out=b)
-    np.multiply(b, frac[None, :], out=b)
-    np.add(b, a, out=b)
-    return b
+    return _lerp_axis(img, coords, 1)
 
 
 def resize(image: np.ndarray, output_shape: Tuple[int, int]) -> np.ndarray:

@@ -75,6 +75,7 @@ _FIELD_TYPES = {
     10: ("i", 4),  # SRATIONAL (two SLONGs)
     11: ("f", 4),
     12: ("d", 8),
+    13: ("I", 4),  # IFD (classic-TIFF SubIFD pointers, e.g. tifffile)
     16: ("Q", 8),  # LONG8 (BigTIFF)
     17: ("q", 8),
     18: ("Q", 8),  # IFD8
@@ -463,6 +464,66 @@ class TiffFile:
         self._fh.seek(offset)
         return _decode(self._fh.read(count), page.compression, max_out)
 
+    def _batch_decode_ok(self, page) -> bool:
+        """Shared precondition for the one-call native batched decoders:
+        a codec unmicst_decode_strips speaks, the native lib present,
+        and (for predictor-2 pages) a band layout the native predictor
+        undo can take — 1- and 2-byte single-sample rows."""
+        from unmicst_tpu.io import _native
+
+        return (
+            page.compression in (COMPRESSION_DEFLATE,
+                                 COMPRESSION_DEFLATE_ADOBE,
+                                 COMPRESSION_LZW, COMPRESSION_PACKBITS)
+            and _native.get_lib() is not None
+            and not (page.predictor == 2
+                     and not (page.samples == 1
+                              and page.dtype.itemsize in (1, 2)))
+        )
+
+    def _batched_span_decode(self, page, offs, cnts, dst_offs, dst_lens,
+                             fallback_on_mismatch):
+        """Span-gather + one-call native decode shared by the batched
+        strip/tile readers: validates the segment layout (ascending,
+        nonnegative), declines sparse spans (reading them would pull in
+        unrelated bytes — the per-segment loops win there), reads the
+        span once and decodes every segment straight into one uint8
+        buffer.  Returns the buffer, or None when the layout declines.
+        ``fallback_on_mismatch``: a segment decoding to other than its
+        exact dst_len returns None (tiles: writer slack is legal) rather
+        than raising (strips: exact lengths are computed, a mismatch is
+        corruption)."""
+        from unmicst_tpu.io import _native
+
+        n = len(offs)
+        if n > 1 and np.any(np.diff(offs) < 0):
+            return None  # descending/non-sequential layout
+        if np.any(cnts < 0) or np.any(offs < 0):
+            return None
+        span0 = int(offs[0])
+        span1 = int((offs + cnts).max())
+        total = int(cnts.sum())
+        need = span1 - span0
+        if need < 0 or need > total + (total >> 2) + 65536:
+            return None  # sparse span
+        self._fh.seek(span0)
+        span = self._fh.read(need)
+        if len(span) < need:
+            raise ValueError("TIFF data truncated mid-page")
+        out8 = np.empty(int(dst_lens.sum()), np.uint8)
+        codec = (8 if page.compression == COMPRESSION_DEFLATE else
+                 int(page.compression))
+        try:
+            if not _native.decode_strips(
+                span, offs - span0, cnts, dst_offs, dst_lens, codec, out8
+            ):
+                return None
+        except ValueError:
+            if fallback_on_mismatch:
+                return None
+            raise
+        return out8
+
     def _read_strips_batched(self, page, dtype, row_bytes, s0, s1):
         """One-call native decode of strips [s0, s1) into a band buffer
         (rows ``s0*rps .. min(s1*rps, height)``, predictor undone, native
@@ -470,36 +531,11 @@ class TiffFile:
         it (callers fall back to the per-strip loop).  Used whole-plane
         by read_page and windowed by read_region.  See
         unmicst_decode_strips in native/tiffcodec.cpp."""
-        from unmicst_tpu.io import _native
-
         n = s1 - s0
-        if (
-            page.compression not in (COMPRESSION_DEFLATE,
-                                     COMPRESSION_DEFLATE_ADOBE,
-                                     COMPRESSION_LZW, COMPRESSION_PACKBITS)
-            or n <= 0
-            or page.rows_per_strip <= 0
-            or _native.get_lib() is None
-            # predictor undo below runs on the assembled band; the
-            # native helper handles 1- and 2-byte single-sample rows only
-            or (page.predictor == 2
-                and not (page.samples == 1 and page.dtype.itemsize in (1, 2)))
-        ):
+        if n <= 0 or page.rows_per_strip <= 0 or not self._batch_decode_ok(page):
             return None
         offs = np.asarray(page.strip_offsets[s0:s1], np.int64)
         cnts = np.asarray(page.strip_counts[s0:s1], np.int64)
-        if n > 1 and np.any(np.diff(offs) < 0):
-            return None  # descending layout: span read would be wasteful
-        if np.any(cnts < 0) or np.any(offs < 0):
-            return None
-        span0 = int(offs[0])
-        span1 = int((offs + cnts).max())
-        total = int(cnts.sum())
-        need = span1 - span0
-        # sparse span (strips far apart in the file): reading the span
-        # would pull in unrelated bytes; the per-strip loop wins there
-        if need < 0 or need > total + (total >> 2) + 65536:
-            return None
         rows_left = page.height - page.rows_per_strip * np.arange(
             s0, s1, dtype=np.int64
         )
@@ -509,18 +545,12 @@ class TiffFile:
         dst_offs = np.concatenate(
             ([0], np.cumsum(dst_lens[:-1]))
         ).astype(np.int64)
-        self._fh.seek(span0)
-        span = self._fh.read(need)
-        if len(span) < need:
-            raise ValueError("TIFF data truncated mid-page")
-        band_rows = int(dst_lens.sum()) // row_bytes
-        out8 = np.empty(band_rows * row_bytes, np.uint8)
-        codec = (8 if page.compression == COMPRESSION_DEFLATE else
-                 int(page.compression))
-        if not _native.decode_strips(
-            span, offs - span0, cnts, dst_offs, dst_lens, codec, out8
-        ):
+        out8 = self._batched_span_decode(
+            page, offs, cnts, dst_offs, dst_lens, fallback_on_mismatch=False
+        )
+        if out8 is None:
             return None
+        band_rows = int(dst_lens.sum()) // row_bytes
         arr = out8.view(dtype)
         if dtype != page.dtype:  # byte-swapped file: one swap copy
             arr = arr.astype(page.dtype)
@@ -542,21 +572,9 @@ class TiffFile:
         writer that over-pads a compressed tile fails the exact-length
         native contract and falls back.  See unmicst_decode_strips in
         native/tiffcodec.cpp."""
-        from unmicst_tpu.io import _native
-
         tw, th = page.tile_width, page.tile_length
         n = (ti1 - ti0) * (tj1 - tj0)
-        if (
-            page.compression not in (COMPRESSION_DEFLATE,
-                                     COMPRESSION_DEFLATE_ADOBE,
-                                     COMPRESSION_LZW, COMPRESSION_PACKBITS)
-            or n <= 0
-            or tw <= 0
-            or th <= 0
-            or _native.get_lib() is None
-            or (page.predictor == 2
-                and not (page.samples == 1 and page.dtype.itemsize in (1, 2)))
-        ):
+        if n <= 0 or tw <= 0 or th <= 0 or not self._batch_decode_ok(page):
             return None
         ks = (np.arange(ti0, ti1, dtype=np.int64)[:, None] * tiles_across
               + np.arange(tj0, tj1, dtype=np.int64)[None, :]).ravel()
@@ -564,37 +582,13 @@ class TiffFile:
             return None  # header promises fewer tiles: per-tile loop raises
         offs = page.tile_offsets[ks].astype(np.int64)
         cnts = page.tile_counts[ks].astype(np.int64)
-        if n > 1 and np.any(np.diff(offs) < 0):
-            return None  # non-sequential layout: span read would backtrack
-        if np.any(cnts < 0) or np.any(offs < 0):
-            return None
-        span0 = int(offs[0])
-        span1 = int((offs + cnts).max())
-        total = int(cnts.sum())
-        need = span1 - span0
-        # sparse span (e.g. a narrow column window skipping most of each
-        # tile row in the file): reading the span would pull in unrelated
-        # bytes; the per-tile loop wins there
-        if need < 0 or need > total + (total >> 2) + 65536:
-            return None
         tile_bytes = th * tw * page.samples * (page.bits // 8)
         dst_offs = np.arange(n, dtype=np.int64) * tile_bytes
         dst_lens = np.full(n, tile_bytes, np.int64)
-        self._fh.seek(span0)
-        span = self._fh.read(need)
-        if len(span) < need:
-            raise ValueError("TIFF data truncated mid-page")
-        out8 = np.empty(n * tile_bytes, np.uint8)
-        codec = (8 if page.compression == COMPRESSION_DEFLATE else
-                 int(page.compression))
-        try:
-            if not _native.decode_strips(
-                span, offs - span0, cnts, dst_offs, dst_lens, codec, out8
-            ):
-                return None
-        except ValueError:
-            # a tile decoding to other than the exact padded size (writer
-            # slack): the per-tile path decodes with slack and truncates
+        out8 = self._batched_span_decode(
+            page, offs, cnts, dst_offs, dst_lens, fallback_on_mismatch=True
+        )
+        if out8 is None:
             return None
         arr = out8.view(dtype)
         if dtype != page.dtype:  # byte-swapped file: one swap copy

@@ -78,6 +78,9 @@ class ModelServer:
         # small queue each extra request only spools bodies to disk and
         # holds a thread — fail fast with 503 + Retry-After instead
         self.max_inflight = int(max_inflight)
+        # upper bound on net-input pixels after ?scale= resampling (one
+        # request must not be able to OOM the server via upscale)
+        self.max_scaled_px = 1 << 30
         self.queue_timeout_s = float(queue_timeout_s)
         self._inflight = threading.BoundedSemaphore(max(1, self.max_inflight))
         self._zero_inflight = self.max_inflight <= 0  # test hook: always busy
@@ -195,6 +198,10 @@ class ModelServer:
 
         from unmicst_tpu.io.slides import open_channel_source, sniff_format
 
+        if compress is True:  # pre-r3s5 boolean callers: True = deflate
+            compress = "deflate"
+        elif compress is False:
+            compress = None
         fmt = sniff_format(path)
         channels = (
             list(channel) if isinstance(channel, (list, tuple))
@@ -208,6 +215,15 @@ class ModelServer:
             shape = (srcs[0].height, srcs[0].width)
             if any((s.height, s.width) != shape for s in srcs):
                 raise ValueError("channel planes disagree on dimensions")
+            if shape[0] * shape[1] * scale * scale > self.max_scaled_px:
+                # an upscale request multiplies the NET-INPUT pixel count
+                # by scale^2 — without this bound one scale=4 request on
+                # a large slide would materialize tens of GB of maps
+                raise ValueError(
+                    f"scaled pixel count {shape[0] * shape[1]} x "
+                    f"{scale}^2 exceeds the server bound "
+                    f"{self.max_scaled_px}"
+                )
             if shape[0] * shape[1] > self.stream_above_px:
                 # mega-slide POST: bounded memory, windowed reads from the
                 # spooled temp file.  t0 starts after engine lookup in both
