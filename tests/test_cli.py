@@ -218,6 +218,36 @@ def test_cli_streaming_int8(tmp_path, rng):
     assert dis < 0.04, dis
 
 
+def test_cli_zstd_tiff_input(tmp_path, rng):
+    """A zstd-compressed (tag 50000) TIFF input — what tifffile-based
+    pipelines write — drives the CLI end-to-end and matches the
+    uncompressed-input outputs bit-exactly."""
+    import zstandard
+
+    from tests.test_tiff import _write_strip_tiff
+    from unmicst_tpu.io.tiff import TiffWriter, imread
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    img = (rng.rand(96, 80) * 60000).astype(np.uint16)
+    d = tmp_path / "s" / "registration"
+    d.mkdir(parents=True)
+    plain, zst = str(d / "plain.tif"), str(d / "zst.tif")
+    with TiffWriter(plain, bigtiff=False) as tw:
+        tw.write(img)
+    _write_strip_tiff(
+        zst, img, 50000,
+        lambda b: zstandard.ZstdCompressor(level=3).compress(b),
+        rows_per_strip=40,
+    )
+    base = ["--tool", "unmicst-solo", "--model", "blobDemo",
+            "--modelRoot", os.path.join(repo, "models"), "--stackOutput"]
+    assert cli.main([plain] + base + ["--outputPath", str(tmp_path / "a")]) == 0
+    assert cli.main([zst] + base + ["--outputPath", str(tmp_path / "b")]) == 0
+    a = imread(str(tmp_path / "a" / "plain_Probabilities_1.tif"))
+    b = imread(str(tmp_path / "b" / "zst_Probabilities_1.tif"))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pyramid_output_flag(tmp_path, rng):
     """--pyramidOutput writes tiled SubIFD-pyramid pages with identical
     full-res pixels to the flat run."""

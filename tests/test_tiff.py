@@ -243,6 +243,43 @@ def test_pyramid_writer(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(im), img)
 
 
+def test_writer_randomized_roundtrip(tmp_path):
+    """Seeded randomized sweep over the writer configuration space
+    (shape x dtype x codec x layout x append) — locks the _write_page
+    refactor: every combination must round-trip bit-exactly through our
+    reader, and strip/deflate pages through PIL too."""
+    r = np.random.RandomState(99)
+    for trial in range(24):
+        h, w = int(r.randint(1, 400)), int(r.randint(1, 400))
+        dtype = [np.uint8, np.uint16, np.float32][r.randint(3)]
+        img = (r.rand(h, w) * 255).astype(dtype)
+        codec = [None, "deflate", "zstd"][r.randint(3)]
+        level = int(r.randint(1, 10))
+        big = bool(r.randint(2))
+        tile = (16 * int(r.randint(1, 5)), 16 * int(r.randint(1, 5))) \
+            if r.randint(2) else None
+        p = str(tmp_path / f"t{trial}.tif")
+        with TiffWriter(p, bigtiff=big, compression=codec,
+                        compression_level=level) as tw:
+            tw.write(img, tile=tile)
+        # append a second page half the time (chain re-link)
+        img2 = None
+        if r.randint(2):
+            img2 = (r.rand(int(r.randint(1, 100)),
+                           int(r.randint(1, 100))) * 255).astype(dtype)
+            with TiffWriter(p, bigtiff=big, append=True,
+                            compression=codec) as tw:
+                tw.write(img2)
+        tf = TiffFile(p)
+        np.testing.assert_array_equal(tf.read_page(0), img, err_msg=str(trial))
+        if img2 is not None:
+            np.testing.assert_array_equal(tf.read_page(1), img2)
+        tf.close()
+        if codec != "zstd" and dtype != np.float32:
+            with Image.open(p) as im:
+                np.testing.assert_array_equal(np.asarray(im), img)
+
+
 def test_subifd_field_type_13(tmp_path, rng):
     """Tag 330 written with TIFF field type 13 (IFD — what tifffile uses
     on classic files) must parse; an unknown field type must not silently
