@@ -539,6 +539,10 @@ def serve(host: str = "0.0.0.0", port: int = 8800, **kw) -> None:
 
 
 def main(argv=None) -> int:
+    from unmicst_tpu.utils.compcache import enable as enable_cache
+
+    enable_cache()  # a server restart must not re-pay 10-200 s compiles
+
     import argparse
 
     p = argparse.ArgumentParser(prog="unmicst-tpu-serve")
