@@ -71,3 +71,46 @@ def test_zoo_s3_urls_match_reference_dockerfile():
     for entry in ZOO.values():
         if entry.ckpt_url:
             assert entry.ckpt_url in urls, entry.ckpt_url
+
+
+def test_fetch_model_file_url(tmp_path, monkeypatch):
+    """fetch_model downloads the published blob (file:// here) into the
+    model dir atomically and the entry flips needs-blob -> ready;
+    unknown names and blob-less entries raise cleanly."""
+    import shutil
+
+    from unmicst_tpu.models import zoo
+
+    # stage a model root with nucleiDAPI's sidecars but no data blob
+    src = os.path.join(REFERENCE, "models", "nucleiDAPI")
+    dst = tmp_path / "models" / "nucleiDAPI"
+    dst.mkdir(parents=True)
+    blob = None
+    for f in os.listdir(src):
+        if f.endswith(".data-00000-of-00001"):
+            blob = os.path.join(src, f)
+            continue
+        shutil.copy(os.path.join(src, f), dst / f)
+    assert blob is not None
+    root = str(tmp_path / "models")
+    assert zoo.available_models(root)["nucleiDAPI"] == "needs-blob"
+    entry = zoo.ZOO["nucleiDAPI"]
+    monkeypatch.setitem(
+        zoo.ZOO, "nucleiDAPI",
+        type(entry)(**{**entry.__dict__, "ckpt_url": f"file://{blob}"}),
+    )
+    # the CLI wrapper drives the same fetch
+    from unmicst_tpu import cli
+
+    assert cli.main(["--fetchModels", "nucleiDAPI",
+                     "--modelRoot", root]) == 0
+    assert zoo.available_models(root)["nucleiDAPI"] == "ready"
+    assert zoo.fetch_model("nucleiDAPI", root) == "ready"
+    assert zoo.fetch_model("nucleiDAPI", root) == "ready"  # idempotent
+    with pytest.raises(ValueError, match="unknown zoo model"):
+        zoo.fetch_model("nope", root)
+    with pytest.raises(ValueError, match="no published"):
+        shutil.copytree(src, tmp_path / "models" / "CytoplasmIncell")
+        os.remove(tmp_path / "models" / "CytoplasmIncell" /
+                  "model.ckpt.data-00000-of-00001")
+        zoo.fetch_model("CytoplasmIncell", root)

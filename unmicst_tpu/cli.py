@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="print model zoo availability and exit",
     )
     p.add_argument(
+        "--fetchModels", nargs="*", metavar="NAME",
+        help="download the published checkpoint blobs (the reference's "
+        "Dockerfile S3 fetches) for the named zoo models — or, with no "
+        "names, every model currently in 'needs-blob' state — then exit",
+    )
+    p.add_argument(
         "--compressOutput", nargs="?", const="deflate", default=None,
         choices=["deflate", "zstd"],
         help="compress output TIFF pages (probability maps shrink ~5-10x; "
@@ -402,6 +408,30 @@ def main(argv: Optional[List[str]] = None) -> int:
             for name, status in sorted(available_models(root).items()):
                 print(f"  {name}: {status}")
         return 0
+    if args.fetchModels is not None:
+        from unmicst_tpu.models.zoo import available_models, fetch_model
+
+        root = args.modelRoot or next(
+            (r for r in DEFAULT_MODEL_ROOTS if r and os.path.isdir(r)), None
+        )
+        if root is None:
+            raise SystemExit(f"no model root found: {DEFAULT_MODEL_ROOTS}")
+        names = args.fetchModels or [
+            n for n, st in available_models(root).items()
+            if st.startswith("needs-blob (")  # has a published URL
+        ]
+        if not names:
+            print(f"{root}: nothing to fetch (all entries ready or "
+                  "blob-less)")
+            return 0
+        rc = 0
+        for name in names:
+            try:
+                print(f"{name}: {fetch_model(name, root)}")
+            except (OSError, ValueError) as e:
+                print(f"{name}: FAILED — {e}", file=sys.stderr)
+                rc = 1
+        return rc
     if not args.imagePath:
         raise SystemExit("imagePath is required (or use --listModels)")
 

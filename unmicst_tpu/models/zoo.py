@@ -64,6 +64,50 @@ ZOO = {
 }
 
 
+def fetch_model(name: str, model_root: str, timeout: float = 120.0) -> str:
+    """Download the published checkpoint blob for ``name`` into its
+    model dir (atomic .part rename), making the zoo entry loadable —
+    the user-facing wrapper over the Dockerfile:4-5 S3 fetches the
+    reference performs at image-build time.
+
+    Returns 'ready' (nothing to do) or 'fetched'.  Raises ValueError
+    for unknown names / entries with no published blob, OSError when
+    the network is unreachable (zero-egress environments)."""
+    import shutil
+    import urllib.request
+
+    entry = ZOO.get(name)
+    if entry is None:
+        raise ValueError(
+            f"unknown zoo model {name!r}; known: {sorted(ZOO)}"
+        )
+    if available_models(model_root).get(name) == "ready":
+        return "ready"
+    if entry.ckpt_url is None:
+        raise ValueError(
+            f"{name} has no published checkpoint blob (upstream ships "
+            "it incomplete too — see the zoo notes)"
+        )
+    d = os.path.join(model_root, name)
+    if not os.path.isdir(d):
+        raise ValueError(
+            f"model dir {d} absent — the sidecars (hp.data, index) ship "
+            "in-repo; point --modelRoot at a checkout's models/ tree"
+        )
+    dst = os.path.join(d, "model.ckpt.data-00000-of-00001")
+    tmp = dst + ".part"
+    with urllib.request.urlopen(entry.ckpt_url, timeout=timeout) as r, \
+            open(tmp, "wb") as f:
+        shutil.copyfileobj(r, f, 1 << 20)
+    os.replace(tmp, dst)
+    if available_models(model_root).get(name) != "ready":
+        raise ValueError(
+            f"fetched {entry.ckpt_url} but {name} is still not loadable "
+            "— blob/index mismatch?"
+        )
+    return "fetched"
+
+
 def available_models(model_root: str) -> dict:
     """Which zoo entries are actually loadable under ``model_root``."""
     from unmicst_tpu.core.checkpoint import _find_ckpt_prefix
