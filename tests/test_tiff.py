@@ -913,13 +913,24 @@ def test_reader_against_libtiff_encoder(tmp_path, rng, name, code, dtype):
     np.testing.assert_array_equal(got, img)
 
 
-@pytest.mark.parametrize("compression", [None, "deflate"])
-def test_libtiff_reads_our_writer(tmp_path, rng, compression):
+@pytest.mark.parametrize("compression,level", [
+    (None, 3),
+    ("deflate", 3),   # native greedy encoder
+    ("deflate", 6),   # native chain-search encoder
+])
+def test_libtiff_reads_our_writer(tmp_path, rng, compression, level):
+    """libtiff (via cv2) — a decoder we did not write — must accept both
+    native deflate encoders' streams, and our tiled pages."""
     cv2 = pytest.importorskip("cv2")
     img = (rng.rand(203, 317) * 65535).astype(np.uint16)
     p = str(tmp_path / "ours.tif")
-    imwrite(p, img, compression=compression)
+    imwrite(p, img, compression=compression, compression_level=level)
     back = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(back, img)
+    pt = str(tmp_path / "ours_tiled.tif")
+    imwrite(pt, img, compression=compression, compression_level=level,
+            tile=(64, 64))
+    back = cv2.imread(pt, cv2.IMREAD_UNCHANGED)
     np.testing.assert_array_equal(back, img)
 
 
