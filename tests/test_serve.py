@@ -313,6 +313,12 @@ def test_serve_compress_bool_compat_and_scale_bound(tmp_path, rng):
     srv.max_scaled_px = 100 * 75 - 1  # 80*60 at scale 1.25 = 100x75
     with pytest.raises(ValueError, match="scaled pixel count"):
         srv.infer_tiff_path(src, "nucleiDAPI", 0, True, -1, scale=1.25)
+    # the bound applies to UPSCALES only: the same slide over the bound
+    # at scale <= 1 must still be served (downscales shrink the work)
+    srv.max_scaled_px = 80 * 60 - 1
+    body2, _ = srv.infer_tiff_path(src, "nucleiDAPI", 0, True, -1,
+                                   scale=0.5)
+    assert body2[:2] == b"II"
 
 
 def test_serve_pyramid_param(server_url, tmp_path, rng):

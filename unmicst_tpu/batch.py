@@ -305,14 +305,13 @@ def run_sweep(
 
 
 def batch_main(argv=None) -> int:
-    from unmicst_tpu.utils.compcache import enable as enable_cache
-
-    enable_cache()  # sweeps re-invoked per shard share compiled programs
-
     """CLI for sweeps — the ``batchUnMicst.py`` surface, modernized.
 
     ``unmicst-tpu-batch ROOT --model M [--TMA] [--channel N] ...``
     """
+    from unmicst_tpu.utils.compcache import enable as enable_cache
+
+    enable_cache()  # sweeps re-invoked per shard share compiled programs
     import argparse
 
     p = argparse.ArgumentParser(prog="unmicst-tpu-batch")

@@ -348,19 +348,21 @@ class InferenceEngine:
                 # resize_rows includes img_as_float, so values are
                 # already im2double'd unit-scale (scale=None below).
                 s_tile, grid = self.hp.im_size, 8
+                starts = sorted({
+                    0 if sh <= s_tile else min(
+                        gi * (sh - s_tile) // max(grid - 1, 1),
+                        sh - s_tile,
+                    )
+                    for gi in range(grid)
+                })  # deduped: a short slide collapses to ONE band
                 bands = []
                 for ci in range(planes.shape[0]):
                     rows = [
                         _pp.resize_rows(
                             lambda a, b, _p=planes[ci]: _p[a:b],
-                            (H, W), (sh, sw),
-                            0 if sh <= s_tile else min(
-                                gi * (sh - s_tile) // max(grid - 1, 1),
-                                sh - s_tile,
-                            ),
-                            min(s_tile, sh),
+                            (H, W), (sh, sw), r0, min(s_tile, sh),
                         )
-                        for gi in range(grid)
+                        for r0 in starts
                     ]
                     bands.append(
                         np.concatenate(rows, axis=0).astype(np.float32)

@@ -799,16 +799,32 @@ class TiffFile:
 def _box_downsample2(img: np.ndarray) -> np.ndarray:
     """2x2 box-mean pyramid reduction (the standard whole-slide level
     generator); odd edges average the available pixels (edge-replicate
-    pad), integer dtypes round via +0.5 truncation (nonnegative data)."""
+    pad), integer dtypes round half up (``(sum + 2) >> 2``, equal to
+    +0.5 truncation of the float mean for nonnegative data).
+
+    Processes row BANDS so the temporaries stay bounded — a pyramid of a
+    multi-Gpx uint8 probability map must not materialize a float64 copy
+    of the whole plane (the streaming writers call this per page)."""
     h, w = img.shape
     ph, pw = h + (h & 1), w + (w & 1)
-    if (ph, pw) != (h, w):
-        img = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
-    acc = img.reshape(ph // 2, 2, pw // 2, 2).astype(np.float64)
-    acc = acc.mean(axis=(1, 3))
-    if np.issubdtype(img.dtype, np.integer):
-        return (acc + 0.5).astype(img.dtype)
-    return acc.astype(img.dtype)
+    out = np.empty((ph // 2, pw // 2), img.dtype)
+    integer = np.issubdtype(img.dtype, np.integer)
+    band = 4096  # even; ~band*w temporaries at 4-8 bytes/px
+    for r0 in range(0, ph, band):
+        r1 = min(r0 + band, ph)
+        blk = img[r0 : min(r1, h)]
+        pad_r = (r1 - r0) - blk.shape[0]
+        if pad_r or pw != w:
+            blk = np.pad(blk, ((0, pad_r), (0, pw - w)), mode="edge")
+        q = blk.reshape((r1 - r0) // 2, 2, pw // 2, 2)
+        if integer:
+            sums = q.astype(np.int64).sum(axis=(1, 3))
+            out[r0 // 2 : r1 // 2] = ((sums + 2) >> 2).astype(img.dtype)
+        else:
+            out[r0 // 2 : r1 // 2] = q.astype(np.float64).mean(
+                axis=(1, 3)
+            ).astype(img.dtype)
+    return out
 
 
 class TiffWriter:

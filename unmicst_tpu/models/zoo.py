@@ -96,10 +96,14 @@ def fetch_model(name: str, model_root: str, timeout: float = 120.0) -> str:
         )
     dst = os.path.join(d, "model.ckpt.data-00000-of-00001")
     tmp = dst + ".part"
-    with urllib.request.urlopen(entry.ckpt_url, timeout=timeout) as r, \
-            open(tmp, "wb") as f:
-        shutil.copyfileobj(r, f, 1 << 20)
-    os.replace(tmp, dst)
+    try:
+        with urllib.request.urlopen(entry.ckpt_url, timeout=timeout) as r, \
+                open(tmp, "wb") as f:
+            shutil.copyfileobj(r, f, 1 << 20)
+        os.replace(tmp, dst)
+    finally:
+        if os.path.exists(tmp):  # failed mid-transfer: no stale .part
+            os.unlink(tmp)
     if available_models(model_root).get(name) != "ready":
         raise ValueError(
             f"fetched {entry.ckpt_url} but {name} is still not loadable "

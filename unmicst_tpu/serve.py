@@ -69,6 +69,7 @@ class ModelServer:
         stream_above_px: int = 64_000_000,
         max_inflight: int = 4,
         queue_timeout_s: float = 30.0,
+        max_scaled_px: int = 1 << 30,
     ):
         self.model_root = model_root
         self.precision = precision
@@ -78,9 +79,9 @@ class ModelServer:
         # small queue each extra request only spools bodies to disk and
         # holds a thread — fail fast with 503 + Retry-After instead
         self.max_inflight = int(max_inflight)
-        # upper bound on net-input pixels after ?scale= resampling (one
-        # request must not be able to OOM the server via upscale)
-        self.max_scaled_px = 1 << 30
+        # upper bound on net-input pixels after an UPSCALING ?scale=
+        # resample (one request must not OOM the server via scale > 1)
+        self.max_scaled_px = int(max_scaled_px)
         self.queue_timeout_s = float(queue_timeout_s)
         self._inflight = threading.BoundedSemaphore(max(1, self.max_inflight))
         self._zero_inflight = self.max_inflight <= 0  # test hook: always busy
@@ -215,10 +216,15 @@ class ModelServer:
             shape = (srcs[0].height, srcs[0].width)
             if any((s.height, s.width) != shape for s in srcs):
                 raise ValueError("channel planes disagree on dimensions")
-            if shape[0] * shape[1] * scale * scale > self.max_scaled_px:
-                # an upscale request multiplies the NET-INPUT pixel count
-                # by scale^2 — without this bound one scale=4 request on
-                # a large slide would materialize tens of GB of maps
+            if (scale > 1
+                    and shape[0] * shape[1] * scale * scale
+                    > self.max_scaled_px):
+                # only UPSCALES amplify work/memory beyond what the same
+                # slide at scale 1 already costs (downscales shrink the
+                # net input, and the raw-resolution output maps are a
+                # scale-independent property of the slide) — so the
+                # bound applies to scale > 1 only, and huge slides at
+                # scale <= 1 keep streaming as before
                 raise ValueError(
                     f"scaled pixel count {shape[0] * shape[1]} x "
                     f"{scale}^2 exceeds the server bound "
