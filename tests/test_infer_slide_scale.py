@@ -75,6 +75,15 @@ def test_device_scale_matches_host(model, rng, sf):
     _assert_close(dev, _host(eng, raw, sf))
 
 
+def test_device_scale_uint8(model, rng):
+    """uint8 raw (im2double /255) through the fused scale path."""
+    hp, params = model
+    eng = InferenceEngine(hp, params, "legacy", 0.3, 0.2)
+    raw = (rng.rand(100, 80) * 255).astype(np.uint8)
+    dev = eng.infer_slide(raw, scaling_factor=0.5)
+    _assert_close(dev, _host(eng, raw, 0.5))
+
+
 def test_device_scale_outlier_and_solo_quirk(model, rng):
     hp, params = model
     eng = InferenceEngine(hp, params, "legacy", 0.3, 0.2)
