@@ -114,3 +114,28 @@ def test_fetch_model_file_url(tmp_path, monkeypatch):
         os.remove(tmp_path / "models" / "CytoplasmIncell" /
                   "model.ckpt.data-00000-of-00001")
         zoo.fetch_model("CytoplasmIncell", root)
+
+
+def test_fetch_model_failed_download_leaves_no_part(tmp_path, monkeypatch):
+    """A fetch that dies mid-transfer must not leave a stale .part blob
+    in the model dir."""
+    import shutil
+
+    from unmicst_tpu.models import zoo
+
+    src = os.path.join(REFERENCE, "models", "nucleiDAPI")
+    dst = tmp_path / "models" / "nucleiDAPI"
+    dst.mkdir(parents=True)
+    for f in os.listdir(src):
+        if not f.endswith(".data-00000-of-00001"):
+            shutil.copy(os.path.join(src, f), dst / f)
+    entry = zoo.ZOO["nucleiDAPI"]
+    monkeypatch.setitem(
+        zoo.ZOO, "nucleiDAPI",
+        type(entry)(**{**entry.__dict__,
+                       "ckpt_url": f"file://{tmp_path}/nonexistent.blob"}),
+    )
+    with pytest.raises(OSError):
+        zoo.fetch_model("nucleiDAPI", str(tmp_path / "models"))
+    leftovers = [f for f in os.listdir(dst) if f.endswith(".part")]
+    assert leftovers == []
