@@ -172,13 +172,18 @@ def test_class_index_validation(small_model, rng):
             eng.infer_slide(raw, classes=bad)
 
 
-def test_stack_mixed_dtypes_rejected(small_model, rng):
+def test_stack_mixed_dtypes_rejected(rng):
     """np.stack silently promotes uint8+uint16 -> uint16; the stack path
     must reject the mix instead of im2double-ing by the wrong constant."""
-    hp, params = small_model
-    eng = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8)
-    if hp.n_channels != 2:
-        pytest.skip("needs a 2-channel model")
+    import jax
+
+    from unmicst_tpu.core import unet
+    from unmicst_tpu.core.hp import HParams
+
+    hp = HParams(im_size=32, n_channels=2, n_classes=3, n_out0=4, ks=3,
+                 n_extra_convs=0, n_layers=2, batch_size=8, std_dev0=0.5)
+    params = unet.init_params(jax.random.PRNGKey(3), hp, "v2")
+    eng = InferenceEngine(hp, params, "v2", 0.2, 0.2, tile_batch=8)
     a = (rng.rand(40, 40) * 250).astype(np.uint8)
     b = (rng.rand(40, 40) * 60000).astype(np.uint16)
     with pytest.raises(ValueError, match="disagree on dtype"):
