@@ -31,7 +31,9 @@ def _reference_style_inference(params, hp, variant, image, mean, std):
                 out[k, r0 : r0 + hp.im_size, c0 : c0 + hp.im_size] += probs[..., k] * win
             cnt[r0 : r0 + hp.im_size, c0 : c0 + hp.im_size] += win
     m = g.margin
-    return (out / cnt[None])[:, m : m + g.height, m : m + g.width]
+    with np.errstate(invalid="ignore"):  # cnt==0 only in the cropped margin
+        full = out / cnt[None]
+    return full[:, m : m + g.height, m : m + g.width]
 
 
 @pytest.fixture(scope="module")
