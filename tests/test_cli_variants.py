@@ -83,6 +83,27 @@ def test_duo_two_channels(zoo, tmp_path, rng):
     assert not np.array_equal(a, b)
 
 
+def test_duo_scale_device_vs_host(zoo, tmp_path, rng):
+    """The duo CLI at --scalingFactor 0.5 rides the device stack path;
+    it must agree with the host float path (--check-numerics pins it)
+    within 1 uint8 level."""
+    img = tmp_path / "s" / "registration" / "m.ome.tif"
+    img.parent.mkdir(parents=True)
+    _write_stack(str(img), 2, rng)
+    base = [str(img), "--tool", "unmicst-duo", "--model", "duoTest",
+            "--modelRoot", zoo, "--channel", "1", "2", "--stackOutput",
+            "--scalingFactor", "0.5"]
+    out_d, out_h = tmp_path / "d", tmp_path / "h"
+    assert cli.main(base + ["--outputPath", str(out_d)]) == 0
+    assert cli.main(base + ["--outputPath", str(out_h),
+                            "--check-numerics"]) == 0
+    for k in range(3):
+        a = imread(str(out_d / "m_Probabilities_1.tif"), k).astype(int)
+        b = imread(str(out_h / "m_Probabilities_1.tif"), k).astype(int)
+        d = np.abs(a - b)
+        assert d.max() <= 1 and (d > 0).mean() < 0.02, (k, d.max())
+
+
 def test_duo_single_channel_duplicates(zoo, tmp_path, rng):
     img = tmp_path / "s" / "registration" / "x.tif"
     img.parent.mkdir(parents=True)
