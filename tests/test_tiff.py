@@ -241,6 +241,19 @@ def test_pyramid_writer(tmp_path, rng):
     assert num_pages(p) == 2
     with Image.open(p) as im:  # PIL sees the flat full-res page
         np.testing.assert_array_equal(np.asarray(im), img)
+    # float32 pages pyramid too (the float mean path of the downsample)
+    fimg = rng.rand(700, 600).astype(np.float32)
+    pf = str(tmp_path / "pyr_f32.tif")
+    with TiffWriter(pf, bigtiff=True) as tw:
+        # 350x300 then 175x150 (short edge 150 < 2*128 stops it)
+        assert tw.write_pyramid(fimg, tile=(128, 128), min_size=128) == 2
+    tf2 = TiffFile(pf)
+    np.testing.assert_array_equal(tf2.read_page(0), fimg)
+    flv = fimg
+    for k in range(2):
+        flv = _box_downsample2(flv)
+        np.testing.assert_array_equal(tf2.read_subifd(0, k), flv)
+    tf2.close()
 
 
 def test_writer_randomized_roundtrip(tmp_path):
