@@ -18,9 +18,12 @@ RUN pip install --no-cache-dir "jax[tpu]" flax optax numpy scipy pillow zstandar
 # model files churn; copy after the expensive layers to keep them cached
 COPY models ./models
 
-# Model zoo: sidecars + checkpoint indexes come from the upstream repo,
-# the two large v2 data blobs from S3 (reference Dockerfile:4-5) — fail
-# fast if unavailable, exactly like the reference's `curl -f`.
+# Model zoo: sidecars + checkpoint indexes come from the upstream repo;
+# the two large v2 data blobs come via `--fetchModels`, which carries
+# the CORRECT S3 keys (unmicst1-5/unmicst2, NOT the model-dir names —
+# reference Dockerfile:4-5; the registry in models/zoo.py is the single
+# source of truth and is regression-tested against the reference
+# Dockerfile's URLs).  Fails fast if unavailable, like `curl -f`.
 ARG UPSTREAM=https://raw.githubusercontent.com/HMS-IDAC/UnMicst/master/models
 RUN set -e; \
     for m in nucleiDAPILAMIN nucleiDAPI1-5; do \
@@ -28,9 +31,8 @@ RUN set -e; \
         for f in hp.data datasetMean.data datasetStDev.data model.ckpt.index; do \
             curl -f -o "models/$m/$f" "$UPSTREAM/$m/$f"; \
         done; \
-        curl -f -o models/$m/model.ckpt.data-00000-of-00001 \
-            https://mcmicro.s3.amazonaws.com/models/$m/model.ckpt.data-00000-of-00001; \
-    done
+    done; \
+    unmicst-tpu --fetchModels --modelRoot models
 
 ENV UNMICST_TPU_MODEL_ROOT=/app/models
 ENTRYPOINT ["unmicst-tpu"]
