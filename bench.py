@@ -31,8 +31,10 @@ through the tunnel — BASELINE.md r2 methodology note).
 
 import json
 import os
+import subprocess
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -48,6 +50,82 @@ TILE_BATCH = int(os.environ.get("BENCH_TILE_BATCH", "0"))  # 0 = per-model optim
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 SHOWCASE = os.environ.get("BENCH_SHOWCASE", "1") != "0"  # 0 = legacy wall only
 PEAK_BF16 = 197e12  # TPU v5e MXU peak (bf16 pass)
+
+# Outage handling (r3 verdict item 1): BENCH_r03 was a raw traceback
+# because the axon tunnel was down at driver capture time.  Before doing
+# any device work we probe the backend in a bounded subprocess (init +
+# one H2D/D2H round trip — r3 died inside device_put, after device
+# listing succeeded) and, on repeated failure, emit ONE structured JSON
+# line instead of crashing, carrying the last driver-recorded good
+# figures so the round's perf record is never a stack trace.
+PROBE_TIMEOUT = int(os.environ.get("BENCH_PROBE_TIMEOUT", "420"))
+PROBES = int(os.environ.get("BENCH_PROBES", "2"))
+PROBE_BACKOFF_S = int(os.environ.get("BENCH_PROBE_BACKOFF_S", "30"))
+ALLOW_CPU = os.environ.get("BENCH_ALLOW_CPU", "0") == "1"
+
+
+def _probe_backend() -> tuple:
+    """(ok, detail): init the JAX backend in a subprocess and round-trip
+    one array through it, bounded by PROBE_TIMEOUT."""
+    code = (
+        "import jax, numpy as np\n"
+        "d = jax.devices()\n"
+        "x = jax.device_put(np.ones(8, np.float32)) + 1\n"
+        "np.asarray(x)\n"
+        "print('PROBE_OK', d[0].platform, len(d))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-"], input=code, text=True,
+            capture_output=True, timeout=PROBE_TIMEOUT,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {PROBE_TIMEOUT}s"
+    lines = (r.stdout or "").strip().splitlines()
+    if r.returncode == 0 and lines and lines[-1].startswith("PROBE_OK"):
+        platform = lines[-1].split()[1]
+        if platform == "cpu" and not ALLOW_CPU:
+            return False, (
+                "backend fell back to cpu (tunnel down?); set "
+                "BENCH_ALLOW_CPU=1 to bench on cpu anyway"
+            )
+        return True, platform
+    tail = (r.stderr or r.stdout or f"rc={r.returncode}").strip()
+    return False, tail.splitlines()[-1][:300] if tail else f"rc={r.returncode}"
+
+
+def _last_good() -> dict:
+    """Figures from the most recent green driver artifact, for the error
+    line's ``last_good`` field."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("BENCH_r02", "BENCH_r01"):
+        try:
+            with open(os.path.join(here, f"{name}.json")) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") or {}
+            if rec.get("rc") == 0 and parsed.get("value") is not None:
+                return {
+                    "artifact": name,
+                    "value": parsed.get("value"),
+                    "unit": parsed.get("unit"),
+                    "vs_baseline": parsed.get("vs_baseline"),
+                    "device": (parsed.get("detail") or {}).get("device"),
+                }
+        except (OSError, ValueError):
+            continue
+    return {"artifact": None, "note": "no prior green artifact found"}
+
+
+def _emit_error(error: str, detail: dict) -> None:
+    print(json.dumps({
+        "metric": "tiled_unet_inference_throughput",
+        "value": None,
+        "unit": "Mpx/s/chip",
+        "vs_baseline": None,
+        "error": error,
+        "detail": detail,
+        "last_good": _last_good(),
+    }))
 
 
 def _fetch(out) -> None:
@@ -226,5 +304,35 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def run() -> int:
+    """Probe (bounded retries) -> bench; never lets a backend outage
+    escape as a traceback — the output is always one JSON line."""
+    detail = ""
+    for i in range(PROBES):
+        ok, detail = _probe_backend()
+        if ok:
+            break
+        if i + 1 < PROBES:
+            time.sleep(PROBE_BACKOFF_S)
+    else:
+        _emit_error(
+            "tpu_backend_unavailable",
+            {"probes": PROBES, "probe_timeout_s": PROBE_TIMEOUT,
+             "last_probe": detail},
+        )
+        return 0
+    try:
+        main()
+        return 0
+    except Exception:
+        # probe passed but the run died (e.g. tunnel dropped mid-bench)
+        tb = traceback.format_exc().strip().splitlines()
+        _emit_error(
+            "bench_runtime_failure",
+            {"probe_platform": detail, "traceback_tail": tb[-3:]},
+        )
+        return 0
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run())

@@ -21,7 +21,6 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-import jax
 import jax.numpy as jnp
 
 from unmicst_tpu.core import tiler, unet

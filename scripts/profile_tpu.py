@@ -13,7 +13,6 @@ Run on the real chip:  python - < scripts/profile_tpu.py
 """
 
 import json
-import os
 import sys
 import time
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from unmicst_tpu.core import tiler, unet
 from unmicst_tpu.core.hp import HParams
 from unmicst_tpu.infer import InferenceEngine
-from unmicst_tpu.utils.flops import slide_flops, unet_flops_per_tile
+from unmicst_tpu.utils.flops import slide_flops
 
 PEAK = 197e12
 SIZE = 8192

@@ -3,12 +3,11 @@ surface, mirroring the reference CI job (``.github/workflows/ci.yml:41-45``:
 ``unmicstWrapper.py --stackOutput`` on an 8-channel CyCIF slide) — but with
 numeric assertions, which the reference CI never makes."""
 
-import os
 
 import numpy as np
 import pytest
 
-from tests.conftest import REFERENCE, needs_reference
+from tests.conftest import needs_reference
 from unmicst_tpu import cli
 from unmicst_tpu.io.tiff import TiffWriter, imread, num_pages
 

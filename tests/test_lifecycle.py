@@ -6,7 +6,6 @@ by name, and (b) carries a Saver-compatible TF1 bundle the upstream tool
 could restore.
 """
 
-import os
 
 import numpy as np
 import pytest

@@ -7,7 +7,6 @@ checkpoint to sane, deterministic behavior on the in-repo fixture.
 import os
 
 import numpy as np
-import pytest
 
 from tests.conftest import REFERENCE, needs_reference
 from unmicst_tpu.core.checkpoint import load_params_for_bundle

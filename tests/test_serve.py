@@ -2,7 +2,6 @@
 
 import json
 import os
-import socket
 import threading
 import urllib.parse
 import urllib.request

@@ -6,7 +6,6 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from unmicst_tpu import train as tr
 from unmicst_tpu.core.hp import HParams

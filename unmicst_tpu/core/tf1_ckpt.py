@@ -19,7 +19,6 @@ varint walker — no protobuf dependency either).
 
 from __future__ import annotations
 
-import os
 import struct
 from typing import Dict, Iterator, Optional, Tuple
 

@@ -25,9 +25,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 
-import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -25,7 +25,6 @@ Parity note: the reference accumulates in float16 (``PartitionOfImage.py:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

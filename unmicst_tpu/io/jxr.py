@@ -28,7 +28,6 @@ nothing but the codec.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 

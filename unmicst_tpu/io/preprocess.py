@@ -28,7 +28,7 @@ both planes so each tool wires its reference behavior.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy import ndimage as ndi

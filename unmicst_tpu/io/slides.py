@@ -11,7 +11,6 @@ channel read.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 

@@ -10,7 +10,6 @@ memory stats.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 

@@ -15,14 +15,12 @@ real pod or on the CPU-simulated 8-device mesh in CI.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # public API since jax 0.8; experimental path removed later
     from jax import shard_map

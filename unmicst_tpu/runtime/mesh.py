@@ -18,7 +18,6 @@ so the same mesh spans pods (DCN between hosts, ICI within).
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Sequence
 
 import jax

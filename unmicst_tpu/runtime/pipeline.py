@@ -29,7 +29,7 @@ global statistics computed on host and applied on device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, Optional, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

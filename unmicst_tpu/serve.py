@@ -27,7 +27,6 @@ surface at zero; front with a real proxy for multi-tenant deployments.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import tempfile
