@@ -62,13 +62,23 @@ PROBE_TIMEOUT = int(os.environ.get("BENCH_PROBE_TIMEOUT", "420"))
 PROBES = int(os.environ.get("BENCH_PROBES", "2"))
 PROBE_BACKOFF_S = int(os.environ.get("BENCH_PROBE_BACKOFF_S", "30"))
 ALLOW_CPU = os.environ.get("BENCH_ALLOW_CPU", "0") == "1"
+# Testability: pin the JAX platform (e.g. "cpu") in both the probe and
+# the bench itself, so CI can smoke the FULL bench path off-chip —
+# env-var platform selection is pre-empted by this image's sitecustomize,
+# hence jax.config, not JAX_PLATFORMS (CLAUDE.md).
+FORCE_PLATFORM = os.environ.get("BENCH_FORCE_PLATFORM", "")
 
 
 def _probe_backend() -> tuple:
     """(ok, detail): init the JAX backend in a subprocess and round-trip
     one array through it, bounded by PROBE_TIMEOUT."""
+    force = (
+        f"jax.config.update('jax_platforms', {FORCE_PLATFORM!r})\n"
+        if FORCE_PLATFORM else ""
+    )
     code = (
         "import jax, numpy as np\n"
+        + force +
         "d = jax.devices()\n"
         "x = jax.device_put(np.ones(8, np.float32)) + 1\n"
         "np.asarray(x)\n"
@@ -160,6 +170,9 @@ def _resident(engine, slide, jnp, tiler, hp):
 
 def main() -> None:
     import jax
+
+    if FORCE_PLATFORM:
+        jax.config.update("jax_platforms", FORCE_PLATFORM)
 
     from unmicst_tpu.utils.compcache import enable as enable_cache
 
