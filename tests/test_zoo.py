@@ -116,6 +116,48 @@ def test_fetch_model_file_url(tmp_path, monkeypatch):
         zoo.fetch_model("CytoplasmIncell", root)
 
 
+def test_bare_fetch_sweeps_all_roots_and_stages_sidecars(
+        tmp_path, monkeypatch):
+    """`--fetchModels` with no names must find needs-blob entries in ANY
+    default root (not just the first) and fetch the blob into the first
+    (writable) root, staging the sidecars there first — regression for
+    the bare sweep silently no-opping when the primary root had no zoo
+    dirs while the checkout's models/ tree (read-only, later in the
+    list) carried them."""
+    import shutil
+
+    from unmicst_tpu import cli
+    from unmicst_tpu.models import zoo
+
+    src_ref = os.path.join(REFERENCE, "models", "nucleiDAPI")
+    # secondary root: sidecars only (like a read-only checkout)
+    sec = tmp_path / "checkout" / "nucleiDAPI"
+    sec.mkdir(parents=True)
+    blob = None
+    for f in os.listdir(src_ref):
+        if f.endswith(".data-00000-of-00001"):
+            blob = os.path.join(src_ref, f)
+            continue
+        shutil.copy(os.path.join(src_ref, f), sec / f)
+    assert blob is not None
+    # primary root: empty (no zoo dirs at all)
+    prim = tmp_path / "primary"
+    prim.mkdir()
+    entry = zoo.ZOO["nucleiDAPI"]
+    monkeypatch.setitem(
+        zoo.ZOO, "nucleiDAPI",
+        type(entry)(**{**entry.__dict__, "ckpt_url": f"file://{blob}"}),
+    )
+    monkeypatch.setattr(
+        cli, "DEFAULT_MODEL_ROOTS",
+        [str(prim), str(tmp_path / "checkout")],
+    )
+    assert cli.main(["--fetchModels"]) == 0
+    # blob + sidecars landed in the primary root; secondary untouched
+    assert zoo.available_models(str(prim))["nucleiDAPI"] == "ready"
+    assert not (sec / "model.ckpt.data-00000-of-00001").exists()
+
+
 def test_fetch_model_failed_download_leaves_no_part(tmp_path, monkeypatch):
     """A fetch that dies mid-transfer must not leave a stale .part blob
     in the model dir."""

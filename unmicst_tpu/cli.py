@@ -409,27 +409,46 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(f"  {name}: {status}")
         return 0
     if args.fetchModels is not None:
-        from unmicst_tpu.models.zoo import available_models, fetch_model
-
-        root = args.modelRoot or next(
-            (r for r in DEFAULT_MODEL_ROOTS if r and os.path.isdir(r)), None
+        from unmicst_tpu.models.zoo import (
+            available_models, fetch_model, stage_sidecars,
         )
-        if root is None:
-            raise SystemExit(f"no model root found: {DEFAULT_MODEL_ROOTS}")
-        names = args.fetchModels or [
-            n for n, st in available_models(root).items()
-            if st.startswith("needs-blob (")  # has a published URL
+
+        roots = [args.modelRoot] if args.modelRoot else [
+            r for r in DEFAULT_MODEL_ROOTS if r and os.path.isdir(r)
         ]
+        if not roots:
+            raise SystemExit(f"no model root found: {DEFAULT_MODEL_ROOTS}")
+        # Blobs land in the first (writable) root; sidecars are staged
+        # from whichever root carries the entry dir — the zoo indexes
+        # typically sit in a checkout's models/ tree, which may be
+        # read-only or later in the list.  A bare flag sweeps every root
+        # for needs-blob entries; explicit names resolve the same way.
+        dest = roots[0]
+        if args.fetchModels:
+            names = list(args.fetchModels)
+        else:
+            names = sorted({
+                n for root in roots
+                for n, st in available_models(root).items()
+                if st.startswith("needs-blob (")  # has a published URL
+            })
         if not names:
-            print(f"{root}: nothing to fetch (all entries ready or "
-                  "blob-less)")
+            print(f"{', '.join(roots)}: nothing to fetch (all entries "
+                  "ready or blob-less)")
             return 0
         rc = 0
         for name in names:
             try:
-                print(f"{name}: {fetch_model(name, root)}")
+                if not os.path.isdir(os.path.join(dest, name)):
+                    src = next(
+                        (r for r in roots[1:]
+                         if os.path.isdir(os.path.join(r, name))), None
+                    )
+                    if src is not None:
+                        stage_sidecars(name, src, dest)
+                print(f"{name} [{dest}]: {fetch_model(name, dest)}")
             except (OSError, ValueError) as e:
-                print(f"{name}: FAILED — {e}", file=sys.stderr)
+                print(f"{name} [{dest}]: FAILED — {e}", file=sys.stderr)
                 rc = 1
         return rc
     if not args.imagePath:

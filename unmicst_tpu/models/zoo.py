@@ -112,6 +112,30 @@ def fetch_model(name: str, model_root: str, timeout: float = 120.0) -> str:
     return "fetched"
 
 
+def stage_sidecars(name: str, src_root: str, dst_root: str) -> str:
+    """Copy a zoo entry's small sidecar files (checkpoint index/meta,
+    hp.data — everything except the large ``.data-*`` blobs) from
+    ``src_root`` into ``dst_root`` so ``fetch_model`` can download the
+    blob into a writable tree.  Mirrors the reference's layout where the
+    sidecars ship in the checkout and only the blob comes from S3
+    (Dockerfile:4-5).  Returns the staged model dir; no-op for files
+    that already exist at the destination."""
+    import shutil
+
+    src = os.path.join(src_root, name)
+    dst = os.path.join(dst_root, name)
+    if not os.path.isdir(src):
+        raise ValueError(f"no model dir {src} to stage sidecars from")
+    os.makedirs(dst, exist_ok=True)
+    for f in sorted(os.listdir(src)):
+        if ".data-" in f:  # the large blob(s) — fetched, never copied
+            continue
+        s, d = os.path.join(src, f), os.path.join(dst, f)
+        if os.path.isfile(s) and not os.path.exists(d):
+            shutil.copy(s, d)
+    return dst
+
+
 def available_models(model_root: str) -> dict:
     """Which zoo entries are actually loadable under ``model_root``."""
     from unmicst_tpu.core.checkpoint import _find_ckpt_prefix
