@@ -1,0 +1,520 @@
+"""Differential fuzz harness for the native TIFF codec stack.
+
+The server (`serve.py`) feeds arbitrary uploaded container bytes into
+`io/tiff.py`, which hands strip/tile payloads to the native C++ codecs
+(`native/tiffcodec.cpp`).  This harness hammers that surface two ways:
+
+* ``--mode codec`` — codec-level differential fuzz: generate valid
+  streams (own TIFF-LZW / PackBits encoders, zlib for deflate), mutate
+  a fraction, and run the native decoder against the pure-Python
+  oracle (`tiff._unpack_lzw` / `_unpack_packbits` / `zlib`).
+  Properties enforced per case:
+    - native never crashes, hangs, or writes outside its buffer
+      (canary bytes checked after every call);
+    - when BOTH native and oracle accept, the bytes are identical;
+    - native-accepts-but-oracle-rejects is a finding (the fallback
+      chain in `_decode` assumes native is the stricter one);
+    - round-trips: `deflate`/`deflate_chain` output must inflate (via
+      zlib AND native) back to the input;
+    - `decode_strips` decodes a multi-strip span identically to
+      per-strip calls and reports the first bad strip on corruption.
+* ``--mode file`` — file-level fuzz of the server-reachable parse
+  chain: write valid TIFFs (TiffWriter: deflate/zstd/lzma/none, tiled,
+  pyramid; PIL: LZW/PackBits 8-row strips), mutate bytes, and call
+  ``TiffFile.read``.  Property: a mutated file either parses or raises
+  one of the CONTRACT exception types — never a segfault, hang,
+  unbounded allocation, or an internal-type leak (struct.error,
+  IndexError, KeyError, ...).
+
+Workers run in subprocesses with RLIMIT_AS (default 2 GiB) and an
+alarm, so a crash/hang/OOM in the native code is contained and
+reported instead of killing the driver.  Failures are written as repro
+JSON (hex payload + case parameters) under ``--out``.
+
+Usage:
+    python scripts/fuzz_native_codec.py --mode codec --n 4000 --seed 1
+    python scripts/fuzz_native_codec.py --mode file  --n 300  --seed 1
+    python scripts/fuzz_native_codec.py --repro <failure.json>
+
+The pytest smoke (`tests/test_fuzz_native.py`) runs a small seeded
+slice of both modes on every CI run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import struct
+import subprocess
+import sys
+import zlib
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CANARY = 0xA5
+SLACK = 4096  # canary region past the declared output capacity
+
+# Exception types a hostile file may legitimately surface from
+# TiffFile.read / imread.  Anything else is a contract violation.
+FILE_CONTRACT = (
+    "ValueError", "PageTooLargeError", "NotImplementedError",
+    "EOFError", "OSError",
+)
+
+
+# ---------------------------------------------------------------- encoders
+def lzw_encode(data: bytes) -> bytes:
+    """Minimal TIFF-flavor LZW encoder (MSB-first, early change) used to
+    mint valid streams for the decoder fuzz.  Matches the TIFF 6.0 spec
+    the decoders implement (reference behavior: tifffile's encoder)."""
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def put(code: int, nbits: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << nbits) | code
+        bitcnt += nbits
+        while bitcnt >= 8:
+            bitcnt -= 8
+            out.append((bitbuf >> bitcnt) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    put(256, nbits)  # clear
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], nbits)
+        if next_code < 4094:
+            table[wc] = next_code
+            next_code += 1
+            # early change: the decoder's table lags the encoder's by
+            # exactly one entry, and the decoder bumps its read width
+            # at next_code_dec >= 2^n - 1 — so the encoder bumps its
+            # WRITE width at next_code_enc >= 2^n (one later)
+            if next_code >= (1 << nbits) and nbits < 12:
+                nbits += 1
+        else:  # table full: clear and restart
+            put(256, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        w = bytes([b])
+    if w:
+        put(table[w], nbits)
+    put(257, nbits)  # EOI
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Simple run-length PackBits encoder (valid-stream generator)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            j = i + 1
+            while (j < n and j - i < 128
+                   and not (j + 1 < n and data[j] == data[j + 1])):
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- generators
+def gen_payload(rng, kind: int) -> bytes:
+    """Raw plaintext classes: random, smooth image-like, repetitive,
+    sparse — the distributions the codecs actually see."""
+    import numpy as np
+
+    n = int(rng.randint(0, 1 << rng.randint(1, 16)))
+    if kind == 0:
+        return bytes(rng.bytes(n))
+    if kind == 1:  # smooth gradient + noise (probability-map-like)
+        x = np.linspace(0, rng.randint(1, 30), n)
+        v = (np.sin(x) * 100 + 128 + rng.randn(n) * rng.randint(0, 8))
+        return np.clip(v, 0, 255).astype(np.uint8).tobytes()
+    if kind == 2:  # long runs
+        runs = []
+        while sum(len(r) for r in runs) < n:
+            runs.append(bytes([rng.randint(0, 256)])
+                        * int(rng.randint(1, 400)))
+        return b"".join(runs)[:n]
+    return bytes(np.zeros(n, np.uint8))  # all-zero (deflate-degenerate)
+
+
+def mutate(rng, data: bytes) -> bytes:
+    """Byte flips, truncation, extension, splices — classic dumb fuzz."""
+    if not data:
+        return bytes(rng.bytes(rng.randint(1, 64)))
+    b = bytearray(data)
+    for _ in range(int(rng.randint(1, 8))):
+        op = rng.randint(0, 4)
+        if op == 0:  # flip
+            b[rng.randint(0, len(b))] ^= 1 << rng.randint(0, 8)
+        elif op == 1 and len(b) > 1:  # truncate
+            del b[rng.randint(1, len(b)):]
+        elif op == 2:  # extend
+            b += bytes(rng.bytes(rng.randint(1, 64)))
+        else:  # splice
+            i = rng.randint(0, len(b))
+            b[i:i] = bytes(rng.bytes(rng.randint(1, 16)))
+    return bytes(b)
+
+
+# ---------------------------------------------------------------- codec mode
+def _native_call(fn, data: bytes, declared: int):
+    """Run a native decode into a canary-padded buffer; returns
+    (status, out_bytes) with status in {'ok', 'reject'}.  Raises
+    RuntimeError on canary stomp (OOB write)."""
+    import ctypes
+
+    import numpy as np
+
+    from unmicst_tpu.io import _native
+
+    lib = _native.get_lib()
+    assert lib is not None, "native lib must be built for the fuzz"
+    buf = np.full(declared + SLACK, CANARY, np.uint8)
+    n = fn(lib)(data, len(data), buf.ctypes.data_as(ctypes.c_void_p),
+                declared)
+    tail = buf[declared:]
+    if not (tail == CANARY).all():
+        raise RuntimeError(
+            f"OOB WRITE: {int((tail != CANARY).sum())} canary bytes "
+            f"stomped past dst_cap={declared}"
+        )
+    if n < 0:
+        return "reject", b""
+    if n > declared:
+        raise RuntimeError(f"returned length {n} > dst_cap {declared}")
+    return "ok", buf[:n].tobytes()
+
+
+def codec_case(rng, case_id: int) -> dict | None:
+    """One differential case; returns a failure dict or None."""
+    from unmicst_tpu.io import _native, tiff
+
+    codec = rng.randint(0, 6)
+    kind = rng.randint(0, 4)
+    plain = gen_payload(rng, kind)
+    declared = len(plain)
+
+    if codec == 0:  # inflate vs zlib
+        stream = zlib.compress(plain, int(rng.randint(0, 10)))
+        corrupt = rng.randint(0, 2) == 1
+        if corrupt:
+            stream = mutate(rng, stream)
+            declared = max(declared, 4 * len(stream) + 4096)
+        st, out = _native_call(
+            lambda lib: lib.unmicst_inflate, stream, declared)
+        try:
+            ref = zlib.decompress(stream)
+            ref_st = "ok" if len(ref) <= declared else "big"
+        except zlib.error:
+            ref, ref_st = b"", "reject"
+        if st == "ok" and ref_st == "ok" and out != ref:
+            return {"why": "inflate bytes mismatch"}
+        if st == "ok" and ref_st == "reject":
+            return {"why": "native inflate accepted a zlib-rejected stream"}
+        # native-rejects-zlib-accepts is allowed only when the stream
+        # overflows the declared buffer (zlib was unbounded here)
+        if st == "reject" and ref_st == "ok" and not corrupt:
+            return {"why": "native inflate rejected a valid stream"}
+    elif codec == 1:  # LZW
+        stream = lzw_encode(plain)
+        corrupt = rng.randint(0, 2) == 1
+        if corrupt:
+            stream = mutate(rng, stream)
+            declared = max(declared, 64 * len(stream) + 4096)
+        st, out = _native_call(
+            lambda lib: lib.unmicst_lzw_decode, stream, declared)
+        try:
+            ref = tiff._unpack_lzw(stream)
+            ref_st = "ok" if len(ref) <= declared else "big"
+        except (ValueError, IndexError):
+            ref, ref_st = b"", "reject"
+        if st == "ok" and ref_st == "ok" and out != ref:
+            return {"why": "lzw bytes mismatch"}
+        if st == "reject" and ref_st == "ok" and not corrupt:
+            return {"why": "native lzw rejected a valid stream"}
+    elif codec == 2:  # PackBits
+        stream = packbits_encode(plain)
+        corrupt = rng.randint(0, 2) == 1
+        if corrupt:
+            stream = mutate(rng, stream)
+            declared = max(declared, 128 * len(stream) + 4096)
+        st, out = _native_call(
+            lambda lib: lib.unmicst_packbits_decode, stream, declared)
+        ref = tiff._unpack_packbits(stream)
+        ref_st = "ok" if len(ref) <= declared else "big"
+        if st == "ok" and ref_st == "ok" and out != ref:
+            return {"why": "packbits bytes mismatch"}
+        if st == "reject" and ref_st == "ok" and not corrupt:
+            return {"why": "native packbits rejected a valid stream"}
+    elif codec == 3:  # deflate round-trip
+        enc = _native.deflate(plain)
+        ref = zlib.decompress(enc)
+        if ref != plain:
+            return {"why": "deflate round-trip mismatch (zlib decode)"}
+        out = _native.inflate(enc, len(plain))
+        if out is None or out.tobytes() != plain:
+            return {"why": "deflate round-trip mismatch (native decode)"}
+    elif codec == 4:  # deflate_chain round-trip, random level
+        lvl = int(rng.randint(4, 10))
+        enc = _native.deflate_chain(plain, lvl)
+        if zlib.decompress(enc) != plain:
+            return {"why": f"deflate_chain({lvl}) round-trip mismatch"}
+    else:  # decode_strips batched == per-strip
+        import numpy as np
+
+        nstrips = int(rng.randint(1, 9))
+        tag = [8, 5, 32773][rng.randint(0, 3)]
+        enc_one = {8: lambda d: zlib.compress(d, 6),
+                   5: lzw_encode, 32773: packbits_encode}[tag]
+        plains = [gen_payload(rng, rng.randint(0, 4))
+                  for _ in range(nstrips)]
+        encs = [enc_one(p) for p in plains]
+        corrupt_at = (rng.randint(0, nstrips)
+                      if rng.randint(0, 2) == 1 else -1)
+        if corrupt_at >= 0:
+            encs[corrupt_at] = mutate(rng, encs[corrupt_at])
+        span = b"".join(encs)
+        offs = np.cumsum([0] + [len(e) for e in encs[:-1]]).astype(np.int64)
+        lens = np.array([len(e) for e in encs], np.int64)
+        dlens = np.array([len(p) for p in plains], np.int64)
+        doffs = np.cumsum([0] + [len(p) for p in plains[:-1]]
+                          ).astype(np.int64)
+        out = np.full(int(dlens.sum()) + SLACK, CANARY, np.uint8)
+        view = out[:int(dlens.sum())]
+        try:
+            ok = _native.decode_strips(span, offs, lens, doffs, dlens,
+                                       tag, view)
+            st = "ok" if ok else "absent"
+        except ValueError as e:
+            st, msg = "reject", str(e)
+        if not (out[int(dlens.sum()):] == CANARY).all():
+            raise RuntimeError("decode_strips OOB write past dst")
+        if corrupt_at < 0:
+            if st != "ok":
+                return {"why": f"decode_strips rejected a valid span: "
+                        f"{msg if st == 'reject' else st}"}
+            got = view.tobytes()
+            want = b"".join(plains)
+            if got != want:
+                return {"why": "decode_strips bytes mismatch vs plaintext"}
+        else:
+            # corrupt strip: either rejected naming a strip <= corrupt_at,
+            # or (mutation kept it decodable) every strip matches oracle
+            if st == "ok":
+                for i, p in enumerate(plains):
+                    if i == corrupt_at:
+                        continue
+                    seg = view[doffs[i]:doffs[i] + dlens[i]].tobytes()
+                    if seg != p:
+                        return {"why": f"decode_strips corrupted clean "
+                                f"strip {i} (corrupt was {corrupt_at})"}
+    return None
+
+
+# ---------------------------------------------------------------- file mode
+def build_valid_files(tmp, rng) -> list:
+    """A zoo of valid container files via the repo's own writer + PIL."""
+    import numpy as np
+
+    from unmicst_tpu.io.tiff import TiffWriter
+
+    paths = []
+    img = (np.arange(97 * 131, dtype=np.uint16).reshape(97, 131)
+           * 7 % 1024).astype(np.uint16)
+    img8 = (img % 256).astype(np.uint8)
+    for name, wkw, comp in [
+        ("plain.tif", {}, None),
+        ("deflate.tif", {}, "deflate"),
+        ("zstd.tif", {}, "zstd"),
+        ("tiled.tif", {"tile": (32, 32)}, None),
+        ("pyramid.tif", None, None),
+    ]:
+        p = os.path.join(tmp, name)
+        try:
+            with TiffWriter(p, compression=comp) as w:
+                if wkw is None:
+                    w.write_pyramid(img, min_size=24)
+                else:
+                    w.write(img, **wkw)
+        except NotImplementedError:
+            continue  # zstd backend absent on this box
+        paths.append(p)
+    try:
+        from PIL import Image
+
+        for name, comp in [("pil_lzw.tif", "tiff_lzw"),
+                           ("pil_pb.tif", "packbits")]:
+            p = os.path.join(tmp, name)
+            Image.fromarray(img8).save(p, compression=comp)
+            paths.append(p)
+    except ImportError:
+        pass
+    assert paths, "no valid files produced"
+    return paths
+
+
+def file_case(rng, valid_files: list) -> dict | None:
+    """Mutate one valid file and push it through the full read chain."""
+    from unmicst_tpu.io.tiff import TiffFile
+
+    src = valid_files[rng.randint(0, len(valid_files))]
+    data = bytearray(open(src, "rb").read())
+    nmut = int(rng.randint(1, 12))
+    for _ in range(nmut):
+        op = rng.randint(0, 8)
+        if op < 5:  # byte flip anywhere (headers are tiny: bias there)
+            zone = rng.randint(0, 2)
+            hi = min(len(data), 512) if zone == 0 else len(data)
+            data[rng.randint(0, hi)] ^= 1 << rng.randint(0, 8)
+        elif op == 5 and len(data) > 16:  # truncate
+            del data[rng.randint(8, len(data)):]
+        elif op == 6:  # 4-byte field overwrite with extreme values
+            i = rng.randint(0, max(1, len(data) - 4))
+            v = [0, 0xFFFFFFFF, 0x7FFFFFFF, len(data), 1 << 30][
+                rng.randint(0, 5)]
+            data[i:i + 4] = struct.pack("<I", v & 0xFFFFFFFF)
+        else:  # splice random
+            i = rng.randint(0, len(data))
+            data[i:i] = bytes(rng.bytes(rng.randint(1, 32)))
+    path = src + ".mut"
+    with open(path, "wb") as f:
+        f.write(bytes(data))
+    try:
+        with TiffFile(path) as tf:
+            for pg in range(min(len(tf.pages), 4)):
+                tf.read_page(pg)
+                page = tf.pages[pg]
+                tf.read_region(pg, 0, 0,
+                               min(17, page.height), min(23, page.width))
+                if page.subifds is not None and len(page.subifds):
+                    tf.read_subifd(pg, 0)
+        return None
+    except Exception as e:  # noqa: BLE001 — the contract check IS the test
+        names = [c.__name__ for c in type(e).__mro__]
+        if any(n in FILE_CONTRACT for n in names):
+            return None
+        return {"why": f"contract leak: {type(e).__name__}: {e}",
+                "src": os.path.basename(src)}
+    finally:
+        os.unlink(path)
+
+
+# ---------------------------------------------------------------- workers
+def run_worker(mode: str, seed: int, n: int, mem_gib: float) -> int:
+    import resource
+
+    resource.setrlimit(resource.RLIMIT_AS,
+                       (int(mem_gib * (1 << 30)),) * 2)
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    failures = []
+    if mode == "file":
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            valid = build_valid_files(tmp, rng)
+            for i in range(n):
+                r = file_case(rng, valid)
+                if r:
+                    r.update(seed=seed, case=i, mode=mode)
+                    failures.append(r)
+    else:
+        for i in range(n):
+            state = rng.get_state()
+            r = codec_case(rng, i)
+            if r:
+                r.update(seed=seed, case=i, mode=mode,
+                         state_hash=hash(state[1].tobytes()))
+                failures.append(r)
+    for f in failures:
+        print("FAIL " + json.dumps(f), flush=True)
+    print(f"worker seed={seed} n={n} failures={len(failures)}", flush=True)
+    return 2 if failures else 0
+
+
+def run_driver(args) -> int:
+    os.makedirs(args.out, exist_ok=True)
+    jobs = []
+    per = max(1, args.n // args.jobs)
+    for j in range(args.jobs):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--worker", args.mode, "--seed", str(args.seed + j),
+               "--n", str(per), "--mem-gib", str(args.mem_gib)]
+        jobs.append((j, subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)))
+    bad = 0
+    for j, p in jobs:
+        try:
+            out, _ = p.communicate(timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out = p.communicate()[0] or ""
+            print(f"[job {j}] HANG (> {args.timeout}s)")
+            bad += 1
+            continue
+        tail = "\n".join(out.strip().splitlines()[-3:])
+        if p.returncode == 0:
+            print(f"[job {j}] ok: {tail}")
+        else:
+            bad += 1
+            sig = -p.returncode if p.returncode < 0 else None
+            label = f"signal {sig}" if sig else f"rc {p.returncode}"
+            print(f"[job {j}] FAILED ({label}):\n{out}")
+            rep = os.path.join(args.out,
+                               f"fuzz_{args.mode}_s{args.seed + j}.json")
+            with open(rep, "w") as f:
+                json.dump({"mode": args.mode, "seed": args.seed + j,
+                           "n": per, "rc": p.returncode,
+                           "output": out[-8000:]}, f, indent=1)
+            print(f"  repro spec -> {rep} (rerun: --worker {args.mode} "
+                  f"--seed {args.seed + j} --n {per})")
+    total = args.jobs * per
+    print(json.dumps({"mode": args.mode, "cases": total,
+                      "jobs": args.jobs, "failed_jobs": bad}))
+    return 1 if bad else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--mode", choices=["codec", "file"], default="codec")
+    ap.add_argument("--n", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--jobs", type=int, default=2)
+    ap.add_argument("--timeout", type=float, default=600.0)
+    ap.add_argument("--mem-gib", type=float, default=2.0)
+    ap.add_argument("--out", default="/tmp/fuzz_native_failures")
+    ap.add_argument("--worker", choices=["codec", "file"],
+                    help="internal: run cases in-process")
+    args = ap.parse_args()
+    if args.worker:
+        return run_worker(args.worker, args.seed, args.n, args.mem_gib)
+    return run_driver(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

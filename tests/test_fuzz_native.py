@@ -1,0 +1,143 @@
+"""Seeded fuzz smoke + parser-hardening regressions.
+
+The full campaign lives in ``scripts/fuzz_native_codec.py`` (run with
+larger --n off-CI); this file pins a deterministic slice of both fuzz
+modes plus named repros for the parser holes the first campaign found:
+struct.error leaking from truncated headers/IFDs, MemoryError from
+crafted tag counts, and a TypeError crash on tiled pages with missing
+tile geometry.  Hostile-file handling matters because ``serve.py``
+feeds uploaded container bytes straight into this parser.
+"""
+
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FUZZ = os.path.join(REPO, "scripts", "fuzz_native_codec.py")
+
+
+def _run_fuzz(mode: str, n: int, seed: int) -> None:
+    # one worker subprocess: crash isolation (a segfault in the native
+    # lib must fail THIS test, not kill the pytest run)
+    p = subprocess.run(
+        [sys.executable, FUZZ, "--mode", mode, "--n", str(n),
+         "--jobs", "1", "--seed", str(seed), "--timeout", "240"],
+        capture_output=True, text=True, timeout=280,
+    )
+    assert p.returncode == 0, f"fuzz {mode} found failures:\n{p.stdout}"
+
+
+@pytest.mark.slow
+def test_codec_differential_fuzz_smoke():
+    _run_fuzz("codec", 300, 77)
+
+
+@pytest.mark.slow
+def test_file_parse_fuzz_smoke():
+    _run_fuzz("file", 60, 77)
+
+
+def test_fuzz_lzw_encoder_matches_decoders():
+    """The harness's own TIFF-LZW encoder must agree with BOTH in-repo
+    decoders across the 9->10->11->12-bit width boundaries and the
+    table-full clear (regression: early-change off-by-one)."""
+    sys.path.insert(0, REPO)
+    from scripts.fuzz_native_codec import gen_payload, lzw_encode
+    from unmicst_tpu.io import _native, tiff
+
+    rng = np.random.RandomState(11)
+    plain = b""
+    while len(plain) < 150_000:  # enough entries to force a table clear
+        plain += gen_payload(rng, int(rng.randint(0, 4)))
+    enc = lzw_encode(plain)
+    assert tiff._unpack_lzw(enc) == plain
+    out = _native.lzw_decode(enc, len(plain))
+    if out is not None:  # native lib present
+        assert out.tobytes() == plain
+
+
+# ---------------------------------------------------------- named repros
+def test_truncated_header_raises_valueerror(tmp_path):
+    from unmicst_tpu.io.tiff import TiffFile
+
+    for blob in (b"II", b"II*", b"II*\0", b"MM\0+", b"MM\0+\0\x08"):
+        p = tmp_path / "t.tif"
+        p.write_bytes(blob)
+        with pytest.raises(ValueError):
+            TiffFile(str(p))
+
+
+def test_truncated_ifd_raises_valueerror(tmp_path):
+    from unmicst_tpu.io.tiff import TiffFile
+
+    # classic header pointing at an IFD that sits at EOF
+    p = tmp_path / "t.tif"
+    p.write_bytes(struct.pack("<2sHI", b"II", 42, 8) + b"\x03\0")
+    with pytest.raises(ValueError, match="IFD"):
+        TiffFile(str(p))
+    # IFD claiming more entries than the file can hold
+    p.write_bytes(struct.pack("<2sHI", b"II", 42, 8)
+                  + struct.pack("<H", 0xFFFF) + b"\0" * 32)
+    with pytest.raises(ValueError):
+        TiffFile(str(p))
+
+
+def test_crafted_tag_count_does_not_allocate(tmp_path):
+    """A tag whose count*size exceeds the file must be treated as absent
+    (never an fh.read of gigabytes -> MemoryError)."""
+    from unmicst_tpu.io.tiff import TiffFile
+
+    # one IFD, one LONG tag (ImageWidth) with count 2^30 pointing at 8
+    hdr = struct.pack("<2sHI", b"II", 42, 8)
+    ent = struct.pack("<HHII", 256, 4, 1 << 30, 8)
+    ifd = struct.pack("<H", 1) + ent + struct.pack("<I", 0)
+    p = tmp_path / "t.tif"
+    p.write_bytes(hdr + ifd)
+    with pytest.raises(ValueError, match="missing dimensions"):
+        TiffFile(str(p))
+
+
+def test_tiled_page_missing_geometry_raises(tmp_path):
+    """TileOffsets without TileWidth/TileLength/TileByteCounts used to
+    crash with TypeError (None arithmetic) in the region reader."""
+    from unmicst_tpu.io.tiff import TiffFile
+
+    hdr = struct.pack("<2sHI", b"II", 42, 8)
+
+    def ent(tag, ftype, count, val):
+        return struct.pack("<HHII", tag, ftype, count, val)
+
+    entries = [
+        ent(256, 4, 1, 64), ent(257, 4, 1, 64),  # 64x64
+        ent(324, 4, 1, 200),                     # TileOffsets, no dims
+    ]
+    ifd = (struct.pack("<H", len(entries)) + b"".join(entries)
+           + struct.pack("<I", 0))
+    p = tmp_path / "t.tif"
+    p.write_bytes(hdr + ifd + b"\0" * 64)
+    with pytest.raises(ValueError, match="tile"):
+        TiffFile(str(p))
+
+
+def test_valid_files_still_parse(tmp_path):
+    """Hardening must not reject anything the writer produces."""
+    from unmicst_tpu.io.tiff import TiffFile, TiffWriter
+
+    img = (np.arange(97 * 131, dtype=np.uint16).reshape(97, 131)
+           * 7 % 1024).astype(np.uint16)
+    for name, kw, comp in [("a.tif", {}, None), ("b.tif", {}, "deflate"),
+                           ("c.tif", {"tile": (32, 32)}, None),
+                           ("d.tif", None, None)]:
+        path = str(tmp_path / name)
+        with TiffWriter(path, compression=comp) as w:
+            if kw is None:
+                w.write_pyramid(img, min_size=24)
+            else:
+                w.write(img, **kw)
+        with TiffFile(path) as tf:
+            assert (tf.read_page(0) == img).all()

@@ -296,6 +296,7 @@ class TiffFile:
     def __init__(self, path: str):
         self.path = path
         self._fh = open(path, "rb")
+        self._fsize = os.fstat(self._fh.fileno()).st_size
         header = self._fh.read(16)
         if header[:2] == b"II":
             self.byteorder = "<"
@@ -303,11 +304,15 @@ class TiffFile:
             self.byteorder = ">"
         else:
             raise ValueError(f"{path}: not a TIFF file")
+        if len(header) < 8:
+            raise ValueError(f"{path}: truncated TIFF header")
         magic = struct.unpack(self.byteorder + "H", header[2:4])[0]
         if magic == 42:
             self.big = False
             first_ifd = struct.unpack(self.byteorder + "I", header[4:8])[0]
         elif magic == 43:
+            if len(header) < 16:
+                raise ValueError(f"{path}: truncated BigTIFF header")
             self.big = True
             first_ifd = struct.unpack(self.byteorder + "Q", header[8:16])[0]
         else:
@@ -339,17 +344,35 @@ class TiffFile:
     # -- IFD parsing ---------------------------------------------------------
 
     def _read_ifd(self, offset: int) -> Tuple[TiffPage, int]:
+        # hostile-input hardening (the server feeds uploaded bytes into
+        # this parser): every length below is validated before use so a
+        # truncated or crafted IFD raises ValueError — never a
+        # struct.error leak, an unbounded fh.read allocation, or an
+        # attribute crash downstream (fuzz: scripts/fuzz_native_codec.py)
         bo = self.byteorder
         fh = self._fh
         fh.seek(offset)
+        head = fh.read(8 if self.big else 2)
+        if len(head) < (8 if self.big else 2):
+            raise ValueError(f"{self.path}: truncated IFD at {offset:#x}")
         if self.big:
-            (n_entries,) = struct.unpack(bo + "Q", fh.read(8))
+            (n_entries,) = struct.unpack(bo + "Q", head)
             entry_size, count_fmt, off_fmt = 20, "Q", "Q"
         else:
-            (n_entries,) = struct.unpack(bo + "H", fh.read(2))
+            (n_entries,) = struct.unpack(bo + "H", head)
             entry_size, count_fmt, off_fmt = 12, "I", "I"
+        if entry_size * n_entries > self._fsize:
+            raise ValueError(
+                f"{self.path}: IFD claims {n_entries} entries — more than "
+                "the file can hold"
+            )
         raw = fh.read(entry_size * n_entries)
-        (next_ifd,) = struct.unpack(bo + off_fmt, fh.read(8 if self.big else 4))
+        tail = fh.read(8 if self.big else 4)
+        if len(raw) < entry_size * n_entries or len(tail) < (
+            8 if self.big else 4
+        ):
+            raise ValueError(f"{self.path}: truncated IFD at {offset:#x}")
+        (next_ifd,) = struct.unpack(bo + off_fmt, tail)
 
         tags = {}
         inline_size = 8 if self.big else 4
@@ -365,11 +388,16 @@ class TiffFile:
             if total <= inline_size:
                 data = payload[:total]
             else:
+                if total > self._fsize:
+                    continue  # out-of-line data can't exceed the file:
+                    # crafted count — treat the tag as absent/unusable
                 (ptr,) = struct.unpack(bo + off_fmt, payload[: 8 if self.big else 4])
                 pos = fh.tell()
                 fh.seek(ptr)
                 data = fh.read(total)
                 fh.seek(pos)
+                if len(data) < total:
+                    continue  # points past EOF: same treatment
             if ftype == 2:
                 # TIFF ASCII is nominally 7-bit but OME-XML is UTF-8 by spec
                 tags[tag] = data.rstrip(b"\0").decode("utf-8", "replace")
@@ -425,6 +453,17 @@ class TiffFile:
         if TAG_TILE_OFFSETS in tags:
             page.tile_width = scalar(TAG_TILE_WIDTH)
             page.tile_length = scalar(TAG_TILE_LENGTH)
+            # a tiled page with absent/zero/implausible tile geometry
+            # would crash (None arithmetic) or allocate unboundedly in
+            # the region reader — reject it here
+            for v in (page.tile_width, page.tile_length):
+                if v is None or not 0 < v <= 1 << 20:
+                    raise ValueError(
+                        f"implausible TIFF tile geometry "
+                        f"{page.tile_width}x{page.tile_length}"
+                    )
+            if TAG_TILE_BYTE_COUNTS not in tags:
+                raise ValueError("tiled TIFF page missing TileByteCounts")
             page.tile_offsets = np.atleast_1d(tags[TAG_TILE_OFFSETS]).astype(np.int64)
             page.tile_counts = np.atleast_1d(tags[TAG_TILE_BYTE_COUNTS]).astype(np.int64)
         if 330 in tags:  # SubIFDs: reduced-resolution pyramid levels
@@ -448,9 +487,9 @@ class TiffFile:
             )
         try:
             sub, _ = self._read_ifd(int(page.subifds[level]))
-        except struct.error:
-            # truncated/corrupt SubIFD offset: a clean error, not a
-            # struct unpack traceback
+        except (struct.error, ValueError):
+            # truncated/corrupt SubIFD offset: name the SubIFD rather
+            # than surfacing the generic IFD-parse error
             raise ValueError(
                 f"corrupt SubIFD at offset {int(page.subifds[level]):#x}"
             ) from None
