@@ -31,13 +31,19 @@ alarm, so a crash/hang/OOM in the native code is contained and
 reported instead of killing the driver.  Failures are written as repro
 JSON (hex payload + case parameters) under ``--out``.
 
+* ``--mode container`` — same property over the CZI/ND2 parse chain
+  (serve magic-sniffs uploads, so those parsers see hostile bytes
+  too), entering through ``slides.read_channel`` exactly as the
+  server does.  IndexError is additionally allowed (the documented
+  out-of-range-channel contract).
+
 Usage:
-    python scripts/fuzz_native_codec.py --mode codec --n 4000 --seed 1
-    python scripts/fuzz_native_codec.py --mode file  --n 300  --seed 1
-    python scripts/fuzz_native_codec.py --repro <failure.json>
+    python scripts/fuzz_native_codec.py --mode codec     --n 4000 --seed 1
+    python scripts/fuzz_native_codec.py --mode file      --n 300  --seed 1
+    python scripts/fuzz_native_codec.py --mode container --n 300  --seed 1
 
 The pytest smoke (`tests/test_fuzz_native.py`) runs a small seeded
-slice of both modes on every CI run.
+slice of every mode on each CI run.
 """
 
 from __future__ import annotations
@@ -422,6 +428,83 @@ def file_case(rng, valid_files: list) -> dict | None:
         os.unlink(path)
 
 
+# ------------------------------------------------------------- containers
+def build_valid_containers(tmp, rng) -> list:
+    """CZI/ND2 fixture zoo via the spec-derived writers the test suite
+    uses (tests/test_slides_czi_nd2.py)."""
+    import numpy as np
+
+    from tests.test_slides_czi_nd2 import write_czi, write_nd2
+
+    p0 = (np.arange(61 * 83, dtype=np.uint16).reshape(61, 83) * 13
+          % 4096).astype(np.uint16)
+    p1 = (p0[::-1] // 3).astype(np.uint16)
+    paths = []
+    specs = [
+        ("plain.czi", lambda p: write_czi(p, [p0, p1])),
+        ("mosaic.czi", lambda p: write_czi(p, [p0], tile_split=40)),
+    ]
+    try:
+        import zstandard  # noqa: F401
+
+        specs += [
+            ("zstd0.czi", lambda p: write_czi(p, [p0], compression=5)),
+            ("zstd1.czi", lambda p: write_czi(p, [p0], compression=6,
+                                              hilo=True)),
+        ]
+    except ImportError:
+        pass
+    specs.append(("frames.nd2", lambda p: write_nd2(
+        p, [np.stack([p0, p1], axis=-1)])))
+    for name, make in specs:
+        path = os.path.join(tmp, name)
+        make(path)
+        paths.append(path)
+    return paths
+
+
+def container_case(rng, valid_files: list) -> dict | None:
+    """Mutate a valid CZI/ND2 and push it through the server's container
+    chokepoint (sniff_format + read_channel)."""
+    from unmicst_tpu.io.slides import read_channel, sniff_format
+
+    src = valid_files[rng.randint(0, len(valid_files))]
+    data = bytearray(open(src, "rb").read())
+    for _ in range(int(rng.randint(1, 10))):
+        op = rng.randint(0, 8)
+        if op < 5:
+            zone = rng.randint(0, 2)
+            hi = min(len(data), 1024) if zone == 0 else len(data)
+            data[rng.randint(0, hi)] ^= 1 << rng.randint(0, 8)
+        elif op == 5 and len(data) > 32:
+            del data[rng.randint(16, len(data)):]
+        elif op == 6:
+            i = rng.randint(0, max(1, len(data) - 8))
+            v = [0, 0xFFFFFFFFFFFFFFFF, 0x7FFFFFFFFFFFFFFF, len(data),
+                 1 << 40][rng.randint(0, 5)]
+            data[i:i + 8] = struct.pack("<Q", v & (2**64 - 1))
+        else:
+            i = rng.randint(0, len(data))
+            data[i:i] = bytes(rng.bytes(rng.randint(1, 32)))
+    path = src + ".mut"
+    with open(path, "wb") as f:
+        f.write(bytes(data))
+    try:
+        fmt = sniff_format(path)
+        read_channel(path, fmt, int(rng.randint(0, 3)))
+        return None
+    except Exception as e:  # noqa: BLE001 — the contract check IS the test
+        names = [c.__name__ for c in type(e).__mro__]
+        # IndexError: the documented out-of-range-channel contract
+        # (cli.py catches it alongside ValueError)
+        if any(n in FILE_CONTRACT + ("IndexError",) for n in names):
+            return None
+        return {"why": f"contract leak: {type(e).__name__}: {e}",
+                "src": os.path.basename(src)}
+    finally:
+        os.unlink(path)
+
+
 # ---------------------------------------------------------------- workers
 def run_worker(mode: str, seed: int, n: int, mem_gib: float) -> int:
     import resource
@@ -432,13 +515,16 @@ def run_worker(mode: str, seed: int, n: int, mem_gib: float) -> int:
 
     rng = np.random.RandomState(seed)
     failures = []
-    if mode == "file":
+    if mode in ("file", "container"):
         import tempfile
 
+        build = (build_valid_files if mode == "file"
+                 else build_valid_containers)
+        case = file_case if mode == "file" else container_case
         with tempfile.TemporaryDirectory() as tmp:
-            valid = build_valid_files(tmp, rng)
+            valid = build(tmp, rng)
             for i in range(n):
-                r = file_case(rng, valid)
+                r = case(rng, valid)
                 if r:
                     r.update(seed=seed, case=i, mode=mode)
                     failures.append(r)
@@ -501,14 +587,14 @@ def run_driver(args) -> int:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--mode", choices=["codec", "file"], default="codec")
+    ap.add_argument("--mode", choices=["codec", "file", "container"], default="codec")
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--jobs", type=int, default=2)
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument("--mem-gib", type=float, default=2.0)
     ap.add_argument("--out", default="/tmp/fuzz_native_failures")
-    ap.add_argument("--worker", choices=["codec", "file"],
+    ap.add_argument("--worker", choices=["codec", "file", "container"],
                     help="internal: run cases in-process")
     args = ap.parse_args()
     if args.worker:

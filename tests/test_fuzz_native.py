@@ -42,6 +42,11 @@ def test_file_parse_fuzz_smoke():
     _run_fuzz("file", 60, 77)
 
 
+@pytest.mark.slow
+def test_container_parse_fuzz_smoke():
+    _run_fuzz("container", 60, 77)
+
+
 def test_fuzz_lzw_encoder_matches_decoders():
     """The harness's own TIFF-LZW encoder must agree with BOTH in-repo
     decoders across the 9->10->11->12-bit width boundaries and the
@@ -122,6 +127,40 @@ def test_tiled_page_missing_geometry_raises(tmp_path):
     p.write_bytes(hdr + ifd + b"\0" * 64)
     with pytest.raises(ValueError, match="tile"):
         TiffFile(str(p))
+
+
+def test_czi_truncated_structures_raise_valueerror(tmp_path):
+    """Fuzz repros: short file header, crafted directory count, crafted
+    dim_count, and an entry missing X/Y all leaked struct.error or
+    KeyError before the hardening pass."""
+    from tests.test_slides_czi_nd2 import _dir_entry, _segment
+    from unmicst_tpu.io.czi import CziFile, _parse_directory_entry
+
+    # file header payload shorter than the 60 bytes the dir-pos needs
+    p = tmp_path / "t.czi"
+    p.write_bytes(_segment(b"ZISRAWFILE", b"\x00" * 40))
+    with pytest.raises(ValueError, match="truncated CZI file header"):
+        CziFile(str(p))
+    # truncated directory entry buffer
+    with pytest.raises(ValueError, match="truncated CZI directory entry"):
+        _parse_directory_entry(b"DV" + b"\x00" * 10, 0)
+    # crafted dim_count pointing past the buffer
+    ent = bytearray(_dir_entry(1, 0, 0, {"X": (0, 8), "Y": (0, 8)}))
+    ent[28:32] = struct.pack("<i", 1000)
+    with pytest.raises(ValueError, match="dimensions"):
+        _parse_directory_entry(bytes(ent), 0)
+    # entry with no Y dimension: plane-shape math must not KeyError
+    import numpy as np
+
+    from tests.test_slides_czi_nd2 import _write_czi_blocks
+
+    blocks = [({"X": (0, 8), "C": (0, 1)},
+               np.zeros(8, "<u2").tobytes())]
+    q = tmp_path / "noy.czi"
+    _write_czi_blocks(str(q), blocks)
+    with CziFile(str(q)) as cz:
+        with pytest.raises(ValueError, match="lacks the Y dimension"):
+            cz.channel_shape(0)
 
 
 def test_valid_files_still_parse(tmp_path):

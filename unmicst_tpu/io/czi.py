@@ -83,6 +83,11 @@ class SubBlockEntry:
 
 
 def _parse_directory_entry(buf: bytes, pos: int) -> Tuple[SubBlockEntry, int]:
+    # every length is validated before unpacking: serve.py feeds
+    # uploaded bytes here, and a truncated/crafted entry must raise
+    # ValueError — never struct.error or UnicodeDecodeError
+    if pos + 32 > len(buf):
+        raise ValueError("truncated CZI directory entry")
     schema = buf[pos : pos + 2]
     if schema != b"DV":
         raise ValueError(f"unsupported CZI directory entry schema {schema!r}")
@@ -92,11 +97,17 @@ def _parse_directory_entry(buf: bytes, pos: int) -> Tuple[SubBlockEntry, int]:
     compression, = struct.unpack_from("<i", buf, pos + 18)
     pyramid_type = buf[pos + 22]  # + 5 reserved bytes
     dim_count, = struct.unpack_from("<i", buf, pos + 28)
+    # ZISRAW defines single-char dimension ids; 64 is far beyond any
+    # real entry and bounds the scan against a crafted count
+    if not 0 <= dim_count <= 64 or pos + 32 + 20 * dim_count > len(buf):
+        raise ValueError(
+            f"corrupt CZI directory entry: {dim_count} dimensions"
+        )
     dims: Dict[str, Tuple[int, int]] = {}
     downsampled = False
     p = pos + 32
     for _ in range(dim_count):
-        name = buf[p : p + 4].rstrip(b"\x00").decode("ascii")
+        name = buf[p : p + 4].rstrip(b"\x00").decode("ascii", "replace")
         start, size = struct.unpack_from("<ii", buf, p + 4)
         # +12 StartCoordinate float32, +16 StoredSize int32
         stored, = struct.unpack_from("<i", buf, p + 16)
@@ -230,6 +241,8 @@ class CziFile:
             if not sid.startswith(b"ZISRAWFILE"):
                 raise ValueError(f"{path}: not a CZI file")
             header = self._read_payload(used)
+            if len(header) < 60:
+                raise ValueError(f"{path}: truncated CZI file header")
             dir_pos, = struct.unpack_from("<q", header, 52)
             self.entries = self._read_directory(dir_pos)
             self._layouts = {}
@@ -261,7 +274,16 @@ class CziFile:
         if not sid.startswith(b"ZISRAWDIRECTORY"):
             raise ValueError("CZI sub-block directory segment not found")
         buf = self._read_payload(used)
+        if len(buf) < 128:
+            raise ValueError(
+                f"{self.path}: truncated CZI sub-block directory"
+            )
         count, = struct.unpack_from("<i", buf, 0)
+        # each entry is >= 32 bytes: a count beyond that is a lie
+        if not 0 <= count <= (len(buf) - 128) // 32 + 1:
+            raise ValueError(
+                f"{self.path}: corrupt CZI directory count {count}"
+            )
         entries = []
         pos = 128  # 4-byte count + 124 reserved
         for _ in range(count):
@@ -300,8 +322,8 @@ class CziFile:
         picks = self._picks(channel)
         y0 = min(e.dim("Y") for e in picks)
         x0 = min(e.dim("X") for e in picks)
-        h = max(e.dim("Y") + e.dims["Y"][1] for e in picks) - y0
-        w = max(e.dim("X") + e.dims["X"][1] for e in picks) - x0
+        h = max(e.dim("Y") + e.size("Y") for e in picks) - y0
+        w = max(e.dim("X") + e.size("X") for e in picks) - x0
         # allocation-bomb guard: the plane is materialized from header
         # values of a possibly untrusted file (serve.py exposure)
         if not (0 < h <= 1 << 20 and 0 < w <= 1 << 20 and h * w <= 1 << 34):
@@ -404,11 +426,11 @@ class CziFile:
         out = np.zeros((nrows, w), dtype)
         lo, hi = max(r0, 0), min(r0 + nrows, h)
         for e, data_pos, data_size in picks:
-            ty, th = e.dim("Y") - y0, e.dims["Y"][1]
+            ty, th = e.dim("Y") - y0, e.size("Y")
             a, b = max(lo, ty), min(hi, ty + th)
             if b <= a:
                 continue
-            tw = e.dims["X"][1]
+            tw = e.size("X")
             row_bytes = tw * dtype.itemsize
             if e.compression == COMP_NONE:
                 self._f.seek(data_pos + (a - ty) * row_bytes)
