@@ -456,6 +456,19 @@ def build_valid_containers(tmp, rng) -> list:
         pass
     specs.append(("frames.nd2", lambda p: write_nd2(
         p, [np.stack([p0, p1], axis=-1)])))
+
+    def make_ome(p):
+        # multi-page OME z-stack: hostile-description XML rides the
+        # same read_channel chokepoint (ome.plane_index)
+        from tests.test_ome import _ome_xml
+        from unmicst_tpu.io.tiff import TiffWriter
+
+        with TiffWriter(p) as w:
+            w.write(p0, description=_ome_xml("XYZCT", 2, 3, 1))
+            for _ in range(5):
+                w.write(p1)
+
+    specs.append(("stack.ome.tif", make_ome))
     for name, make in specs:
         path = os.path.join(tmp, name)
         make(path)

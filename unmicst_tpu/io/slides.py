@@ -65,12 +65,27 @@ def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
             raise
         except (NotImplementedError, ValueError):
             # exotic container/codec: PIL fallback, page == channel (no
-            # OME mapping for files our native parser cannot walk)
+            # OME mapping for files our native parser cannot walk).
+            # PIL surfaces assorted internal types on corrupt input
+            # (TypeError 'Missing dimensions', struct.error, ...) —
+            # uploads reach this path via serve, so everything except
+            # the out-of-range-frame EOFError (-> the IndexError
+            # channel contract) is re-raised as ValueError
             from PIL import Image
 
-            with Image.open(image_path) as im:
-                im.seek(channel)
-                return np.asarray(im)
+            try:
+                with Image.open(image_path) as im:
+                    im.seek(channel)
+                    return np.asarray(im)
+            except EOFError:
+                raise IndexError(
+                    f"channel {channel} out of range"
+                ) from None
+            except Exception as e:  # noqa: BLE001 — PIL's types are open-ended
+                raise ValueError(
+                    f"{image_path}: unreadable by both the native TIFF "
+                    f"parser and PIL ({type(e).__name__}: {e})"
+                ) from e
     if file_type == "czi":
         from unmicst_tpu.io.czi import read_czi_channel
 
