@@ -518,6 +518,72 @@ def container_case(rng, valid_files: list) -> dict | None:
         os.unlink(path)
 
 
+# ------------------------------------------------------------- checkpoints
+def build_valid_ckpts(tmp, rng) -> list:
+    """A TF1 tensor bundle written by the in-repo writer (the format the
+    model-zoo dirs ship; a half-copied dir is the realistic corruption)."""
+    import numpy as np
+
+    from unmicst_tpu.core.tf1_ckpt import write_tf1_checkpoint
+
+    prefix = os.path.join(tmp, "model.ckpt")
+    write_tf1_checkpoint(prefix, {
+        "down/k1": rng.randn(3, 3, 1, 8).astype(np.float32),
+        "down/b1": rng.randn(8).astype(np.float32),
+        "top/kernel": rng.randn(1, 1, 8, 3).astype(np.float32),
+        "bn/mean": rng.randn(8).astype(np.float64),
+    })
+    return [prefix]
+
+
+def ckpt_case(rng, valid: list) -> dict | None:
+    """Mutate the .index (and sometimes the data shard) of a valid TF1
+    bundle and drive the reader: a corrupt checkpoint must raise
+    ValueError/OSError/NotImplementedError/KeyError(name) — never
+    IndexError/struct.error/UnicodeDecodeError internals."""
+    import shutil
+
+    from unmicst_tpu.core.tf1_ckpt import TF1Checkpoint
+
+    prefix = valid[0]
+    mut_prefix = prefix + ".mut"
+    data_name = ".data-00000-of-00001"
+    for suffix in (".index", data_name):
+        shutil.copy(prefix + suffix, mut_prefix + suffix)
+    target = [".index", data_name][rng.randint(0, 2)]
+    data = bytearray(open(prefix + target, "rb").read())
+    for _ in range(int(rng.randint(1, 8))):
+        op = rng.randint(0, 8)
+        if op < 5:
+            data[rng.randint(0, len(data))] ^= 1 << rng.randint(0, 8)
+        elif op == 5 and len(data) > 8:
+            del data[rng.randint(4, len(data)):]
+        elif op == 6:
+            i = rng.randint(0, max(1, len(data) - 4))
+            v = [0, 0xFFFFFFFF, len(data), 1 << 28][rng.randint(0, 4)]
+            data[i:i + 4] = struct.pack("<I", v & 0xFFFFFFFF)
+        else:
+            i = rng.randint(0, len(data))
+            data[i:i] = bytes(rng.bytes(rng.randint(1, 16)))
+    with open(mut_prefix + target, "wb") as f:
+        f.write(bytes(data))
+    try:
+        ck = TF1Checkpoint(mut_prefix)
+        for name in ck.keys()[:8]:
+            ck.get_shape(name)
+            ck.get_tensor(name)
+        return None
+    except Exception as e:  # noqa: BLE001 — the contract check IS the test
+        names = [c.__name__ for c in type(e).__mro__]
+        if any(n in FILE_CONTRACT for n in names):
+            return None
+        return {"why": f"contract leak: {type(e).__name__}: {e}",
+                "target": target}
+    finally:
+        for suffix in (".index", data_name):
+            os.unlink(mut_prefix + suffix)
+
+
 # ---------------------------------------------------------------- workers
 def run_worker(mode: str, seed: int, n: int, mem_gib: float) -> int:
     import resource
@@ -528,12 +594,14 @@ def run_worker(mode: str, seed: int, n: int, mem_gib: float) -> int:
 
     rng = np.random.RandomState(seed)
     failures = []
-    if mode in ("file", "container"):
+    if mode in ("file", "container", "ckpt"):
         import tempfile
 
-        build = (build_valid_files if mode == "file"
-                 else build_valid_containers)
-        case = file_case if mode == "file" else container_case
+        build = {"file": build_valid_files,
+                 "container": build_valid_containers,
+                 "ckpt": build_valid_ckpts}[mode]
+        case = {"file": file_case, "container": container_case,
+                "ckpt": ckpt_case}[mode]
         with tempfile.TemporaryDirectory() as tmp:
             valid = build(tmp, rng)
             for i in range(n):
@@ -600,14 +668,14 @@ def run_driver(args) -> int:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--mode", choices=["codec", "file", "container"], default="codec")
+    ap.add_argument("--mode", choices=["codec", "file", "container", "ckpt"], default="codec")
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--jobs", type=int, default=2)
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument("--mem-gib", type=float, default=2.0)
     ap.add_argument("--out", default="/tmp/fuzz_native_failures")
-    ap.add_argument("--worker", choices=["codec", "file", "container"],
+    ap.add_argument("--worker", choices=["codec", "file", "container", "ckpt"],
                     help="internal: run cases in-process")
     args = ap.parse_args()
     if args.worker:

@@ -47,6 +47,38 @@ def test_container_parse_fuzz_smoke():
     _run_fuzz("container", 60, 77)
 
 
+@pytest.mark.slow
+def test_ckpt_parse_fuzz_smoke():
+    _run_fuzz("ckpt", 80, 77)
+
+
+def test_tf1_corrupt_bundle_raises_valueerror(tmp_path):
+    """Fuzz repros for the TF1 table reader: truncated varints, block
+    handles past EOF, corrupt dtype enums, and snappy copy offsets
+    outside the output all leaked IndexError/struct.error/KeyError."""
+    from unmicst_tpu.core.tf1_ckpt import (
+        TF1Checkpoint, _read_block, _snappy_decompress, _varint,
+        write_tf1_checkpoint,
+    )
+
+    with pytest.raises(ValueError, match="truncated varint"):
+        _varint(b"\xff\xff", 0)
+    with pytest.raises(ValueError, match="block handle"):
+        _read_block(b"short", 3, 40)
+    with pytest.raises(ValueError, match="offset outside"):
+        _snappy_decompress(b"\x04\x01\x09")  # copy before any output
+    prefix = str(tmp_path / "model.ckpt")
+    write_tf1_checkpoint(
+        prefix, {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    )
+    # truncate the index: parse must fail as ValueError
+    idx = prefix + ".index"
+    blob = open(idx, "rb").read()
+    open(idx, "wb").write(blob[: len(blob) // 2] + blob[-48:])
+    with pytest.raises(ValueError):
+        TF1Checkpoint(prefix)
+
+
 def test_fuzz_lzw_encoder_matches_decoders():
     """The harness's own TIFF-LZW encoder must agree with BOTH in-repo
     decoders across the 9->10->11->12-bit width boundaries and the

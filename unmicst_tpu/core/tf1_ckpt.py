@@ -51,7 +51,13 @@ _DTYPES = {
 def _varint(buf: bytes, pos: int) -> Tuple[int, int]:
     result = 0
     shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            # a truncated/corrupt table file must fail as a parse error,
+            # not an IndexError internal (fuzz: scripts/fuzz_native_codec
+            # --mode ckpt — half-copied model dirs are the realistic hit)
+            raise ValueError("truncated varint in checkpoint table")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -63,6 +69,8 @@ def _varint(buf: bytes, pos: int) -> Tuple[int, int]:
 def _snappy_decompress(data: bytes) -> bytes:
     """Minimal snappy block-format decompressor (no framing)."""
     length, pos = _varint(data, 0)
+    if length > 1 << 31:
+        raise ValueError(f"implausible snappy decoded length {length}")
     out = bytearray()
     n = len(data)
     while pos < n:
@@ -80,6 +88,8 @@ def _snappy_decompress(data: bytes) -> bytes:
             pos += ln
         else:
             if kind == 1:
+                if pos >= n:
+                    raise ValueError("truncated snappy copy tag")
                 ln = ((tag >> 2) & 0x7) + 4
                 offset = ((tag & 0xE0) << 3) | data[pos]
                 pos += 1
@@ -91,8 +101,10 @@ def _snappy_decompress(data: bytes) -> bytes:
                 ln = (tag >> 2) + 1
                 offset = int.from_bytes(data[pos : pos + 4], "little")
                 pos += 4
-            if offset == 0:
-                raise ValueError("corrupt snappy stream (zero offset)")
+            if offset == 0 or offset > len(out):
+                raise ValueError(
+                    "corrupt snappy stream (copy offset outside output)"
+                )
             for _ in range(ln):  # may self-overlap; copy byte-wise
                 out.append(out[-offset])
     if len(out) != length:
@@ -102,6 +114,11 @@ def _snappy_decompress(data: bytes) -> bytes:
 
 def _read_block(blob: bytes, offset: int, size: int) -> bytes:
     """Fetch block contents, honoring the 1-byte type + crc32c trailer."""
+    if offset < 0 or size < 0 or offset + size >= len(blob):
+        raise ValueError(
+            f"corrupt table block handle ({offset}+{size} past "
+            f"{len(blob)}-byte file)"
+        )
     contents = blob[offset : offset + size]
     ctype = blob[offset + size]
     if ctype == 0:
@@ -201,6 +218,8 @@ class BundleEntry:
             elif field == 5 and wire == 0:
                 e.size, pos = _varint(buf, pos)
             elif field == 6 and wire == 5:
+                if pos + 4 > len(buf):
+                    raise ValueError("truncated BundleEntryProto crc32c")
                 e.crc32c = struct.unpack_from("<I", buf, pos)[0]
                 pos += 4
             elif wire == 0:
@@ -305,6 +324,11 @@ class TF1Checkpoint:
 
     def get_tensor(self, name: str) -> np.ndarray:
         e = self.entries[name]
+        if e.dtype not in _DTYPES:
+            raise ValueError(
+                f"{self.prefix}: tensor {name!r} has unsupported/corrupt "
+                f"dtype enum {e.dtype}"
+            )
         dtype = np.dtype(_DTYPES[e.dtype])
         raw = self._shard(e.shard_id)[e.offset : e.offset + e.size].tobytes()
         if e.crc32c and _masked_crc32c(raw) != e.crc32c:
