@@ -195,6 +195,72 @@ def test_czi_truncated_structures_raise_valueerror(tmp_path):
             cz.channel_shape(0)
 
 
+def test_crafted_page_metadata_fails_cleanly(tmp_path):
+    """Second fuzz round: crafted BitsPerSample/SampleFormat leaked
+    numpy TypeError/KeyError from the dtype property; count=0 tags
+    leaked IndexError; mismatched Strip arrays indexed [-1] on empty;
+    a crafted strip byte count allocated before the EOF check."""
+    import numpy as np
+
+    from unmicst_tpu.io.tiff import TiffFile, TiffWriter
+
+    img = np.arange(64 * 48, dtype=np.uint8).reshape(64, 48)
+    base = str(tmp_path / "b.tif")
+    with TiffWriter(base, bigtiff=False) as w:
+        w.write(img)
+    raw = open(base, "rb").read()
+
+    def patch_tag(data, tag, ftype=None, count=None, value=None):
+        # classic TIFF: walk the first IFD and rewrite one entry
+        b = bytearray(data)
+        (ifd,) = struct.unpack_from("<I", b, 4)
+        (n,) = struct.unpack_from("<H", b, ifd)
+        for i in range(n):
+            e = ifd + 2 + 12 * i
+            t, ft = struct.unpack_from("<HH", b, e)
+            if t == tag:
+                if ftype is not None:
+                    struct.pack_into("<H", b, e + 2, ftype)
+                if count is not None:
+                    struct.pack_into("<I", b, e + 4, count)
+                if value is not None:
+                    struct.pack_into("<I", b, e + 8, value)
+                return bytes(b)
+        raise AssertionError(f"tag {tag} not in fixture")
+
+    # exotic BitsPerSample -> NotImplementedError (not np TypeError)
+    p = tmp_path / "bits.tif"
+    p.write_bytes(patch_tag(raw, 258, value=40056))
+    with TiffFile(str(p)) as tf:
+        with pytest.raises(NotImplementedError):
+            tf.read_page(0)
+    # SampleFormat outside {1,2,3} -> NotImplementedError (not KeyError)
+    p.write_bytes(patch_tag(patch_tag(raw, 258, value=16),
+                            339, value=9, ftype=3, count=1))
+    with TiffFile(str(p)) as tf:
+        with pytest.raises(NotImplementedError):
+            tf.read_page(0)
+    # count=0 width tag -> treated as absent -> missing dimensions
+    p.write_bytes(patch_tag(raw, 256, count=0))
+    with pytest.raises(ValueError, match="missing dimensions"):
+        TiffFile(str(p))
+    # StripByteCounts count=0 -> length-mismatch ValueError (not [-1])
+    p.write_bytes(patch_tag(raw, 279, count=0))
+    with pytest.raises(ValueError, match="length mismatch"):
+        TiffFile(str(p))
+    # strip byte count far past EOF on a compressed page -> ValueError
+    # before fh.read allocates the crafted size (uncompressed pages read
+    # only the geometry-derived span, so they stay unaffected)
+    zbase = str(tmp_path / "z.tif")
+    with TiffWriter(zbase, bigtiff=False, compression="deflate") as w:
+        w.write(img)
+    p.write_bytes(patch_tag(open(zbase, "rb").read(), 279,
+                            value=1 << 30))
+    with TiffFile(str(p)) as tf:
+        with pytest.raises(ValueError, match="past EOF|truncated"):
+            tf.read_page(0)
+
+
 def test_valid_files_still_parse(tmp_path):
     """Hardening must not reject anything the writer produces."""
     from unmicst_tpu.io.tiff import TiffFile, TiffWriter

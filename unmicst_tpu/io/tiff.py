@@ -286,7 +286,19 @@ class TiffPage:
             raise NotImplementedError(
                 f"{self.bits}-bit packed TIFF samples not supported"
             )
+        # hostile-header guard: sample formats beyond uint/int/float and
+        # exotic widths would raise KeyError / numpy TypeError here
+        if self.sample_format not in (1, 2, 3):
+            raise NotImplementedError(
+                f"TIFF sample format {self.sample_format} not supported"
+            )
+        if self.bits // 8 not in (1, 2, 4, 8):
+            raise NotImplementedError(
+                f"{self.bits}-bit TIFF samples not supported"
+            )
         kind = {1: "u", 2: "i", 3: "f"}[self.sample_format]
+        if kind == "f" and self.bits // 8 == 1:
+            raise NotImplementedError("8-bit float TIFF samples")
         return np.dtype(f"{kind}{self.bits // 8}")
 
 
@@ -415,7 +427,11 @@ class TiffFile:
             v = tags.get(tag)
             if v is None:
                 return default
-            return int(v[0]) if hasattr(v, "__len__") else int(v)
+            if hasattr(v, "__len__"):
+                # a crafted count=0 tag decodes to an empty array —
+                # treat it as absent rather than IndexError on v[0]
+                return int(v[0]) if len(v) else default
+            return int(v)
 
         width = scalar(TAG_IMAGE_WIDTH)
         height = scalar(TAG_IMAGE_LENGTH)
@@ -431,7 +447,8 @@ class TiffFile:
                 f"implausible TIFF page dimensions {width}x{height}"
             )
         bits_tag = tags.get(TAG_BITS_PER_SAMPLE)
-        bits = int(bits_tag[0]) if bits_tag is not None else 1
+        bits = (int(bits_tag[0])
+                if bits_tag is not None and len(bits_tag) else 1)
         page = TiffPage(
             width=width,
             height=height,
@@ -450,6 +467,11 @@ class TiffFile:
                 if isinstance(tags.get(TAG_IMAGE_DESCRIPTION), str) else ""
             ),
         )
+        if len(page.strip_offsets) != len(page.strip_counts):
+            raise ValueError(
+                f"TIFF StripOffsets/StripByteCounts length mismatch "
+                f"({len(page.strip_offsets)} vs {len(page.strip_counts)})"
+            )
         if TAG_TILE_OFFSETS in tags:
             page.tile_width = scalar(TAG_TILE_WIDTH)
             page.tile_length = scalar(TAG_TILE_LENGTH)
@@ -466,6 +488,10 @@ class TiffFile:
                 raise ValueError("tiled TIFF page missing TileByteCounts")
             page.tile_offsets = np.atleast_1d(tags[TAG_TILE_OFFSETS]).astype(np.int64)
             page.tile_counts = np.atleast_1d(tags[TAG_TILE_BYTE_COUNTS]).astype(np.int64)
+            if len(page.tile_offsets) != len(page.tile_counts):
+                raise ValueError(
+                    "TIFF TileOffsets/TileByteCounts length mismatch"
+                )
         if 330 in tags:  # SubIFDs: reduced-resolution pyramid levels
             page.subifds = np.atleast_1d(tags[330]).astype(np.int64)
         return page, next_ifd
@@ -500,6 +526,13 @@ class TiffFile:
     def _decode_segment(
         self, offset: int, count: int, page: TiffPage, max_out: int = 0
     ) -> bytes:
+        if offset < 0 or count < 0 or offset + count > self._fsize:
+            # fh.read(count) allocates up front — a crafted byte count
+            # must fail here, not as a MemoryError
+            raise ValueError(
+                f"TIFF segment at {offset} claims {count} bytes — "
+                "extends past EOF"
+            )
         self._fh.seek(offset)
         return _decode(self._fh.read(count), page.compression, max_out)
 
@@ -535,6 +568,9 @@ class TiffFile:
         from unmicst_tpu.io import _native
 
         n = len(offs)
+        if n == 0:
+            return None  # no segments: let the caller's coverage check
+            # report the truncation
         if n > 1 and np.any(np.diff(offs) < 0):
             return None  # descending/non-sequential layout
         if np.any(cnts < 0) or np.any(offs < 0):
@@ -545,6 +581,10 @@ class TiffFile:
         need = span1 - span0
         if need < 0 or need > total + (total >> 2) + 65536:
             return None  # sparse span
+        if span1 > self._fsize:
+            return None  # claims bytes past EOF: the per-segment path
+            # raises the precise truncation error (read() of a crafted
+            # size would allocate before any short-read check)
         self._fh.seek(span0)
         span = self._fh.read(need)
         if len(span) < need:
@@ -686,6 +726,9 @@ class TiffFile:
                 raise ValueError(
                     f"TIFF strips cover {covered}/{need} bytes"
                 )
+            if int(page.strip_offsets[0]) + need > self._fsize:
+                # fail before fh.read(need) allocates a crafted size
+                raise ValueError("TIFF data truncated mid-page")
             self._fh.seek(int(page.strip_offsets[0]))
             buf = self._fh.read(need)
             if len(buf) < need:

@@ -490,9 +490,11 @@ def make_handler(server: ModelServer):
                 server._count(client_error=1)
                 self._json(404, {"error": str(e)})
                 return
-            except (ValueError, NotImplementedError, IndexError) as e:
+            except (ValueError, NotImplementedError, IndexError,
+                    EOFError) as e:
                 # bad upload: unrecognized/corrupt container, unsupported
-                # codec, or a channel the file doesn't have
+                # codec, a channel the file doesn't have, or a
+                # truncated stream (EOFError is in the parser contract)
                 server._count(client_error=1)
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
