@@ -101,3 +101,52 @@ def test_imresize_uint8_matches_scipy_order0():
                                      mode="mirror")
         got = imresize_uint8(img, (out_h, out_h))
         np.testing.assert_array_equal(got.astype(float), expect)
+
+
+def test_imresize3(rng):
+    """3D wrappers (reference :61-68): trilinear double + order-0 uint8,
+    pinned vs map_coordinates on the half-pixel grid."""
+    from scipy import ndimage as ndi
+
+    vol = (rng.rand(9, 12, 7) * 255).astype(np.uint8)
+    out = it.imresize3_uint8(vol, (5, 6, 3))
+    assert out.shape == (5, 6, 3) and out.dtype == np.uint8
+    assert set(np.unique(out)).issubset(set(np.unique(vol)))
+
+    volf = rng.rand(6, 8, 5)
+    got = it.imresize3_double(volf, (12, 4, 10))
+    assert got.shape == (12, 4, 10)
+    coords = np.meshgrid(*[
+        np.clip((np.arange(n_out) + 0.5) * n_in / n_out - 0.5, 0, n_in - 1)
+        for n_out, n_in in zip((12, 4, 10), volf.shape)
+    ], indexing="ij")
+    expect = ndi.map_coordinates(volf, coords, order=1, mode="nearest")
+    np.testing.assert_allclose(got, expect, atol=1e-12)
+    # identity resize is exact
+    np.testing.assert_allclose(
+        it.imresize3_double(volf, volf.shape), volf, atol=1e-12
+    )
+
+
+def test_generic_imread_imwrite(tmp_path, rng):
+    x = (rng.rand(15, 17) * 255).astype(np.uint8)
+    png = str(tmp_path / "x.png")
+    it.imwrite(x, png)
+    np.testing.assert_array_equal(it.imread(png), x)
+    tif = str(tmp_path / "x.tif")
+    it.imwrite(x, tif)
+    np.testing.assert_array_equal(it.imread(tif), x)
+
+
+def test_imshow_headless(tmp_path, rng):
+    """imshow/imshowlist on the Agg backend write the figure to a file
+    (reference :16-34 call plt.show(), a silent no-op headless)."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    x = (rng.rand(8, 8) * 255).astype(np.uint8)
+    p1 = it.imshow(x, out=str(tmp_path / "a.png"))
+    p2 = it.imshowlist([x, x], out=str(tmp_path / "b.png"))
+    import os
+
+    assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0

@@ -7,8 +7,12 @@ TIFF IO routes through :mod:`unmicst_tpu.io.tiff`.
 
 Coverage map (reference line refs):
   tifread/tifwrite        :10-14      -> tifread / tifwrite
+  imshow/imshowlist       :16-34      -> headless-friendly (save to file
+                                         on Agg backends, show otherwise)
+  imread/imwrite          :36-40      -> generic formats (codec/PIL)
   im2double               :42-53      -> re-exported from io.preprocess
   imresize* wrappers      :58-68      -> imresize_double / imresize_uint8
+                                         / imresize3_double / imresize3_uint8
   normalize/snormalize    :70-84
   morphology              :89-102     -> imerode/imdilate (+3d)
   rank & gaussian filters :104-134    -> medfilt/maxfilt/minfilt/ptlfilt/
@@ -42,6 +46,68 @@ def size(image: np.ndarray) -> List[int]:
     return list(image.shape)
 
 
+def imread(path: str) -> np.ndarray:
+    """Generic image read (``:36-37``, skio.imread there): TIFFs route
+    through the in-repo codec; everything else through PIL."""
+    if path.lower().endswith((".tif", ".tiff")):
+        return _tiff_read(path)
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im)
+
+
+def imwrite(image: np.ndarray, path: str) -> None:
+    """Generic image write (``:39-40``, skio.imsave there)."""
+    if path.lower().endswith((".tif", ".tiff")):
+        _tiff_write(path, image, bigtiff=False)
+        return
+    from PIL import Image
+
+    Image.fromarray(image).save(path)
+
+
+def imshow(image: np.ndarray, out: str = None, **kwargs) -> str:
+    """Grayscale display (``:16-23``).  Headless-friendly: on a
+    non-interactive backend (Agg — this box, CI) the figure is saved to
+    ``out`` (default ``./imshow.png``) instead of vanishing into a
+    no-op ``plt.show()``; interactive backends show it.  Returns the
+    path written ('' when shown interactively)."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+
+    plt.imshow(image, **({"cmap": "gray"} if not kwargs else kwargs))
+    plt.axis("off")
+    if matplotlib.get_backend().lower().startswith("agg") or out:
+        out = out or "imshow.png"
+        plt.savefig(out, bbox_inches="tight")
+        plt.close()
+        return out
+    plt.show()
+    return ""
+
+
+def imshowlist(images: Sequence[np.ndarray], out: str = None,
+               **kwargs) -> str:
+    """Side-by-side panel display (``:25-34``); same headless contract
+    as :func:`imshow`."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+
+    n = len(images)
+    for i in range(n):
+        plt.subplot(1, n, i + 1)
+        plt.imshow(images[i], **({"cmap": "gray"} if not kwargs else kwargs))
+        plt.axis("off")
+    if matplotlib.get_backend().lower().startswith("agg") or out:
+        out = out or "imshowlist.png"
+        plt.savefig(out, bbox_inches="tight")
+        plt.close()
+        return out
+    plt.show()
+    return ""
+
+
 def normalize(image: np.ndarray) -> np.ndarray:
     """Min-max normalize; identity for constant images (``:70-76``)."""
     lo, hi = np.min(image), np.max(image)
@@ -64,6 +130,32 @@ def cat(axis: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def imresize_double(image: np.ndarray, size_out: Sequence[int]) -> np.ndarray:
     return resize(image, (size_out[0], size_out[1]))
+
+
+def imresize3_double(volume: np.ndarray, size_out: Sequence[int]) -> np.ndarray:
+    """Trilinear volume resize on the half-pixel grid (``:61-62``).
+
+    Same sampling convention as the 2D ``resize`` (skimage-style
+    centers, edge-clamped), via order-1 ``map_coordinates`` — a cold
+    path (PI3D-era feature tooling), so no separable fast path."""
+    coords = np.meshgrid(*[
+        np.clip((np.arange(n_out) + 0.5) * n_in / n_out - 0.5, 0, n_in - 1)
+        for n_out, n_in in zip(size_out, volume.shape)
+    ], indexing="ij")
+    return ndi.map_coordinates(
+        volume.astype(np.float64), coords, order=1, mode="nearest"
+    )
+
+
+def imresize3_uint8(volume: np.ndarray, size_out: Sequence[int]) -> np.ndarray:
+    """Nearest-neighbor uint8 volume resize (``:67-68``, order=0) —
+    the 3-axis analogue of :func:`imresize_uint8`'s pinned index math."""
+    idx = [
+        np.minimum(((np.arange(n_out) + 0.5) * n_in / n_out).astype(int),
+                   n_in - 1)
+        for n_out, n_in in zip(size_out, volume.shape)
+    ]
+    return np.uint8(volume[np.ix_(*idx)])
 
 
 def imresize_uint8(image: np.ndarray, size_out: Sequence[int]) -> np.ndarray:
