@@ -278,3 +278,26 @@ def test_valid_files_still_parse(tmp_path):
                 w.write(img, **kw)
         with TiffFile(path) as tf:
             assert (tf.read_page(0) == img).all()
+
+
+def test_ome_xml_entity_bomb_is_safe():
+    """A billion-laughs DTD in an OME description must not hang or
+    exhaust memory in plane_index (hostile uploads carry descriptions;
+    empirically expat does not amplify here — pin that)."""
+    import time
+
+    from unmicst_tpu.io import ome
+
+    ents = ['<!ENTITY lol "lol">']
+    for i in range(2, 12):
+        ents.append(f'<!ENTITY lol{i} "' + f'&lol{i-1};' * 10 + '">')
+    bomb = ('<?xml version="1.0"?><!DOCTYPE lolz [' + "".join(ents) + ']>'
+            '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+            '<Image ID="&lol11;"><Pixels DimensionOrder="XYZCT" SizeC="2" '
+            'SizeZ="1" SizeT="1"/></Image></OME>')
+    t0 = time.time()
+    try:
+        ome.plane_index(bomb, 0, 4)  # either parses or rejects cleanly
+    except (ValueError, IndexError):
+        pass
+    assert time.time() - t0 < 10
