@@ -143,3 +143,38 @@ def test_engine_quantized_mode(rng_engine=None):
     assert q_eng._quant is not None
     got2 = q_eng.infer(img)
     np.testing.assert_array_equal(got, got2)
+
+
+def test_calibration_percentile_knob():
+    """calibration_percentile threads from the engines into calibrate()
+    and changes the activation scales (absmax >= any percentile clip)."""
+    rng = np.random.RandomState(5)
+    params = unet.init_params(jax.random.PRNGKey(2), HP_LEGACY, "legacy")
+    tiles = _tiles(rng, HP_LEGACY, n=4)
+    # inject one hot activation via a hot input pixel
+    tiles[0, 0, 0, :] = 50.0
+    q99 = quant.calibrate(params, tiles, HP_LEGACY, "legacy",
+                          percentile=99.0)
+    q100 = quant.calibrate(params, tiles, HP_LEGACY, "legacy",
+                           percentile=100.0)
+    # at least one site must see a larger (or equal) scale under absmax
+    import numpy as _np
+
+    a99 = _np.concatenate(
+        [_np.ravel(q99["scales"][s]) for s in sorted(q99["scales"])]
+    )
+    a100 = _np.concatenate(
+        [_np.ravel(q100["scales"][s]) for s in sorted(q100["scales"])]
+    )
+    # monotonic wherever neither side took the m==0 -> 1.0 fallback
+    # (a dead channel's p99 is 0 while its absmax may be tiny-positive)
+    real = (a99 != 1.0) & (a100 != 1.0)
+    assert (a100[real] >= a99[real] - 1e-7).all()
+    assert (a100[real] > a99[real] + 1e-7).any()
+
+    from unmicst_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["x.tif", "--precision", "int8", "--calibrationPercentile", "100"]
+    )
+    assert args.calibrationPercentile == 100.0

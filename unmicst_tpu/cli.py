@@ -108,6 +108,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="tiles per forward batch; 0 = per-model optimum (measured: "
         "256 for 128-px tiles, 128 for 64-px tiles, BASELINE.md)",
     )
+    p.add_argument(
+        "--calibrationPercentile", type=float, default=99.99,
+        help="int8 activation-scale clipping percentile (only with "
+        "--precision int8).  99.99 (default) is robust to hot pixels; "
+        "100 measures slightly fewer argmax flips on curated clean "
+        "slides but degrades 2x with 0.01%% saturated pixels "
+        "(BASELINE.md int8 section)",
+    )
     p.add_argument("--stats", action="store_true", help="print stage timings + Mpx/s")
     p.add_argument(
         "--engine", choices=["auto", "whole", "streaming"], default="auto",
@@ -296,6 +304,7 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
         bundle, params, compute_dtype=compute_dtype,
         precision=mxu_precision, tile_batch=args.tileBatch or None,
         quantized=args.precision == "int8",
+        calibration_percentile=args.calibrationPercentile,
     )
     # non-stack output needs only the contour+nuclei planes; fetching just
     # those cuts a third of the device->host traffic
@@ -641,6 +650,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         bundle, params, compute_dtype=compute_dtype,
         precision=mxu_precision, tile_batch=args.tileBatch or None,
         quantized=args.precision == "int8",
+        calibration_percentile=args.calibrationPercentile,
     )
     t_load = time.perf_counter()
 

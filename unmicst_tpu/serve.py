@@ -69,9 +69,11 @@ class ModelServer:
         max_inflight: int = 4,
         queue_timeout_s: float = 30.0,
         max_scaled_px: int = 1 << 30,
+        calibration_percentile: float = 99.99,
     ):
         self.model_root = model_root
         self.precision = precision
+        self.calibration_percentile = float(calibration_percentile)
         self.max_body_bytes = int(max_body_bytes)
         self.stream_above_px = int(stream_above_px)
         # backpressure: the device serializes inference anyway; beyond a
@@ -155,6 +157,7 @@ class ModelServer:
                     # one QuantState serves every later request (scales
                     # are standardized-input-stable, core/quant.py)
                     quantized=self.precision == "int8",
+                    calibration_percentile=self.calibration_percentile,
                 )
             except BaseException as e:
                 ent["error"] = e
@@ -564,6 +567,12 @@ def main(argv=None) -> int:
         "--maxBodyBytes", type=int, default=2 << 30,
         help="reject request bodies beyond this size (HTTP 413)",
     )
+    p.add_argument(
+        "--calibrationPercentile", type=float, default=99.99,
+        help="int8 activation-scale clipping percentile; 99.99 is "
+        "hot-pixel-robust, 100 suits curated clean inputs "
+        "(BASELINE.md int8 section)",
+    )
     def _positive(v):
         iv = int(v)
         if iv < 1:
@@ -580,7 +589,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     serve(args.host, args.port, model_root=args.modelRoot,
           precision=args.precision, max_body_bytes=args.maxBodyBytes,
-          max_inflight=args.maxInflight)
+          max_inflight=args.maxInflight,
+          calibration_percentile=args.calibrationPercentile)
     return 0
 
 
