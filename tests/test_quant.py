@@ -178,3 +178,24 @@ def test_calibration_percentile_knob():
         ["x.tif", "--precision", "int8", "--calibrationPercentile", "100"]
     )
     assert args.calibrationPercentile == 100.0
+
+
+def test_nearly_dead_channel_uses_absmax_fallback():
+    """A channel that is zero at the calibration percentile but has
+    nonzero absmax must calibrate to its absmax — not the 1.0 fallback
+    that quantizes its whole (tiny) range to zero."""
+    rng = np.random.RandomState(7)
+    params = unet.init_params(jax.random.PRNGKey(3), HP_LEGACY, "legacy")
+    tiles = _tiles(rng, HP_LEGACY, n=4)
+    import numpy as _np
+
+    # tiny-activation input: every channel is zero at p99 but has a
+    # nonzero absmax, so every scale must be far below the 1.0 fallback
+    qs = quant.calibrate(params, tiles * 1e-6, HP_LEGACY, "legacy",
+                         percentile=99.0)
+    live = _np.concatenate([
+        _np.ravel(_np.asarray(v)) for v in qs["scales"].values()
+    ])
+    # all scales either reflect real (tiny) activations or true-dead 1.0;
+    # at least some must be far below 1.0 (the absmax fallback at work)
+    assert (live < 1e-3).any()

@@ -147,9 +147,14 @@ def calibrate(
 
         def tap(site: str, x: jnp.ndarray) -> None:
             if site in site_kernels:
-                ax = jnp.abs(x.astype(jnp.float32))
-                stats[site] = jnp.percentile(
-                    ax.reshape(-1, ax.shape[-1]), percentile, axis=0
+                ax = jnp.abs(x.astype(jnp.float32)).reshape(-1, x.shape[-1])
+                # percentile scale + absmax fallback: a nearly-dead
+                # channel (≥ `percentile`% zeros but nonzero absmax)
+                # would otherwise take the 1.0 fallback and quantize its
+                # whole activation range to zero
+                stats[site] = (
+                    jnp.percentile(ax, percentile, axis=0),
+                    ax.max(axis=0),
                 )
 
         unet.apply(p, t, hp, variant, tap=tap)
@@ -165,7 +170,8 @@ def calibrate(
         )
     scales, kernels = {}, {}
     for site, w in site_kernels.items():
-        m = np.asarray(stats[site], np.float32)
+        m_pct, m_max = (np.asarray(v, np.float32) for v in stats[site])
+        m = np.where(m_pct > 0, m_pct, m_max)  # absmax fallback (tap)
         a = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
         scales[site] = jnp.asarray(a)
         kernels[site] = _quantize_kernel(w, a)
