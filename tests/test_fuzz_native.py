@@ -301,3 +301,31 @@ def test_ome_xml_entity_bomb_is_safe():
     except (ValueError, IndexError):
         pass
     assert time.time() - t0 < 10
+
+
+def test_tpu_queue_runner_journals(tmp_path, monkeypatch):
+    """The on-chip queue runner executes steps in order, journals rc and
+    output tail, and keeps going after a failing step."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import importlib
+
+    tq = importlib.import_module("tpu_queue")
+    ok = tmp_path / "ok.py"
+    ok.write_text("print('step ok')\n")
+    bad = tmp_path / "bad.py"
+    bad.write_text("import sys; print('boom'); sys.exit(5)\n")
+    monkeypatch.setattr(tq, "STEPS", [
+        ("good", "stdin", str(ok), 60),
+        ("bad", "stdin", str(bad), 60),
+        ("after", "stdin", str(ok), 60),
+    ])
+    monkeypatch.setattr(tq, "JOURNAL", str(tmp_path / "j.json"))
+    monkeypatch.setattr(sys, "argv", ["tpu_queue.py", "--skip-probe"])
+    assert tq.main() == 1  # one failing step
+    import json as _json
+
+    j = _json.load(open(tmp_path / "j.json"))
+    names = [s["step"] for s in j["steps"]]
+    assert names == ["good", "bad", "after"]
+    assert [s["rc"] for s in j["steps"]] == [0, 5, 0]
+    assert "boom" in j["steps"][1]["tail"]
