@@ -100,6 +100,23 @@ def validate_model(name: str, model_dir: str, out_dir: str) -> dict:
     assert maps.dtype == np.uint8
     assert maps.shape == (bundle.hp.n_classes, *raw.shape)
     report = {"model": name, "classes": {}}
+
+    # int8 PTQ accuracy on the REAL weights (r3 verdict weak #3: the
+    # published 1.9%-flip figure is legacy-weights-only; this re-measures
+    # the day the v2/duo blobs land, in the same command)
+    qeng = InferenceEngine.from_bundle(bundle, params, quantized=True)
+    qmaps = (
+        qeng.infer_slide_stack(stack) if n_in > 1
+        else qeng.infer_slide(raw)
+    )
+    lv = np.abs(qmaps.astype(int) - maps.astype(int))
+    report["int8_vs_float"] = {
+        "argmax_flips_pct": round(
+            float((qmaps.argmax(0) != maps.argmax(0)).mean() * 100), 3),
+        "mean_levels": round(float(lv.mean()), 3),
+        "p99_levels": float(np.percentile(lv, 99)),
+        "max_levels": int(lv.max()),
+    }
     blob = os.path.join(model_dir, "model.ckpt.data-00000-of-00001")
     with open(blob, "rb") as f:
         report["blob_sha256"] = hashlib.sha256(f.read()).hexdigest()
