@@ -382,6 +382,43 @@ def build_valid_files(tmp, rng) -> list:
     return paths
 
 
+def patch_random_tag(rng, data: bytearray) -> None:
+    """Structure-aware mutation: walk the first classic-TIFF IFD and
+    overwrite one entry's type/count/value with extreme values —
+    reaches states random byte flips rarely hit (count=0, huge counts,
+    wrong field types, extreme dims)."""
+    try:
+        if data[:2] != b"II":
+            return
+        (magic,) = struct.unpack_from("<H", data, 2)
+        if magic == 42:       # classic
+            (ifd,) = struct.unpack_from("<I", data, 4)
+            (n,) = struct.unpack_from("<H", data, ifd)
+            ent0, esz, cfmt, coff, voff = ifd + 2, 12, "<I", 4, 8
+        elif magic == 43:     # BigTIFF
+            (ifd,) = struct.unpack_from("<Q", data, 8)
+            (n,) = struct.unpack_from("<Q", data, ifd)
+            ent0, esz, cfmt, coff, voff = ifd + 8, 20, "<Q", 4, 12
+        else:
+            return
+        if not 0 < n < 64:
+            return
+        e = ent0 + esz * int(rng.randint(0, n))
+        which = rng.randint(0, 3)
+        v = [0, 1, 0xFFFF, 0xFFFFFFFF, 0x7FFFFFFF, 1 << 20, 1 << 30,
+             len(data)][rng.randint(0, 8)]
+        if which == 0:
+            struct.pack_into("<H", data, e + 2, v & 0xFFFF)   # field type
+        elif which == 1:
+            struct.pack_into(cfmt, data, e + coff,
+                             v & (2 ** (8 * struct.calcsize(cfmt)) - 1))
+        else:
+            struct.pack_into(cfmt, data, e + voff,
+                             v & (2 ** (8 * struct.calcsize(cfmt)) - 1))
+    except (struct.error, IndexError, OverflowError):
+        pass  # already-mutated structure: skip
+
+
 def file_case(rng, valid_files: list) -> dict | None:
     """Mutate one valid file and push it through the full read chain."""
     from unmicst_tpu.io.tiff import TiffFile
@@ -390,7 +427,7 @@ def file_case(rng, valid_files: list) -> dict | None:
     data = bytearray(open(src, "rb").read())
     nmut = int(rng.randint(1, 12))
     for _ in range(nmut):
-        op = rng.randint(0, 8)
+        op = rng.randint(0, 9)
         if op < 5:  # byte flip anywhere (headers are tiny: bias there)
             zone = rng.randint(0, 2)
             hi = min(len(data), 512) if zone == 0 else len(data)
@@ -402,9 +439,11 @@ def file_case(rng, valid_files: list) -> dict | None:
             v = [0, 0xFFFFFFFF, 0x7FFFFFFF, len(data), 1 << 30][
                 rng.randint(0, 5)]
             data[i:i + 4] = struct.pack("<I", v & 0xFFFFFFFF)
-        else:  # splice random
+        elif op == 7:  # splice random
             i = rng.randint(0, len(data))
             data[i:i] = bytes(rng.bytes(rng.randint(1, 32)))
+        else:  # structure-aware tag patch
+            patch_random_tag(rng, data)
     path = src + ".mut"
     with open(path, "wb") as f:
         f.write(bytes(data))

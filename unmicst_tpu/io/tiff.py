@@ -184,9 +184,16 @@ def _decode(data: bytes, compression: int, max_out: int = 0) -> bytes:
             except ValueError:
                 pass  # over-slack padding or native-rejected stream:
                 # the zlib path below decodes and the caller truncates
-            out = zlib.decompressobj().decompress(data, max_out + 65536)
-            return out
-        return zlib.decompress(data)
+            try:
+                return zlib.decompressobj().decompress(
+                    data, max_out + 65536
+                )
+            except zlib.error as exc:
+                raise ValueError(f"corrupt deflate strip: {exc}") from None
+        try:
+            return zlib.decompress(data)
+        except zlib.error as exc:
+            raise ValueError(f"corrupt deflate strip: {exc}") from None
     if compression == COMPRESSION_LZW:
         if max_out:
             from unmicst_tpu.io import _native
@@ -804,6 +811,14 @@ class TiffFile:
         if page.tiled:
             tw, th = page.tile_width, page.tile_length
             tiles_across = (page.width + tw - 1) // tw
+            tiles_down = (page.height + th - 1) // th
+            if len(page.tile_offsets) < tiles_across * tiles_down:
+                # crafted tile geometry claiming more tiles than the
+                # offsets array holds would index past it below
+                raise ValueError(
+                    f"TIFF page needs {tiles_across * tiles_down} tiles "
+                    f"but holds {len(page.tile_offsets)} offsets"
+                )
             ti0, ti1 = r0 // th, (min(r1, page.height) + th - 1) // th
             tj0, tj1 = c0 // tw, (min(c1, page.width) + tw - 1) // tw
             band = self._read_tiles_batched(
@@ -837,6 +852,13 @@ class TiffFile:
         else:
             rps = page.rows_per_strip
             s0, s1 = r0 // rps, (min(r1, page.height) + rps - 1) // rps
+            if s1 > len(page.strip_offsets):
+                # crafted RowsPerStrip implying more strips than the
+                # offsets array holds would index past it below
+                raise ValueError(
+                    f"TIFF page needs {s1} strips but holds "
+                    f"{len(page.strip_offsets)} offsets"
+                )
             row_bytes = page.width * page.samples * (page.bits // 8)
             band = (
                 self._read_strips_batched(page, dtype, row_bytes, s0, s1)
