@@ -673,3 +673,39 @@ def test_strict_bool_and_outlier_validation(server_url, tmp_path, rng):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 400, query
+
+
+def test_hostile_bodies_never_500(server_url, tmp_path, rng):
+    """Mutated/garbage container bodies through the LIVE HTTP stack must
+    come back as 4xx (the parser contract mapped by the handler), never
+    a 500 or a dead server — binds the fuzz-hardened parse chain to the
+    production surface."""
+    import urllib.error
+
+    from unmicst_tpu.io.tiff import imwrite as _imwrite
+
+    base = str(tmp_path / "b.tif")
+    _imwrite(base, (rng.rand(40, 50) * 255).astype(np.uint8))
+    valid = open(base, "rb").read()
+    local = np.random.RandomState(99)
+    bodies = [b"", b"garbage", b"II*\0" + bytes(local.bytes(64))]
+    for _ in range(12):
+        b = bytearray(valid)
+        for _ in range(local.randint(1, 8)):
+            b[local.randint(0, len(b))] ^= 1 << local.randint(0, 8)
+        bodies.append(bytes(b))
+    statuses = []
+    for body in bodies:
+        req = urllib.request.Request(
+            server_url + "/infer?model=nucleiDAPI&channel=0", data=body,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                statuses.append(r.status)
+        except urllib.error.HTTPError as e:
+            statuses.append(e.code)
+    assert all(s in (200, 400, 404, 411, 413) for s in statuses), statuses
+    # server is still alive and healthy afterwards
+    with urllib.request.urlopen(server_url + "/healthz", timeout=30) as r:
+        assert r.status == 200
