@@ -709,3 +709,46 @@ def test_hostile_bodies_never_500(server_url, tmp_path, rng):
     # server is still alive and healthy afterwards
     with urllib.request.urlopen(server_url + "/healthz", timeout=30) as r:
         assert r.status == 200
+
+
+def test_roi_inference(server_url, tmp_path, rng):
+    """roi=r0,c0,h,w infers only the window.  A band that reaches row 0
+    (r0 < one tile) shares the full run's tile-grid origin, so the crop
+    is bit-identical; out-of-bounds ROIs are 400s."""
+    import urllib.error
+
+    img = (rng.rand(200, 160) * 60000).astype(np.uint16)
+    p = str(tmp_path / "roi.tif")
+    imwrite(p, img)
+    body = open(p, "rb").read()
+
+    def post(query):
+        req = urllib.request.Request(
+            server_url + "/infer?" + query, data=body,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=180) as r:
+            out = r.read()
+        dst = tmp_path / "out.tif"
+        dst.write_bytes(out)
+        with TiffFile(str(dst)) as tf:
+            return np.stack([tf.read_page(i)
+                             for i in range(len(tf.pages))])
+
+    full = post("model=nucleiDAPI&channel=0")
+    r0, c0, h, w = 40, 16, 64, 96
+    roi = post(f"model=nucleiDAPI&channel=0&roi={r0},{c0},{h},{w}")
+    assert roi.shape == (full.shape[0], h, w)
+    np.testing.assert_array_equal(
+        roi, full[:, r0:r0 + h, c0:c0 + w]
+    )
+    # out-of-bounds / malformed ROIs are client errors
+    for bad in ("199,0,64,64", "0,0,0,4", "0,0,4", "a,b,c,d"):
+        req = urllib.request.Request(
+            server_url + f"/infer?model=nucleiDAPI&channel=0&roi={bad}",
+            data=body,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400

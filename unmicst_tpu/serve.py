@@ -5,11 +5,13 @@ The reference is strictly batch CLI (model setup cost paid per invocation,
 module keeps the model resident and serves slides over HTTP:
 
 * ``POST /infer?model=nucleiDAPI&channel=0[&compress=1|deflate|zstd]
-  [&scale=0.5]`` with a
+  [&scale=0.5][&roi=r0,c0,h,w]`` with a
   TIFF, CZI, or ND2 body (container sniffed from magic bytes; OME-aware
   channel mapping) -> multi-page TIFF response (the ``_Probabilities``
   page stack, reversed class order, uint8; optionally deflate- or
-  zstd-compressed pages);
+  zstd-compressed pages); ``roi=`` infers only that window (one
+  net-tile of context read around it — the interactive-viewer path
+  over mega-slides);
 * ``GET /models`` -> zoo availability;
 * ``GET /healthz`` -> liveness + device info;
 * ``GET /stats`` -> request/throughput counters (uptime, px processed,
@@ -176,6 +178,7 @@ class ModelServer:
         self, body: bytes, model: str, channel: int, rescale: bool,
         outlier: float, compress: Optional[str] = None,
         scale: float = 1.0, pyramid: bool = False,
+        roi: Optional[Tuple[int, int, int, int]] = None,
     ) -> Tuple[bytes, dict]:
         """In-memory convenience wrapper over :meth:`infer_tiff_path`."""
         with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
@@ -183,20 +186,28 @@ class ModelServer:
             tmp.flush()
             return self.infer_tiff_path(
                 tmp.name, model, channel, rescale, outlier,
-                compress=compress, scale=scale, pyramid=pyramid,
+                compress=compress, scale=scale, pyramid=pyramid, roi=roi,
             )
 
     def infer_tiff_path(
         self, path: str, model: str, channel, rescale: bool,
         outlier: float, compress: Optional[str] = None,
         scale: float = 1.0, pyramid: bool = False,
+        roi: Optional[Tuple[int, int, int, int]] = None,
     ) -> Tuple[bytes, dict]:
         """Run channel(s) of any supported container (TIFF/CZI/ND2 —
         sniffed from magic bytes, uploads carry no trustworthy name)
         through the resident model; OME-aware channel mapping like the
         CLI.  ``channel``: one index, or a 2-sequence for duo-style
         2-channel models.  Name kept from when only TIFF bodies were
-        accepted."""
+        accepted.
+
+        ``roi=(r0, c0, h, w)`` infers only that window (interactive
+        viewers over mega-slides): a full-width row band with one tile
+        of context margin is read and inferred, then trimmed to the
+        ROI.  Away from the margin the maps match a full-slide run;
+        within it, tile-blend seams may differ by ~1 uint8 level (the
+        tile grid originates at the band, not the slide)."""
         import contextlib
 
         from unmicst_tpu.io.slides import open_channel_source, sniff_format
@@ -218,6 +229,11 @@ class ModelServer:
             shape = (srcs[0].height, srcs[0].width)
             if any((s.height, s.width) != shape for s in srcs):
                 raise ValueError("channel planes disagree on dimensions")
+            if roi is not None:
+                return self._infer_roi(
+                    srcs, shape, model, roi, rescale, outlier,
+                    compress=compress, scale=scale, pyramid=pyramid,
+                )
             if (scale > 1
                     and shape[0] * shape[1] * scale * scale
                     > self.max_scaled_px):
@@ -278,6 +294,52 @@ class ModelServer:
             infer_s = time.perf_counter() - t0
         return self._encode(
             maps, model, shape, shape[0] * shape[1], infer_s,
+            compress=compress, pyramid=pyramid,
+        )
+
+    def _infer_roi(self, srcs, shape, model: str, roi, rescale: bool,
+                   outlier: float, compress: Optional[str] = None,
+                   scale: float = 1.0,
+                   pyramid: bool = False) -> Tuple[bytes, dict]:
+        """Windowed inference for ``roi=(r0, c0, h, w)``: read a
+        full-width row band with one net-tile of context, infer it on
+        the whole-image engine, trim to the ROI."""
+        r0, c0, h, w = (int(v) for v in roi)
+        if not (0 <= r0 < shape[0] and 0 <= c0 < shape[1]
+                and h > 0 and w > 0
+                and r0 + h <= shape[0] and c0 + w <= shape[1]):
+            raise ValueError(
+                f"roi {roi} outside the {shape[0]}x{shape[1]} slide"
+            )
+        eng = self.engine(model)
+        pad = int(eng.hp.im_size)
+        a = max(0, r0 - pad)
+        b = min(shape[0], r0 + h + pad)
+        if (b - a) * shape[1] > self.stream_above_px:
+            raise ValueError(
+                f"roi band of {(b - a)}x{shape[1]} px exceeds the "
+                f"windowed-inference bound {self.stream_above_px}; "
+                "request a shorter window or drop roi= to stream the "
+                "whole slide"
+            )
+        bands = [s.read_rows(a, b) for s in srcs]
+        t0 = time.perf_counter()
+        if len(bands) > 1:
+            maps = eng.infer_slide_stack(
+                bands, outlier=outlier, rescale=rescale,
+                scaling_factor=scale,
+            )
+        else:
+            maps = eng.infer_slide(
+                bands[0], outlier=outlier, rescale=rescale,
+                scaling_factor=scale,
+            )
+        infer_s = time.perf_counter() - t0
+        maps = np.ascontiguousarray(
+            maps[:, r0 - a : r0 - a + h, c0 : c0 + w]
+        )
+        return self._encode(
+            maps, model, (h, w), h * w, infer_s,
             compress=compress, pyramid=pyramid,
         )
 
@@ -441,6 +503,14 @@ def make_handler(server: ModelServer):
                 pyramid = _parse_bool(
                     q.get("pyramid", ["0"])[0], "pyramid"
                 )
+                roi = None
+                if "roi" in q:
+                    parts = q["roi"][0].split(",")
+                    if len(parts) != 4:
+                        raise ValueError(
+                            f"roi must be r0,c0,h,w — got {q['roi'][0]!r}"
+                        )
+                    roi = tuple(int(v) for v in parts)
                 if not 0.01 <= scale <= 16:
                     raise ValueError(
                         f"scale must be in [0.01, 16], got {scale}"
@@ -488,6 +558,7 @@ def make_handler(server: ModelServer):
                     out, meta = server.infer_tiff_path(
                         tmp.name, model, channel, rescale, outlier,
                         compress=compress, scale=scale, pyramid=pyramid,
+                        roi=roi,
                     )
             except FileNotFoundError as e:
                 server._count(client_error=1)
