@@ -301,3 +301,76 @@ def test_compress_output_flag(tmp_path, rng):
             assert tz.pages[k].compression == 50000
             np.testing.assert_array_equal(tc.read_page(k), tu.read_page(k))
             np.testing.assert_array_equal(tz.read_page(k), tu.read_page(k))
+
+
+@needs_reference
+def test_intensity_range_flag(tmp_path):
+    """--intensityRange min,max reproduces the data-derived default
+    bit-for-bit; a different range changes the maps; solo rejects the
+    flag; malformed values are loud SystemExits."""
+    img_dir = tmp_path / "s" / "registration"
+    img_dir.mkdir(parents=True)
+    crop = imread(
+        os.path.join(REFERENCE, "UNet sample data/registration/105.tif")
+    )[:160, :128]
+    imwrite(str(img_dir / "c.tif"), crop, bigtiff=False)
+    src = str(img_dir / "c.tif")
+    base = [src, "--tool", "unmicst-legacy", "--stackOutput"]
+
+    assert cli.main(base + ["--outputPath", str(tmp_path / "a")]) == 0
+    lo, hi = float(crop.min()), float(crop.max())
+    assert cli.main(
+        base + ["--outputPath", str(tmp_path / "b"),
+                "--intensityRange", f"{lo},{hi}"]
+    ) == 0
+    a = [imread(str(tmp_path / "a" / "c_Probabilities_1.tif"), k)
+         for k in range(3)]
+    b = [imread(str(tmp_path / "b" / "c_Probabilities_1.tif"), k)
+         for k in range(3)]
+    for pa, pb in zip(a, b):
+        np.testing.assert_array_equal(pa, pb)
+    # a wider pinned range shifts the normalization -> different maps
+    assert cli.main(
+        base + ["--outputPath", str(tmp_path / "w"),
+                "--intensityRange", "0,65535"]
+    ) == 0
+    w = [imread(str(tmp_path / "w" / "c_Probabilities_1.tif"), k)
+         for k in range(3)]
+    assert any(not np.array_equal(pw, pa) for pw, pa in zip(w, a))
+
+    # solo's net input is un-rescaled: the flag must fail loudly
+    with pytest.raises(SystemExit, match="unmicst-solo"):
+        cli.main([src, "--tool", "unmicst-solo", "--stackOutput",
+                  "--outputPath", str(tmp_path / "x"),
+                  "--intensityRange", "0,100"])
+    # malformed pairs
+    for bad in (["5"], ["9,9"], ["a,b"], ["0,1", "0,2"]):
+        with pytest.raises(SystemExit, match="intensityRange"):
+            cli.main(base + ["--outputPath", str(tmp_path / "y"),
+                             "--intensityRange", *bad])
+
+
+@needs_reference
+def test_intensity_range_flag_streaming(tmp_path):
+    """The streaming engine honors --intensityRange: pinning the data's
+    own (min, max) equals the derived run bit-for-bit."""
+    img_dir = tmp_path / "s" / "registration"
+    img_dir.mkdir(parents=True)
+    crop = imread(
+        os.path.join(REFERENCE, "UNet sample data/registration/105.tif")
+    )[:160, :128]
+    imwrite(str(img_dir / "c.tif"), crop, bigtiff=False)
+    src = str(img_dir / "c.tif")
+    base = [src, "--tool", "unmicst-legacy", "--stackOutput",
+            "--engine", "streaming"]
+    assert cli.main(base + ["--outputPath", str(tmp_path / "a")]) == 0
+    lo, hi = float(crop.min()), float(crop.max())
+    assert cli.main(
+        base + ["--outputPath", str(tmp_path / "b"),
+                "--intensityRange", f"{lo},{hi}"]
+    ) == 0
+    for k in range(3):
+        np.testing.assert_array_equal(
+            imread(str(tmp_path / "a" / "c_Probabilities_1.tif"), k),
+            imread(str(tmp_path / "b" / "c_Probabilities_1.tif"), k),
+        )

@@ -218,3 +218,94 @@ def test_outlier_values_share_one_program(small_model, rng):
     # and the traced q actually changes the result
     assert not np.array_equal(out_a, out_b)
     assert not np.array_equal(out_b, out_max)
+
+
+def test_pinned_range_matches_derived(small_model, rng):
+    """in_range=(data min, data max) reproduces the data-derived default
+    bit-for-bit, shares one program across distinct pinned values, and
+    an intentionally different range changes the maps."""
+    hp, params = small_model
+    eng = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8)
+    raw = (rng.rand(64, 64) * 60000).astype(np.uint16)
+
+    def n_slide():
+        return sum(1 for k in eng._compiled._entries if k[0] == "slide")
+
+    derived = eng.infer_slide(raw)
+    n0 = n_slide()
+    pinned = eng.infer_slide(
+        raw, in_range=(float(raw.min()), float(raw.max()))
+    )
+    np.testing.assert_array_equal(pinned, derived)
+    wider = eng.infer_slide(raw, in_range=(0.0, 65535.0))
+    assert not np.array_equal(wider, derived)
+    assert n_slide() - n0 == 1  # both pinned calls share one program
+
+
+def test_pinned_range_makes_bands_consistent(small_model, rng):
+    """The ROI scenario: a band whose local stats differ from the global
+    range normalizes identically to the full slide ONLY when the global
+    range is pinned (grid-aligned band: crop is then bit-identical)."""
+    hp, params = small_model
+    eng = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8)
+    img = (rng.rand(160, 64) * 20000).astype(np.uint16)
+    img[:16] = 60000  # bright blob OUTSIDE the band: global max != band max
+    full = eng.infer_slide(
+        img, in_range=(float(img.min()), float(img.max()))
+    )
+    # band starting at a sub-stride multiple shares the full run's grid
+    a = 4 * (hp.im_size - 2 * hp.margin)
+    band = img[a:]
+    pinned = eng.infer_slide(
+        band, in_range=(float(img.min()), float(img.max()))
+    )
+    # the band's top tile-row sees canvas zeros where the full run has
+    # real context rows — compare beyond it (the serve ROI path reads
+    # one extra net-tile of context and trims it for exactly this
+    # reason); past that, pinned normalization makes the crop identical
+    t = hp.im_size
+    np.testing.assert_array_equal(pinned[:, t:], full[:, a + t:])
+    # without pinning, band-local stats shift the normalization (the
+    # tiny random-weight net is nearly input-insensitive, so assert
+    # inequality rather than a magnitude)
+    local = eng.infer_slide(band)
+    assert not np.array_equal(local[:, t:], pinned[:, t:])
+
+
+def test_pinned_range_stack_per_channel(rng):
+    """Duo stack: per-channel pinned pairs == the data-derived per-channel
+    ranges; a single pair broadcasts."""
+    import jax as _jax
+
+    from unmicst_tpu.core import unet as _unet
+    from unmicst_tpu.core.hp import HParams as _HP
+
+    hp = _HP(im_size=32, n_channels=2, n_classes=3, n_out0=4, ks=3,
+             n_extra_convs=0, n_layers=2, batch_size=4)
+    params = _unet.init_params(_jax.random.PRNGKey(3), hp, "duo")
+    eng = InferenceEngine(hp, params, "duo", 0.2, 0.2, tile_batch=8)
+    a = (rng.rand(48, 40) * 30000).astype(np.uint16)
+    b = (rng.rand(48, 40) * 60000).astype(np.uint16)
+    derived = eng.infer_slide_stack([a, b])
+    pinned = eng.infer_slide_stack(
+        [a, b],
+        in_range=[(float(a.min()), float(a.max())),
+                  (float(b.min()), float(b.max()))],
+    )
+    np.testing.assert_array_equal(pinned, derived)
+    broadcast = eng.infer_slide_stack([a, b], in_range=(0.0, 65535.0))
+    assert broadcast.shape == derived.shape
+
+
+def test_pinned_range_validation(small_model, rng):
+    hp, params = small_model
+    eng = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8)
+    raw = (rng.rand(48, 48) * 60000).astype(np.uint16)
+    with pytest.raises(ValueError, match="lo < hi"):
+        eng.infer_slide(raw, in_range=(100.0, 100.0))
+    with pytest.raises(ValueError, match="finite"):
+        eng.infer_slide(raw, in_range=(0.0, float("nan")))
+    with pytest.raises(ValueError, match="rescale"):
+        eng.infer_slide(raw, in_range=(0.0, 1000.0), rescale=False)
+    with pytest.raises(ValueError, match="pair"):
+        eng.infer_slide(raw, in_range=(0.0, 1.0, 2.0))

@@ -752,3 +752,90 @@ def test_roi_inference(server_url, tmp_path, rng):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=60)
         assert ei.value.code == 400
+
+
+def test_probe_range(server_url, tmp_path, rng):
+    """probe=range returns global per-channel (lo, hi) — exact min/max
+    and exact percentile — with no inference."""
+    img = (rng.rand(300, 120) * 20000).astype(np.uint16)
+    img[5, 7] = 60000
+    p = str(tmp_path / "probe.tif")
+    imwrite(p, img)
+    body = open(p, "rb").read()
+
+    def probe(query):
+        req = urllib.request.Request(
+            server_url + "/infer?" + query, data=body,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    res = probe("probe=range&channel=0")
+    assert res["shape"] == [300, 120]
+    (lo, hi), = res["range"]
+    assert lo == float(img.min()) and hi == 60000.0
+    res99 = probe("probe=range&channel=0&outlier=99")
+    assert res99["range"][0][1] == pytest.approx(
+        float(np.percentile(img, 99))
+    )
+
+
+def test_roi_with_pinned_range(server_url, tmp_path, rng):
+    """An ROI whose context band misses the slide's bright region matches
+    the full run bit-for-bit once range= pins the global stats — and
+    drifts without it.  (Band chosen grid-aligned: r0 - pad is a
+    sub-stride multiple of the 128/16 nucleiDAPI geometry.)"""
+    img = (rng.rand(600, 160) * 20000).astype(np.uint16)
+    img[:40] = 60000  # bright rows OUTSIDE the roi's context band
+    p = str(tmp_path / "roipin.tif")
+    imwrite(p, img)
+    body = open(p, "rb").read()
+
+    def post(query):
+        req = urllib.request.Request(
+            server_url + "/infer?" + query, data=body,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = r.read()
+            meta = json.loads(r.headers["X-UnMicst-Meta"])
+        dst = tmp_path / "roipin_out.tif"
+        dst.write_bytes(out)
+        with TiffFile(str(dst)) as tf:
+            return np.stack(
+                [tf.read_page(i) for i in range(len(tf.pages))]
+            ), meta
+
+    rng_q = f"range={float(img.min())},{float(img.max())}"
+    full, meta = post(f"model=nucleiDAPI&channel=0&{rng_q}")
+    assert meta["in_range"] == [[float(img.min()), float(img.max())]]
+    r0, c0, h, w = 224, 0, 64, 160
+    roi_q = f"roi={r0},{c0},{h},{w}"
+    pinned, _ = post(f"model=nucleiDAPI&channel=0&{roi_q}&{rng_q}")
+    np.testing.assert_array_equal(
+        pinned, full[:, r0:r0 + h, c0:c0 + w]
+    )
+    unpinned, _ = post(f"model=nucleiDAPI&channel=0&{roi_q}")
+    assert np.abs(
+        unpinned.astype(int) - pinned.astype(int)
+    ).max() > 2
+
+
+def test_range_param_validation(server_url, tmp_path, rng):
+    import urllib.error
+
+    img = (rng.rand(64, 64) * 60000).astype(np.uint16)
+    p = str(tmp_path / "rbad.tif")
+    imwrite(p, img)
+    body = open(p, "rb").read()
+    for bad in ("range=5", "range=9,9", "range=a,b", "range=0,nan",
+                "range=0,100&rescale=0", "probe=minmax"):
+        req = urllib.request.Request(
+            server_url + f"/infer?model=nucleiDAPI&channel=0&{bad}",
+            data=body,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400, bad

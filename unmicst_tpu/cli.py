@@ -60,6 +60,38 @@ TOOL_DEFAULT_MODEL = {
 }
 
 
+def _pinned_ranges(args, tool: str, n: int):
+    """``--intensityRange`` -> list of ``n`` (lo, hi) raw-unit pairs, or
+    None.  Rejected for unmicst-solo, whose net input the reference
+    deliberately leaves un-rescaled (``UnMicst1-5.py:817-821`` computes
+    the rescale but ``:700-702`` feeds the raw resize) — a silently
+    ignored flag would be worse than an error."""
+    if not getattr(args, "intensityRange", None):
+        return None
+    if tool == "unmicst-solo":
+        raise SystemExit(
+            "--intensityRange has no effect on unmicst-solo: its net "
+            "input is deliberately un-rescaled (the reference quirk) — "
+            "drop the flag or pick another --tool"
+        )
+    pairs = []
+    for s in args.intensityRange:
+        parts = s.split(",")
+        try:
+            if len(parts) != 2:
+                raise ValueError(f"expected LO,HI — got {s!r}")
+            pairs.append((float(parts[0]), float(parts[1])))
+        except ValueError as e:
+            raise SystemExit(f"--intensityRange: {e}")
+    from unmicst_tpu.infer import _normalize_in_range
+
+    try:
+        arr = _normalize_in_range(pairs, n)
+    except ValueError as e:
+        raise SystemExit(f"--intensityRange: {e}")
+    return [tuple(p) for p in arr.tolist()]
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="unmicst-tpu",
@@ -153,6 +185,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="write outputs as tiled SubIFD pyramids (viewer-ready for "
         "QuPath/Minerva-class tools; flat-page readers still see the "
         "full-resolution pages; the reference writes flat strips)",
+    )
+    p.add_argument(
+        "--intensityRange", nargs="+", metavar="LO,HI",
+        help="pin the intensity-rescale range (raw pixel units; one "
+        "lo,hi pair, or one per duo channel) instead of the per-image "
+        "min/max|outlier — every slide in a sweep then normalizes "
+        "identically (e.g. TMA cores of one scan); overrides --outlier. "
+        "No effect on unmicst-solo (its net input is un-rescaled — the "
+        "reference quirk), which rejects the flag loudly",
     )
     return p
 
@@ -319,6 +360,8 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
         trace_ctx = contextlib.nullcontext()
     t0 = time.perf_counter()
     sf = args.scalingFactor
+    pinned = _pinned_ranges(args, tool,
+                            2 if tool == "unmicst-duo" else 1)
     if tool == "unmicst-duo":
         chans = _duo_chans(channels0, dapi_channel)
     else:
@@ -348,7 +391,7 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
                 maps = stream.infer_stack(
                     [wrap(srcs[c]) for c in chans], outlier=args.outlier,
                     classes=classes,
-                    stats=(
+                    stats=pinned if pinned else (
                         [shared_stats[c] for c in chans]
                         if shared_stats else None
                     ),
@@ -359,7 +402,10 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
                     outlier=args.outlier,
                     rescale=tool != "unmicst-solo",  # the v2-solo quirk
                     classes=classes,
-                    stats=shared_stats.get(dapi_channel),
+                    stats=(
+                        pinned[0] if pinned
+                        else shared_stats.get(dapi_channel)
+                    ),
                 )
             t_infer = time.perf_counter()
             raw_src = srcs[chans[-1]]  # duo preview = last channel
@@ -512,6 +558,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     cyto = tool == "UnMicstCyto2"
     if not cyto:
         os.makedirs(os.path.join(out_path, "qc"), exist_ok=True)
+    pinned = _pinned_ranges(args, tool,
+                            2 if tool == "unmicst-duo" else 1)
 
     # ---- read + preprocess ------------------------------------------------
     t_read = time.perf_counter()
@@ -609,10 +657,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             slide_raw = None
             planes, raw_norm = [], None
-            for c in chans:
+            for i, c in enumerate(chans):
                 pc = pp.preprocess_channel(
                     raw_by_chan[c], args.scalingFactor, args.outlier,
                     cast_float32=not cyto,
+                    in_range=pinned[i] if pinned else None,
                 )
                 planes.append(pc.net_input)
                 raw_norm, raw_shape = pc.raw_norm, pc.raw_shape  # last wins
@@ -636,6 +685,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             pc = pp.preprocess_channel(
                 raw, args.scalingFactor, args.outlier,
                 use_rescaled=use_rescaled, cast_float32=not cyto,
+                in_range=pinned[0] if pinned else None,
             )
             net_image = pc.net_input.astype(np.float32)
             raw_shape = pc.raw_shape
@@ -662,12 +712,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             if channel_mode == "stack":
                 maps = engine.infer_slide_stack(
                     slide_raw, outlier=args.outlier, classes=classes,
-                    scaling_factor=args.scalingFactor,
+                    scaling_factor=args.scalingFactor, in_range=pinned,
                 )
             else:
                 maps = engine.infer_slide(
                     slide_raw, outlier=args.outlier, rescale=use_rescaled,
                     classes=classes, scaling_factor=args.scalingFactor,
+                    in_range=pinned[0] if pinned else None,
                 )
             idx = (
                 {c: i for i, c in enumerate(classes)} if classes else None

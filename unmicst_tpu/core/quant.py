@@ -233,6 +233,7 @@ def sample_tiles_raw(
     rescale: bool = True,
     n: int = 64,
     seed: int = 0,
+    in_range=None,
 ) -> np.ndarray:
     """Calibration tiles for the RAW slide path: mirrors the device-side
     preprocessing of ``infer._build_slide`` (im2double -> clip to
@@ -240,22 +241,36 @@ def sample_tiles_raw(
     windows only.  Global lo/hi come from a 4x-decimated pass — scales
     need ~1% accuracy, not exact percentiles — so no full-size float copy
     of a multi-GB slide is ever materialized.
+
+    ``in_range``: optional pinned (lo, hi) pair (or per-channel pairs) in
+    the units of ``planes`` — used instead of the decimated-pass stats so
+    calibration sees exactly the normalization a pinned-range inference
+    applies.
     """
     planes = np.asarray(planes)
     if planes.ndim == 2:
         planes = planes[None]
     c, h, w = planes.shape
     s = hp.im_size
-    dec = planes[:, ::4, ::4].astype(np.float32)
-    if scale is not None:
-        dec /= scale
     if rescale:
-        lo = dec.min(axis=(1, 2))
-        hi = (
-            np.percentile(dec, outlier, axis=(1, 2))
-            if outlier != -1
-            else dec.max(axis=(1, 2))
-        )
+        if in_range is not None:
+            ir = np.asarray(in_range, np.float64).reshape(-1, 2)
+            if ir.shape[0] == 1 and c > 1:
+                ir = np.repeat(ir, c, axis=0)
+            lo = ir[:, 0].astype(np.float32)
+            hi = ir[:, 1].astype(np.float32)
+            if scale is not None:
+                lo, hi = lo / scale, hi / scale
+        else:
+            dec = planes[:, ::4, ::4].astype(np.float32)
+            if scale is not None:
+                dec /= scale
+            lo = dec.min(axis=(1, 2))
+            hi = (
+                np.percentile(dec, outlier, axis=(1, 2))
+                if outlier != -1
+                else dec.max(axis=(1, 2))
+            )
     rng = np.random.RandomState(seed)
     grid = max(1, int(np.ceil(np.sqrt(n))))
     out = np.empty((min(n, grid * grid), s, s, hp.n_channels), np.float32)

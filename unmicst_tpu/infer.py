@@ -52,6 +52,48 @@ def default_tile_batch(im_size: int, compute_dtype=None) -> int:
     return 256
 
 
+def _normalize_in_range(in_range, n: int) -> np.ndarray:
+    """Validate a pinned rescale range -> float64 [n, 2] raw-unit array.
+
+    Accepts one ``(lo, hi)`` pair (broadcast over ``n`` channels) or a
+    per-channel sequence of pairs; every pair must be finite with
+    ``lo < hi`` (a degenerate range would divide by ~0 on device and
+    emit garbage maps instead of an error).
+    """
+    arr = np.asarray(in_range, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[None]
+    if arr.shape == (1, 2) and n > 1:
+        arr = np.repeat(arr, n, axis=0)
+    if arr.shape != (n, 2):
+        raise ValueError(
+            f"in_range must be one (lo, hi) pair or {n} pairs, got "
+            f"shape {arr.shape}"
+        )
+    if not np.all(np.isfinite(arr)) or not np.all(arr[:, 0] < arr[:, 1]):
+        raise ValueError(
+            f"in_range pairs must be finite with lo < hi, got "
+            f"{arr.tolist()}"
+        )
+    return arr
+
+
+def _range_args(ir: np.ndarray, in_dtype) -> list:
+    """Pinned [C, 2] raw-unit range -> the two traced [C, 1, 1] device
+    arguments of a ``fixed_range`` slide program (im2double units — the
+    program divides integer pixels by the dtype scale before rescale)."""
+    dscale = {
+        np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0
+    }.get(np.dtype(in_dtype))
+    if dscale is not None:
+        ir = ir / dscale
+    c = ir.shape[0]
+    return [
+        jnp.asarray(ir[:, 0].reshape(c, 1, 1), jnp.float32),
+        jnp.asarray(ir[:, 1].reshape(c, 1, 1), jnp.float32),
+    ]
+
+
 def plan_stripes(npr: int, npc: int, tile_batch: int) -> tuple:
     """Choose the stripe geometry: (R tile-rows per stripe, forward chunk).
 
@@ -321,12 +363,14 @@ class InferenceEngine:
         return self._quant
 
     def _quant_for_raw(self, raw: np.ndarray, outlier, rescale: bool,
-                       scaling_factor: float = 1.0):
+                       scaling_factor: float = 1.0, in_range=None):
         """QuantState for the raw-slide paths, mirroring the device-side
         preprocessing (im2double/rescale) when drawing calibration tiles.
         At ``scaling_factor != 1`` the calibration tiles sample a host-
         resized plane (one-time cost), so they see the SCALED net-input
-        distribution the device program feeds the int8 kernels."""
+        distribution the device program feeds the int8 kernels.
+        ``in_range``: pinned raw-unit rescale range (see infer_slide) —
+        calibration normalizes with it instead of decimated-pass stats."""
         if not self.quantized:
             return None
         if self._quant is None:
@@ -366,9 +410,21 @@ class InferenceEngine:
                     bands.append(
                         np.concatenate(rows, axis=0).astype(np.float32)
                     )
+                ir = None
+                if in_range is not None:
+                    # the resize_rows bands are img_as_float unit-scale:
+                    # convert the raw-unit pinned range to match
+                    dscale = {
+                        np.dtype(np.uint8): 255.0,
+                        np.dtype(np.uint16): 65535.0,
+                    }.get(np.dtype(planes.dtype))
+                    ir = np.asarray(in_range, np.float64).reshape(-1, 2)
+                    if dscale is not None:
+                        ir = ir / dscale
                 self._calibrate(_q.sample_tiles_raw(
                     np.stack(bands), self.hp, self.mean, self.std,
                     scale=None, outlier=outlier, rescale=rescale,
+                    in_range=ir,
                 ))
                 return self._quant
             scale = {
@@ -377,6 +433,7 @@ class InferenceEngine:
             self._calibrate(_q.sample_tiles_raw(
                 raw, self.hp, self.mean, self.std,
                 scale=scale, outlier=outlier, rescale=rescale,
+                in_range=in_range,
             ))
         return self._quant
 
@@ -428,7 +485,8 @@ class InferenceEngine:
 
     def _build_slide(self, height: int, width: int, in_dtype, outlier,
                      rescale: bool, classes=None, n_in: int = 0,
-                     scaling_factor: float = 1.0):
+                     scaling_factor: float = 1.0,
+                     fixed_range: bool = False):
         """Jitted raw-slide pipeline: uint8/uint16 in, uint8 maps out.
 
         Fuses the host preprocessing (``UnMicst1-5.py:817-821``:
@@ -448,6 +506,12 @@ class InferenceEngine:
         ``n_in == 0``: a single [H, W] plane broadcast into every net
         channel (solo/legacy/cyto).  ``n_in > 0``: an [n_in, H, W] stack
         with per-channel intensity ranges (duo, ``UnMicst2.py:760-788``).
+
+        ``fixed_range``: the rescale (lo, hi) ride as TRACED [C0, 1, 1]
+        arguments (im2double units) instead of being computed from the
+        data — windowed/ROI requests normalized with a pinned global
+        range match a full-slide run's normalization exactly, and every
+        pinned range shares one compiled program.
         """
         from unmicst_tpu.core.resize_dev import ResizePlan
 
@@ -478,19 +542,21 @@ class InferenceEngine:
         # instead of recompiling + churning the FIFO program cache
         has_outlier = outlier != -1
 
-        def run(params, raw, win, q=jnp.float32(0.0), quant=None):
+        def body(params, raw, win, quant, lo=None, hi=None,
+                 q=jnp.float32(0.0)):
             x = raw.astype(jnp.float32)
             if scale is not None:
                 x = x / scale  # im2double
             planes = x[None] if n_in == 0 else x  # [C0, H, W]
             planes = fwd_plan.apply(planes)  # [C0, sh, sw] (no-op at sf 1)
             if rescale:
-                lo = jnp.min(planes, axis=(1, 2), keepdims=True)
-                hi = (
-                    jnp.percentile(planes, q, axis=(1, 2), keepdims=True)
-                    if has_outlier
-                    else jnp.max(planes, axis=(1, 2), keepdims=True)
-                )
+                if lo is None:  # data-derived range (the reference default)
+                    lo = jnp.min(planes, axis=(1, 2), keepdims=True)
+                    hi = (
+                        jnp.percentile(planes, q, axis=(1, 2), keepdims=True)
+                        if has_outlier
+                        else jnp.max(planes, axis=(1, 2), keepdims=True)
+                    )
                 planes = jnp.clip(planes, lo, hi)
                 planes = (planes - lo) / jnp.maximum(hi - lo, 1e-12) * 0.983
             body = jnp.moveaxis(planes, 0, -1)  # [sh, sw, C0]
@@ -514,6 +580,16 @@ class InferenceEngine:
             )
             return jnp.moveaxis((r * 255.0).astype(jnp.uint8), 0, -1)
 
+        if fixed_range:
+
+            def run(params, raw, win, lo, hi, quant=None):
+                return body(params, raw, win, quant, lo=lo, hi=hi)
+
+        else:
+
+            def run(params, raw, win, q=jnp.float32(0.0), quant=None):
+                return body(params, raw, win, quant, q=q)
+
         return jax.jit(run)
 
     def infer_slide(
@@ -523,6 +599,7 @@ class InferenceEngine:
         rescale: bool = True,
         classes=None,
         scaling_factor: float = 1.0,
+        in_range=None,
     ) -> np.ndarray:
         """Raw single-channel slide -> uint8 [K, H, W] probability maps.
 
@@ -531,25 +608,38 @@ class InferenceEngine:
         uint8 level), including ``scaling_factor != 1`` (resize down,
         infer, resize maps back — all in one jitted program).
         ``classes``: optional tuple of class indexes to return (in that
-        order).
+        order).  ``in_range``: optional pinned ``(lo, hi)`` rescale range
+        in raw pixel units (post the float32->uint16 parity cast) —
+        overrides the data-derived min/max|percentile so windowed/ROI
+        calls normalize identically to a full-slide run; ``outlier`` is
+        ignored when pinned.
         """
         if raw.dtype == np.float32:
             raw = raw.astype(np.uint16)  # parity cast (UnMicst1-5.py:807-808)
         classes = self._check_classes(classes)
+        fixed = in_range is not None
+        if fixed:
+            if not rescale:
+                raise ValueError("in_range requires rescale=True")
+            ir = _normalize_in_range(in_range, 1)
         height, width = raw.shape
-        key = ("slide", height, width, np.dtype(raw.dtype), outlier != -1,
-               rescale, classes, float(scaling_factor))
+        key = ("slide", height, width, np.dtype(raw.dtype),
+               outlier != -1 and not fixed,
+               rescale, classes, float(scaling_factor), fixed)
         jitted = self._compiled.get_or_build(
             key,
             lambda: self._build_slide(
                 height, width, raw.dtype, outlier, rescale, classes,
-                scaling_factor=scaling_factor,
+                scaling_factor=scaling_factor, fixed_range=fixed,
             ),
         )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
-        qs = self._quant_for_raw(raw, outlier, rescale, scaling_factor)
+        qs = self._quant_for_raw(raw, outlier, rescale, scaling_factor,
+                                 in_range=in_range)
         args = [self.params, jnp.asarray(raw), jnp.asarray(window)]
-        if outlier != -1:
+        if fixed:
+            args.extend(_range_args(ir, raw.dtype))
+        elif outlier != -1:
             args.append(jnp.float32(outlier))
         out = jitted(*args, quant=qs)
         return np.moveaxis(np.asarray(out), -1, 0)
@@ -563,9 +653,12 @@ class InferenceEngine:
         rescale: bool = True,
         classes=None,
         scaling_factor: float = 1.0,
+        in_range=None,
     ) -> np.ndarray:
         """Raw [C] channel planes -> uint8 [K, H, W] maps (duo plumbing,
-        per-channel ranges); otherwise :meth:`infer_slide` semantics."""
+        per-channel ranges); otherwise :meth:`infer_slide` semantics.
+        ``in_range``: one (lo, hi) pair broadcast to every channel, or a
+        per-channel sequence of pairs."""
         planes = [
             r.astype(np.uint16) if r.dtype == np.float32 else r for r in raws
         ]
@@ -584,19 +677,29 @@ class InferenceEngine:
         raw = np.stack(planes)
         classes = self._check_classes(classes)
         _, height, width = raw.shape
+        fixed = in_range is not None
+        if fixed:
+            if not rescale:
+                raise ValueError("in_range requires rescale=True")
+            ir = _normalize_in_range(in_range, len(planes))
         key = ("slide_stack", height, width, np.dtype(raw.dtype),
-               outlier != -1, rescale, classes, float(scaling_factor))
+               outlier != -1 and not fixed,
+               rescale, classes, float(scaling_factor), fixed)
         jitted = self._compiled.get_or_build(
             key,
             lambda: self._build_slide(
                 height, width, raw.dtype, outlier, rescale, classes,
                 n_in=len(planes), scaling_factor=scaling_factor,
+                fixed_range=fixed,
             ),
         )
         window = tiler.ramp_window(self.hp.im_size, self.hp.margin)
-        qs = self._quant_for_raw(raw, outlier, rescale, scaling_factor)
+        qs = self._quant_for_raw(raw, outlier, rescale, scaling_factor,
+                                 in_range=in_range)
         args = [self.params, jnp.asarray(raw), jnp.asarray(window)]
-        if outlier != -1:
+        if fixed:
+            args.extend(_range_args(ir, raw.dtype))
+        elif outlier != -1:
             args.append(jnp.float32(outlier))
         out = jitted(*args, quant=qs)
         return np.moveaxis(np.asarray(out), -1, 0)

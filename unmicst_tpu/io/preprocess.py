@@ -376,6 +376,7 @@ def preprocess_channel(
     outlier: float = -1,
     use_rescaled: bool = True,
     cast_float32: bool = True,
+    in_range=None,
 ) -> PreprocessedChannel:
     """The shared CLI front half (``UnMicst1-5.py:807-825``).
 
@@ -384,10 +385,28 @@ def preprocess_channel(
     reproduces UnMicstCyto2.py, which alone among the tools has no
     float32->uint16 parity cast — casting a [0,1] float slide would
     truncate every pixel to zero there.
+
+    ``in_range``: optional pinned (lo, hi) rescale range in raw pixel
+    units (post parity cast) — replaces the data-derived
+    min/max|percentile so multiple slides (or windows of one slide)
+    normalize identically; ``outlier`` is then ignored.
     """
     if cast_float32 and plane.dtype == np.float32:
         plane = plane.astype(np.uint16)  # UnMicst1-5.py:807-808
     raw_shape = plane.shape
+    if in_range is not None:
+        lo_r, hi_r = (float(v) for v in in_range)
+        if not (np.isfinite(lo_r) and np.isfinite(hi_r) and lo_r < hi_r):
+            raise ValueError(
+                f"in_range must be finite with lo < hi, got {in_range}"
+            )
+        # raw units -> img_as_float units (the chain rescales after
+        # img_as_float; integer dtypes divide by their full-scale value)
+        div = {
+            np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0
+        }.get(plane.dtype)
+        if div is not None:
+            lo_r, hi_r = lo_r / div, hi_r / div
     h = int(float(raw_shape[0]) * float(scaling_factor))
     w = int(float(raw_shape[1]) * float(scaling_factor))
     if (h, w) == tuple(raw_shape) and plane.dtype in (
@@ -407,13 +426,17 @@ def preprocess_channel(
         lut_f = img_as_float(values)  # monotone: v / (255 | 65535)
         vmin, vmax = int(plane.min()), int(plane.max())
         resized = None
-        if outlier == -1:
-            max_limit = lut_f[vmax]
+        if in_range is not None:
+            min_limit, max_limit = lo_r, hi_r
+        elif outlier == -1:
+            min_limit, max_limit = lut_f[vmin], lut_f[vmax]
         else:
             resized = lut_f[plane]
-            max_limit = np.percentile(resized, outlier)
+            min_limit, max_limit = lut_f[vmin], np.percentile(
+                resized, outlier
+            )
         lut_net = im2double(
-            rescale_intensity(lut_f, (lut_f[vmin], max_limit), (0, 0.983))
+            rescale_intensity(lut_f, (min_limit, max_limit), (0, 0.983))
         )
         lut_raw = lut_f / lut_f[vmax] if lut_f[vmax] > 0 else lut_f
         if use_rescaled:
@@ -426,12 +449,16 @@ def preprocess_channel(
             raw_shape=raw_shape,
         )
     resized = resize(plane, (h, w))  # float64 in [0,1]
-    if outlier == -1:
-        max_limit = resized.max()
+    if in_range is not None:
+        min_limit, max_limit = lo_r, hi_r
+    elif outlier == -1:
+        min_limit, max_limit = resized.min(), resized.max()
     else:
-        max_limit = np.percentile(resized, outlier)
+        min_limit, max_limit = resized.min(), np.percentile(
+            resized, outlier
+        )
     rescaled = im2double(
-        rescale_intensity(resized, (resized.min(), max_limit), (0, 0.983))
+        rescale_intensity(resized, (min_limit, max_limit), (0, 0.983))
     )
     raw_d = im2double(plane)
     raw_norm = raw_d / raw_d.max() if raw_d.max() > 0 else raw_d

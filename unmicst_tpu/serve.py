@@ -5,13 +5,18 @@ The reference is strictly batch CLI (model setup cost paid per invocation,
 module keeps the model resident and serves slides over HTTP:
 
 * ``POST /infer?model=nucleiDAPI&channel=0[&compress=1|deflate|zstd]
-  [&scale=0.5][&roi=r0,c0,h,w]`` with a
+  [&scale=0.5][&roi=r0,c0,h,w][&range=lo,hi]`` with a
   TIFF, CZI, or ND2 body (container sniffed from magic bytes; OME-aware
   channel mapping) -> multi-page TIFF response (the ``_Probabilities``
   page stack, reversed class order, uint8; optionally deflate- or
   zstd-compressed pages); ``roi=`` infers only that window (one
   net-tile of context read around it — the interactive-viewer path
-  over mega-slides);
+  over mega-slides); ``range=lo,hi`` pins the intensity-rescale range
+  (repeat per channel for duo) so windowed requests normalize exactly
+  like a full-slide run;
+* ``POST /infer?probe=range&channel=0[&outlier=p]`` -> JSON global
+  per-channel (lo, hi) of the body, no inference — viewers call it once,
+  then pin ``range=`` on every ROI request;
 * ``GET /models`` -> zoo availability;
 * ``GET /healthz`` -> liveness + device info;
 * ``GET /stats`` -> request/throughput counters (uptime, px processed,
@@ -179,6 +184,7 @@ class ModelServer:
         outlier: float, compress: Optional[str] = None,
         scale: float = 1.0, pyramid: bool = False,
         roi: Optional[Tuple[int, int, int, int]] = None,
+        in_range=None,
     ) -> Tuple[bytes, dict]:
         """In-memory convenience wrapper over :meth:`infer_tiff_path`."""
         with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
@@ -187,6 +193,7 @@ class ModelServer:
             return self.infer_tiff_path(
                 tmp.name, model, channel, rescale, outlier,
                 compress=compress, scale=scale, pyramid=pyramid, roi=roi,
+                in_range=in_range,
             )
 
     def infer_tiff_path(
@@ -194,6 +201,7 @@ class ModelServer:
         outlier: float, compress: Optional[str] = None,
         scale: float = 1.0, pyramid: bool = False,
         roi: Optional[Tuple[int, int, int, int]] = None,
+        in_range=None,
     ) -> Tuple[bytes, dict]:
         """Run channel(s) of any supported container (TIFF/CZI/ND2 —
         sniffed from magic bytes, uploads carry no trustworthy name)
@@ -207,9 +215,17 @@ class ModelServer:
         of context margin is read and inferred, then trimmed to the
         ROI.  Away from the margin the maps match a full-slide run;
         within it, tile-blend seams may differ by ~1 uint8 level (the
-        tile grid originates at the band, not the slide)."""
+        tile grid originates at the band, not the slide).
+
+        ``in_range``: optional pinned per-channel rescale ranges — a list
+        of (lo, hi) raw-unit pairs (one pair broadcasts).  Without it an
+        ROI request normalizes with BAND-local stats, which drifts
+        against the full-slide run and flickers between viewer windows;
+        pin the global range (one ``probe=range`` request) to make every
+        window normalize identically.  Overrides ``outlier``."""
         import contextlib
 
+        from unmicst_tpu.infer import _normalize_in_range
         from unmicst_tpu.io.slides import open_channel_source, sniff_format
 
         if compress is True:  # pre-r3s5 boolean callers: True = deflate
@@ -221,6 +237,15 @@ class ModelServer:
             list(channel) if isinstance(channel, (list, tuple))
             else [channel]
         )
+        if in_range is not None:
+            if not rescale:
+                raise ValueError("range= requires rescale on")
+            # validated HERE so every downstream path (device, streamed,
+            # roi) sees well-formed pairs — the streamed engine applies
+            # stats unchecked
+            in_range = _normalize_in_range(
+                in_range, len(channels)
+            ).tolist()
         with contextlib.ExitStack() as stack:
             srcs = [
                 stack.enter_context(open_channel_source(path, fmt, c))
@@ -233,6 +258,7 @@ class ModelServer:
                 return self._infer_roi(
                     srcs, shape, model, roi, rescale, outlier,
                     compress=compress, scale=scale, pyramid=pyramid,
+                    in_range=in_range,
                 )
             if (scale > 1
                     and shape[0] * shape[1] * scale * scale
@@ -264,11 +290,19 @@ class ModelServer:
                     ins = srcs
                 if len(ins) > 1:
                     maps = eng.infer_stack(
-                        ins, outlier=outlier, rescale=rescale
+                        ins, outlier=outlier, rescale=rescale,
+                        stats=(
+                            [tuple(p) for p in in_range]
+                            if in_range is not None else None
+                        ),
                     )
                 else:
                     maps = eng.infer(
-                        ins[0], outlier=outlier, rescale=rescale
+                        ins[0], outlier=outlier, rescale=rescale,
+                        stats=(
+                            tuple(in_range[0])
+                            if in_range is not None else None
+                        ),
                     )
                 if scale != 1:
                     maps = np.stack(
@@ -284,23 +318,26 @@ class ModelServer:
                 if len(raws) > 1:
                     maps = eng.infer_slide_stack(
                         raws, outlier=outlier, rescale=rescale,
-                        scaling_factor=scale,
+                        scaling_factor=scale, in_range=in_range,
                     )
                 else:
                     maps = eng.infer_slide(
                         raws[0], outlier=outlier, rescale=rescale,
                         scaling_factor=scale,
+                        in_range=(
+                            in_range[0] if in_range is not None else None
+                        ),
                     )
             infer_s = time.perf_counter() - t0
         return self._encode(
             maps, model, shape, shape[0] * shape[1], infer_s,
-            compress=compress, pyramid=pyramid,
+            compress=compress, pyramid=pyramid, in_range=in_range,
         )
 
     def _infer_roi(self, srcs, shape, model: str, roi, rescale: bool,
                    outlier: float, compress: Optional[str] = None,
-                   scale: float = 1.0,
-                   pyramid: bool = False) -> Tuple[bytes, dict]:
+                   scale: float = 1.0, pyramid: bool = False,
+                   in_range=None) -> Tuple[bytes, dict]:
         """Windowed inference for ``roi=(r0, c0, h, w)``: read a
         full-width row band with one net-tile of context, infer it on
         the whole-image engine, trim to the ROI."""
@@ -327,12 +364,13 @@ class ModelServer:
         if len(bands) > 1:
             maps = eng.infer_slide_stack(
                 bands, outlier=outlier, rescale=rescale,
-                scaling_factor=scale,
+                scaling_factor=scale, in_range=in_range,
             )
         else:
             maps = eng.infer_slide(
                 bands[0], outlier=outlier, rescale=rescale,
                 scaling_factor=scale,
+                in_range=in_range[0] if in_range is not None else None,
             )
         infer_s = time.perf_counter() - t0
         maps = np.ascontiguousarray(
@@ -340,12 +378,43 @@ class ModelServer:
         )
         return self._encode(
             maps, model, (h, w), h * w, infer_s,
-            compress=compress, pyramid=pyramid,
+            compress=compress, pyramid=pyramid, in_range=in_range,
         )
+
+    def probe_range(self, path: str, channel, outlier: float) -> dict:
+        """Global per-channel rescale range of an upload, NO inference —
+        one bounded-memory histogram pass per channel (the streaming
+        engine's stats machinery, ``io/slides.py::_streamed_int_stats``).
+
+        An interactive viewer calls this once per slide, then pins
+        ``range=lo,hi`` on every ROI request so all windows normalize
+        exactly like a full-slide run would."""
+        import contextlib
+
+        from unmicst_tpu.io.slides import open_channel_source, sniff_format
+
+        fmt = sniff_format(path)
+        channels = (
+            list(channel) if isinstance(channel, (list, tuple))
+            else [channel]
+        )
+        with contextlib.ExitStack() as stack:
+            srcs = [
+                stack.enter_context(open_channel_source(path, fmt, c))
+                for c in channels
+            ]
+            shape = (srcs[0].height, srcs[0].width)
+            if any((s.height, s.width) != shape for s in srcs):
+                raise ValueError("channel planes disagree on dimensions")
+            return {
+                "shape": list(shape),
+                "outlier": outlier,
+                "range": [list(s.stats(outlier)) for s in srcs],
+            }
 
     def _encode(self, maps, model: str, shape, raw_size: int,
                 infer_s: float, compress: Optional[str] = None,
-                pyramid: bool = False) -> Tuple[bytes, dict]:
+                pyramid: bool = False, in_range=None) -> Tuple[bytes, dict]:
         from unmicst_tpu.io.tiff import TiffWriter
 
         buf = tempfile.NamedTemporaryFile(suffix=".tif", delete=False)
@@ -371,6 +440,8 @@ class ModelServer:
             "infer_s": round(infer_s, 3),
             "mpx_per_s": round(raw_size / 1e6 / infer_s, 2),
         }
+        if in_range is not None:
+            meta["in_range"] = [list(p) for p in in_range]
         return out, meta
 
 
@@ -511,6 +582,23 @@ def make_handler(server: ModelServer):
                             f"roi must be r0,c0,h,w — got {q['roi'][0]!r}"
                         )
                     roi = tuple(int(v) for v in parts)
+                in_range = None
+                if "range" in q:
+                    in_range = []
+                    for v in q["range"]:
+                        parts = v.split(",")
+                        if len(parts) != 2:
+                            raise ValueError(
+                                f"range must be lo,hi — got {v!r}"
+                            )
+                        in_range.append(
+                            (float(parts[0]), float(parts[1]))
+                        )
+                probe = q.get("probe", [None])[0]
+                if probe is not None and probe != "range":
+                    raise ValueError(
+                        f"probe supports only 'range', got {probe!r}"
+                    )
                 if not 0.01 <= scale <= 16:
                     raise ValueError(
                         f"scale must be in [0.01, 16], got {scale}"
@@ -555,11 +643,19 @@ def make_handler(server: ModelServer):
                         # server fault
                         server._count(client_error=1)
                         return
-                    out, meta = server.infer_tiff_path(
-                        tmp.name, model, channel, rescale, outlier,
-                        compress=compress, scale=scale, pyramid=pyramid,
-                        roi=roi,
-                    )
+                    if probe == "range":
+                        probe_res = server.probe_range(
+                            tmp.name, channel, outlier
+                        )
+                        out = None
+                        meta = {"model": model, "shape": probe_res["shape"],
+                                "infer_s": 0.0}
+                    else:
+                        out, meta = server.infer_tiff_path(
+                            tmp.name, model, channel, rescale, outlier,
+                            compress=compress, scale=scale,
+                            pyramid=pyramid, roi=roi, in_range=in_range,
+                        )
             except FileNotFoundError as e:
                 server._count(client_error=1)
                 self._json(404, {"error": str(e)})
@@ -575,6 +671,10 @@ def make_handler(server: ModelServer):
             except Exception as e:  # surface, don't kill the server
                 server._count(server_error=1)
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            if out is None:  # probe=range: JSON stats, no pixels inferred
+                server._count(ok=1, by_model=meta["model"])
+                self._json(200, probe_res)
                 return
             server._count(
                 ok=1, px_processed=meta["shape"][0] * meta["shape"][1],
