@@ -173,3 +173,35 @@ def test_shard_index_validated():
         batch.run_sweep([], model_dir, shard_index=4, num_shards=4)
     with pytest.raises(ValueError, match="shard_index"):
         batch.run_sweep([], model_dir, shard_index=-1, num_shards=2)
+
+
+@needs_reference
+def test_sweep_pinned_intensity_range(tmp_path):
+    """in_range pins ONE rescale range across the whole sweep: pinning
+    each slide's own (min, max) reproduces the derived run bit-for-bit,
+    and one shared range yields sweep-consistent normalization (the TMA
+    use case); malformed CLI values are loud."""
+    from unmicst_tpu.io.tiff import imread
+
+    slides = _make_tree(tmp_path)
+    model_dir = os.path.join(REFERENCE, "models/nucleiDAPI")
+    rep = batch.run_sweep(
+        [slides[0]], model_dir, str(tmp_path / "derived"), verbose=False,
+        resume=False,
+    )
+    assert not rep.failed
+    img0 = imread(slides[0])
+    rep2 = batch.run_sweep(
+        [slides[0]], model_dir, str(tmp_path / "pinned"), verbose=False,
+        resume=False, in_range=(float(img0.min()), float(img0.max())),
+    )
+    assert not rep2.failed
+    np.testing.assert_array_equal(
+        imread(str(tmp_path / "pinned" / "slide_NucleiPM_1.tif")),
+        imread(str(tmp_path / "derived" / "slide_NucleiPM_1.tif")),
+    )
+    # CLI surface: parse + loud failures
+    with pytest.raises(SystemExit, match="intensityRange"):
+        batch.batch_main([str(tmp_path), "--intensityRange", "nope"])
+    with pytest.raises(SystemExit, match="intensityRange"):
+        batch.batch_main([str(tmp_path), "--intensityRange", "5"])

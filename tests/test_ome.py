@@ -180,3 +180,92 @@ def test_exotic_container_pil_fallback(tmp_path, rng):
     p = str(tmp_path / "fake.tif")
     Image.fromarray(arr).save(p, format="PNG")
     np.testing.assert_array_equal(read_channel(p, "tif", 0), arr)
+
+
+def _ome_xml_named(names, z=1, t=1, order="XYCZT"):
+    chans = "".join(
+        f'<Channel ID="Channel:0:{i}"'
+        + (f' Name="{n}"' if n is not None else "")
+        + ' SamplesPerPixel="1"/>'
+        for i, n in enumerate(names)
+    )
+    return (
+        '<?xml version="1.0"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0"><Pixels ID="Pixels:0" '
+        f'DimensionOrder="{order}" SizeC="{len(names)}" SizeZ="{z}" '
+        f'SizeT="{t}" SizeX="24" SizeY="16" Type="uint16">'
+        f"{chans}</Pixels></Image></OME>"
+    )
+
+
+def test_channel_names_parse():
+    xml = _ome_xml_named(["DAPI", "Lamin", None])
+    assert ome.channel_names(xml) == ["DAPI", "Lamin", None]
+    # no Channel elements / not OME -> None
+    assert ome.channel_names(_ome_xml("XYCZT", 3, 1, 1)) is None
+    assert ome.channel_names("plain text") is None
+    assert ome.channel_names("") is None
+
+
+def test_resolve_channel_name():
+    xml = _ome_xml_named(["DAPI", "Lamin-B1", "CD45"])
+    assert ome.resolve_channel_name(xml, "DAPI") == 0
+    assert ome.resolve_channel_name(xml, "CD45") == 2
+    # unique case-insensitive fallback
+    assert ome.resolve_channel_name(xml, "dapi") == 0
+    with pytest.raises(ValueError, match="Lamin-B1"):
+        ome.resolve_channel_name(xml, "nope")  # lists available names
+    # exact match wins over the folded fallback; a folded-only match
+    # hitting several names is ambiguous
+    xml2 = _ome_xml_named(["Aa", "aA", "aa"])
+    assert ome.resolve_channel_name(xml2, "aa") == 2  # exact
+    with pytest.raises(ValueError, match="ambiguous"):
+        ome.resolve_channel_name(xml2, "AA")  # folds onto all three
+    with pytest.raises(ValueError, match="no channel names"):
+        ome.resolve_channel_name(_ome_xml("XYCZT", 3, 1, 1), "DAPI")
+
+
+def test_cli_channel_name(tmp_path, rng):
+    """--channelName resolves through OME metadata and matches the
+    equivalent --channel run bit-for-bit (legacy model, z-stack layout
+    so name->plane is a real mapping, not identity)."""
+    import os
+
+    from tests.conftest import REFERENCE
+    from unmicst_tpu import cli
+    from unmicst_tpu.io.tiff import imread
+
+    planes = [
+        (rng.rand(160, 128) * 60000).astype(np.uint16) for _ in range(4)
+    ]
+    path = tmp_path / "named.ome.tif"
+    # XYZCT, z=2: channel 1 lives at pages 2,3 -> plane_index(1) == 2
+    _write_stack(
+        path, planes, _ome_xml_named(["DAPI", "Lamin"], z=2, order="XYZCT")
+    )
+    base = ["--tool", "unmicst-legacy", "--stackOutput",
+            "--modelRoot", os.path.join(REFERENCE, "models")]
+    assert cli.main(
+        [str(path), *base, "--outputPath", str(tmp_path / "a"),
+         "--channel", "2"]
+    ) == 0
+    assert cli.main(
+        [str(path), *base, "--outputPath", str(tmp_path / "b"),
+         "--channelName", "Lamin"]
+    ) == 0
+    for k in range(3):
+        np.testing.assert_array_equal(
+            imread(str(tmp_path / "a" / "named_Probabilities_2.tif"), k),
+            imread(str(tmp_path / "b" / "named_Probabilities_2.tif"), k),
+        )
+    # unknown name: loud error naming the available channels
+    with pytest.raises(SystemExit, match="DAPI"):
+        cli.main([str(path), *base, "--outputPath", str(tmp_path / "c"),
+                  "--channelName", "CD45"])
+    # non-OME input: loud error
+    plain = tmp_path / "plain.tif"
+    _write_stack(plain, planes[:1], None)
+    with pytest.raises(SystemExit, match="channelName"):
+        cli.main([str(plain), *base, "--outputPath", str(tmp_path / "d"),
+                  "--channelName", "DAPI"])

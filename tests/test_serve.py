@@ -839,3 +839,61 @@ def test_range_param_validation(server_url, tmp_path, rng):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=60)
         assert ei.value.code == 400, bad
+
+
+def test_channel_name_selection(server_url, tmp_path, rng):
+    """channel_name= resolves OME Channel Names (z-stack layout: a real
+    name->plane mapping); equals the index request bit-for-bit; unknown
+    names and non-OME bodies are 400s listing the problem."""
+    import urllib.error
+
+    from unmicst_tpu.io.tiff import TiffWriter
+
+    planes = [
+        (rng.rand(96, 80) * 60000).astype(np.uint16) for _ in range(4)
+    ]
+    xml = (
+        '<?xml version="1.0"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0"><Pixels ID="Pixels:0" DimensionOrder="XYZCT" '
+        'SizeC="2" SizeZ="2" SizeT="1" SizeX="80" SizeY="96" Type="uint16">'
+        '<Channel ID="Channel:0:0" Name="DAPI"/>'
+        '<Channel ID="Channel:0:1" Name="Lamin"/>'
+        "</Pixels></Image></OME>"
+    )
+    p = str(tmp_path / "named_serve.ome.tif")
+    with TiffWriter(p, bigtiff=False) as tw:
+        for i, pl in enumerate(planes):
+            tw.write(pl, description=xml if i == 0 else None)
+    body = open(p, "rb").read()
+
+    def post(query, expect_json=False):
+        req = urllib.request.Request(
+            server_url + "/infer?" + query, data=body,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=180) as r:
+            return json.loads(r.read()) if expect_json else r.read()
+
+    by_idx = post("model=nucleiDAPI&channel=1")
+    by_name = post("model=nucleiDAPI&channel_name=Lamin")
+    assert by_idx == by_name  # byte-identical TIFF responses
+    # probe=range honors names and reports the resolved index
+    res = post("probe=range&channel_name=Lamin", expect_json=True)
+    assert res["channels"] == [1]
+    # z-stack: channel 1 = pages 2..3; stats come from page 2
+    assert res["range"] == [
+        [float(planes[2].min()), float(planes[2].max())]
+    ]
+    # unknown name (400 lists the available channels); >2 names (400);
+    # bare `channel_name=` is dropped by parse_qs like `channel=` is —
+    # the index default applies (the server's existing convention)
+    for bad in ("channel_name=CD45",
+                "channel_name=DAPI&channel_name=Lamin&channel_name=DAPI"):
+        req = urllib.request.Request(
+            server_url + f"/infer?model=nucleiDAPI&{bad}", data=body,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400, bad

@@ -130,6 +130,7 @@ def run_sweep(
     stream_above_px: int = 64_000_000,
     compress_output: Union[bool, str, None] = False,
     pyramid_output: bool = False,
+    in_range=None,
 ) -> BatchReport:
     """Run the sweep over this shard's slides; resumable via cursor file.
 
@@ -139,6 +140,12 @@ def run_sweep(
     (off-scale mega-slides stream against a virtual resized source and the
     maps upscale back at write).  Both engines share one MXU precision:
     the CLI's parity default (HIGH) unless overridden.
+
+    ``in_range``: optional pinned (lo, hi) intensity-rescale range in raw
+    pixel units, applied to EVERY slide of the sweep instead of each
+    slide's own min/max|percentile — TMA cores or serial sections from
+    one scan then normalize identically (the reference normalizes
+    strictly per image); overrides ``outlier``.
     """
     import functools
 
@@ -154,6 +161,11 @@ def run_sweep(
              compress_output or None)
     imwrite = functools.partial(_imwrite, compression=codec,
                                 pyramid=pyramid_output)
+
+    if in_range is not None:
+        from unmicst_tpu.infer import _normalize_in_range
+
+        in_range = tuple(_normalize_in_range(in_range, 1)[0])
 
     bundle = load_model_dir(model_dir, mean, std)
     params = load_params_for_bundle(bundle)
@@ -231,13 +243,14 @@ def run_sweep(
                         lo_s, hi_s, vm_s = src.stats(outlier, with_max=True)
                         contours, nuclei = stream_engine.infer(
                             src, outlier=outlier, classes=(1, 2),
-                            stats=(lo_s, hi_s),
+                            stats=in_range or (lo_s, hi_s),
                         )
                         raw_norm8 = preview_u8(src, vmax=vm_s)
                     else:
                         net_src = pp.ResampledSource(src, scaling_factor)
                         contours, nuclei = stream_engine.infer(
-                            net_src, outlier=outlier, classes=(1, 2)
+                            net_src, outlier=outlier, classes=(1, 2),
+                            stats=in_range,
                         )
                         raw_shape = (src.height, src.width)
                         contours = pp.upscale_pm(contours, raw_shape)
@@ -277,7 +290,7 @@ def run_sweep(
             # upscale-back ride the same jitted program)
             contours, nuclei = engine.infer_slide(
                 raw, outlier=outlier, classes=(1, 2),
-                scaling_factor=scaling_factor,
+                scaling_factor=scaling_factor, in_range=in_range,
             )
             preview = pp.preview_u8_from_raw(raw)  # parity-casts float32
             dt = time.perf_counter() - t0
@@ -334,7 +347,24 @@ def batch_main(argv=None) -> int:
                    help="compress output TIFF pages (bare flag = deflate)")
     p.add_argument("--pyramidOutput", action="store_true",
                    help="write tiled SubIFD-pyramid output pages")
+    p.add_argument("--intensityRange", metavar="LO,HI",
+                   help="pin one intensity-rescale range (raw pixel "
+                   "units) for EVERY slide of the sweep — TMA cores or "
+                   "serial sections from one scan normalize identically "
+                   "instead of per-image; overrides --outlier")
     args = p.parse_args(argv)
+
+    in_range = None
+    if args.intensityRange:
+        parts = args.intensityRange.split(",")
+        try:
+            if len(parts) != 2:
+                raise ValueError(
+                    f"expected LO,HI — got {args.intensityRange!r}"
+                )
+            in_range = (float(parts[0]), float(parts[1]))
+        except ValueError as e:
+            raise SystemExit(f"--intensityRange: {e}")
 
     import jax.numpy as jnp
 
@@ -359,6 +389,7 @@ def batch_main(argv=None) -> int:
         resume=not args.noResume,
         compress_output=args.compressOutput,
         pyramid_output=args.pyramidOutput,
+        in_range=in_range,
     )
     print(
         f"[sweep] done: {len(report.completed)} completed, "

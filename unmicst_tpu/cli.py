@@ -60,6 +60,27 @@ TOOL_DEFAULT_MODEL = {
 }
 
 
+def _resolve_channel_names(image_path: str, file_type: str, names):
+    """``--channelName`` -> 0-based channel indexes via the OME-XML
+    Channel elements of a TIFF-like input; loud SystemExit otherwise."""
+    from unmicst_tpu.io.slides import TIFF_LIKE
+
+    if file_type not in TIFF_LIKE:
+        raise SystemExit(
+            f"--channelName needs an OME-TIFF input (got .{file_type}); "
+            "use --channel indexes for CZI/ND2"
+        )
+    from unmicst_tpu.io import ome
+    from unmicst_tpu.io.tiff import TiffFile
+
+    with TiffFile(image_path) as tf:
+        desc = tf.pages[0].description if tf.pages else ""
+    try:
+        return [ome.resolve_channel_name(desc, n) for n in names]
+    except ValueError as e:
+        raise SystemExit(f"--channelName: {e}")
+
+
 def _pinned_ranges(args, tool: str, n: int):
     """``--intensityRange`` -> list of ``n`` (lo, hi) raw-unit pairs, or
     None.  Rejected for unmicst-solo, whose net input the reference
@@ -106,6 +127,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--channel", nargs="+", type=int, default=[1],
         help="channel(s) to perform inference on, 1-based",
+    )
+    p.add_argument(
+        "--channelName", nargs="+", metavar="NAME",
+        help="select channel(s) by OME-XML Channel Name instead of index "
+        "(framework extension — the reference is index-only); takes "
+        "precedence over --channel; exact match, with a unique "
+        "case-insensitive fallback; OME-TIFF inputs only",
     )
     p.add_argument(
         "--classOrder", nargs="+", type=int, default=-1,
@@ -552,6 +580,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     file_name = os.path.basename(args.imagePath)
     stem, file_type = parse_stem(file_name, tool)
+    if args.channelName:
+        channels0 = _resolve_channel_names(
+            args.imagePath, file_type, args.channelName
+        )
+        dapi_channel = channels0[0]
     parent = os.path.dirname(os.path.dirname(args.imagePath))
     out_path = args.outputPath or os.path.join(parent, "probability_maps")
     os.makedirs(out_path, exist_ok=True)

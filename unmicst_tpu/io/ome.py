@@ -133,3 +133,64 @@ def channel_count(description: str, n_pages: int) -> int:
     if gated is None:
         return n_pages
     return gated[1]["C"]
+
+
+def channel_names(description: str):
+    """Ordered ``<Channel Name=...>`` list under the first Pixels, or
+    None when the description isn't OME-XML or carries no Channel
+    elements.  Missing Name attributes become None placeholders (Name is
+    optional in the OME schema).  The reference has no name-addressed
+    channel selection at all — this backs the framework's
+    ``--channelName`` / ``channel_name=`` extension."""
+    if not description or (
+        "<OME" not in description and ":OME" not in description
+    ):
+        return None
+    try:
+        root = ET.fromstring(description)
+    except ET.ParseError:
+        return None
+    pixels = next(
+        (el for el in root.iter()
+         if el.tag == "Pixels" or el.tag.endswith("}Pixels")),
+        None,
+    )
+    if pixels is None:
+        return None
+    names = [
+        el.get("Name")
+        for el in pixels
+        if el.tag == "Channel" or el.tag.endswith("}Channel")
+    ]
+    return names or None
+
+
+def resolve_channel_name(description: str, name: str) -> int:
+    """Channel *name* -> 0-based channel index.
+
+    Exact match wins; otherwise a case-folded match is accepted when it
+    is unique.  Raises ValueError naming the available channels (no
+    silent fallbacks — a typo must not infer the wrong marker)."""
+    names = channel_names(description)
+    if names is None:
+        raise ValueError(
+            "input carries no channel names (no OME-XML Channel "
+            "elements) — use a channel index instead"
+        )
+    if name in names:
+        return names.index(name)
+    folded = [
+        i for i, n in enumerate(names)
+        if n is not None and n.casefold() == name.casefold()
+    ]
+    if len(folded) == 1:
+        return folded[0]
+    avail = ", ".join(repr(n) for n in names)
+    if len(folded) > 1:
+        raise ValueError(
+            f"channel name {name!r} is ambiguous case-insensitively "
+            f"(channels: {avail})"
+        )
+    raise ValueError(
+        f"no channel named {name!r} (channels: {avail})"
+    )

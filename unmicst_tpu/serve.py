@@ -17,6 +17,8 @@ module keeps the model resident and serves slides over HTTP:
 * ``POST /infer?probe=range&channel=0[&outlier=p]`` -> JSON global
   per-channel (lo, hi) of the body, no inference — viewers call it once,
   then pin ``range=`` on every ROI request;
+* ``channel_name=DAPI`` (repeatable for duo) selects channels by OME-XML
+  Channel Name instead of index on any of the above (OME-TIFF bodies);
 * ``GET /models`` -> zoo availability;
 * ``GET /healthz`` -> liveness + device info;
 * ``GET /stats`` -> request/throughput counters (uptime, px processed,
@@ -44,6 +46,23 @@ from typing import Dict, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
+
+
+def _resolve_channel_names(path: str, fmt: str, names) -> list:
+    """``channel_name=`` -> 0-based channel indexes via OME-XML Channel
+    elements (TIFF-like bodies only); ValueError (-> 400) otherwise."""
+    from unmicst_tpu.io import ome
+    from unmicst_tpu.io.slides import TIFF_LIKE
+    from unmicst_tpu.io.tiff import TiffFile
+
+    if fmt not in TIFF_LIKE:
+        raise ValueError(
+            f"channel_name needs an OME-TIFF body (sniffed {fmt!r}); "
+            "use channel indexes for CZI/ND2"
+        )
+    with TiffFile(path) as tf:
+        desc = tf.pages[0].description if tf.pages else ""
+    return [ome.resolve_channel_name(desc, n) for n in names]
 
 
 def _parse_compress(value: str) -> Optional[str]:
@@ -184,7 +203,7 @@ class ModelServer:
         outlier: float, compress: Optional[str] = None,
         scale: float = 1.0, pyramid: bool = False,
         roi: Optional[Tuple[int, int, int, int]] = None,
-        in_range=None,
+        in_range=None, channel_names=None,
     ) -> Tuple[bytes, dict]:
         """In-memory convenience wrapper over :meth:`infer_tiff_path`."""
         with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
@@ -193,7 +212,7 @@ class ModelServer:
             return self.infer_tiff_path(
                 tmp.name, model, channel, rescale, outlier,
                 compress=compress, scale=scale, pyramid=pyramid, roi=roi,
-                in_range=in_range,
+                in_range=in_range, channel_names=channel_names,
             )
 
     def infer_tiff_path(
@@ -201,7 +220,7 @@ class ModelServer:
         outlier: float, compress: Optional[str] = None,
         scale: float = 1.0, pyramid: bool = False,
         roi: Optional[Tuple[int, int, int, int]] = None,
-        in_range=None,
+        in_range=None, channel_names=None,
     ) -> Tuple[bytes, dict]:
         """Run channel(s) of any supported container (TIFF/CZI/ND2 —
         sniffed from magic bytes, uploads carry no trustworthy name)
@@ -233,10 +252,13 @@ class ModelServer:
         elif compress is False:
             compress = None
         fmt = sniff_format(path)
-        channels = (
-            list(channel) if isinstance(channel, (list, tuple))
-            else [channel]
-        )
+        if channel_names is not None:
+            channels = _resolve_channel_names(path, fmt, channel_names)
+        else:
+            channels = (
+                list(channel) if isinstance(channel, (list, tuple))
+                else [channel]
+            )
         if in_range is not None:
             if not rescale:
                 raise ValueError("range= requires rescale on")
@@ -381,7 +403,8 @@ class ModelServer:
             compress=compress, pyramid=pyramid, in_range=in_range,
         )
 
-    def probe_range(self, path: str, channel, outlier: float) -> dict:
+    def probe_range(self, path: str, channel, outlier: float,
+                    channel_names=None) -> dict:
         """Global per-channel rescale range of an upload, NO inference —
         one bounded-memory histogram pass per channel (the streaming
         engine's stats machinery, ``io/slides.py::_streamed_int_stats``).
@@ -394,10 +417,13 @@ class ModelServer:
         from unmicst_tpu.io.slides import open_channel_source, sniff_format
 
         fmt = sniff_format(path)
-        channels = (
-            list(channel) if isinstance(channel, (list, tuple))
-            else [channel]
-        )
+        if channel_names is not None:
+            channels = _resolve_channel_names(path, fmt, channel_names)
+        else:
+            channels = (
+                list(channel) if isinstance(channel, (list, tuple))
+                else [channel]
+            )
         with contextlib.ExitStack() as stack:
             srcs = [
                 stack.enter_context(open_channel_source(path, fmt, c))
@@ -409,6 +435,7 @@ class ModelServer:
             return {
                 "shape": list(shape),
                 "outlier": outlier,
+                "channels": channels,
                 "range": [list(s.stats(outlier)) for s in srcs],
             }
 
@@ -561,6 +588,17 @@ def make_handler(server: ModelServer):
                     })
                     return
                 channel = chan_vals[0] if len(chan_vals) == 1 else chan_vals
+                channel_names = q.get("channel_name")
+                if channel_names is not None:
+                    if not all(channel_names):
+                        raise ValueError(
+                            "channel_name parameter present but empty"
+                        )
+                    if len(channel_names) > 2:
+                        raise ValueError(
+                            f"{len(channel_names)} channel names "
+                            "requested; at most 2 (duo) are supported"
+                        )
                 outlier = float(q.get("outlier", ["-1"])[0])
                 if outlier != -1 and not 0 <= outlier <= 100:
                     # jitted jnp.percentile silently clamps/NaN-propagates
@@ -645,7 +683,8 @@ def make_handler(server: ModelServer):
                         return
                     if probe == "range":
                         probe_res = server.probe_range(
-                            tmp.name, channel, outlier
+                            tmp.name, channel, outlier,
+                            channel_names=channel_names,
                         )
                         out = None
                         meta = {"model": model, "shape": probe_res["shape"],
@@ -655,6 +694,7 @@ def make_handler(server: ModelServer):
                             tmp.name, model, channel, rescale, outlier,
                             compress=compress, scale=scale,
                             pyramid=pyramid, roi=roi, in_range=in_range,
+                            channel_names=channel_names,
                         )
             except FileNotFoundError as e:
                 server._count(client_error=1)
