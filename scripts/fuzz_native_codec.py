@@ -37,10 +37,16 @@ JSON (hex payload + case parameters) under ``--out``.
   server does.  IndexError is additionally allowed (the documented
   out-of-range-channel contract).
 
+* ``--mode query`` — randomized query strings against a LIVE server
+  (the /infer parameter parsers: channel/channel_name/roi/range/scale/
+  outlier/probe/...).  Property: any request answers 200 or 4xx JSON —
+  never a 5xx or transport failure.
+
 Usage:
     python scripts/fuzz_native_codec.py --mode codec     --n 4000 --seed 1
     python scripts/fuzz_native_codec.py --mode file      --n 300  --seed 1
     python scripts/fuzz_native_codec.py --mode container --n 300  --seed 1
+    python scripts/fuzz_native_codec.py --mode query     --n 300  --seed 1 --jobs 1 --mem-gib 6
 
 The pytest smoke (`tests/test_fuzz_native.py`) runs a small seeded
 slice of every mode on each CI run.
@@ -557,6 +563,92 @@ def container_case(rng, valid_files: list) -> dict | None:
         os.unlink(path)
 
 
+# ------------------------------------------------------------ query params
+_QUERY_KEYS = (
+    "model", "channel", "channel_name", "outlier", "scale", "roi",
+    "range", "compress", "pyramid", "rescale", "probe", "bogus_key",
+)
+_QUERY_TOKENS = (
+    "0", "1", "-1", "2", "0,1", "1,2,3", "nucleiDAPI", "../etc/passwd",
+    "DAPI", "", "nan", "inf", "-inf", "1e308", "-5", "99.99", "101",
+    "0.5", "16.01", "true", "maybe", "deflate", "zstd", "range",
+    "0,0,64,64", "a,b,c,d", "-1,-1,10,10", "0,65535", "9,9", "5",
+    "%00", "%ff%fe", "é中", "999999999999999999999999",
+    "0," * 40, ",".join(["1"] * 100),
+)
+
+
+def start_query_server():
+    """Live ModelServer on a random port (the real handler stack)."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from unmicst_tpu.serve import ModelServer, make_handler
+
+    srv = ModelServer(model_root="/root/reference/models",
+                      precision="float32")
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+
+def build_query_body(tmp, rng) -> bytes:
+    """One small OME-TIFF body (2 named channels) every query rides."""
+    import numpy as np
+
+    from unmicst_tpu.io.tiff import TiffWriter
+
+    xml = (
+        '<?xml version="1.0"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0"><Pixels ID="Pixels:0" DimensionOrder="XYCZT" '
+        'SizeC="2" SizeZ="1" SizeT="1" SizeX="48" SizeY="40" Type="uint16">'
+        '<Channel ID="Channel:0:0" Name="DAPI"/>'
+        '<Channel ID="Channel:0:1" Name="Lamin"/>'
+        "</Pixels></Image></OME>"
+    )
+    path = os.path.join(tmp, "qbody.ome.tif")
+    with TiffWriter(path, bigtiff=False) as tw:
+        for i in range(2):
+            tw.write((rng.rand(40, 48) * 60000).astype(np.uint16),
+                     description=xml if i == 0 else None)
+    return open(path, "rb").read()
+
+
+def query_case(rng, ctx) -> dict | None:
+    """Random query string through the live server: the contract is
+    'a malformed request is a 4xx JSON error, never a 5xx' — the same
+    property the hostile-body smoke pins for payloads."""
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    url_base, body = ctx
+    n_params = int(rng.randint(1, 7))
+    pairs = []
+    for _ in range(n_params):
+        k = _QUERY_KEYS[rng.randint(0, len(_QUERY_KEYS))]
+        v = _QUERY_TOKENS[rng.randint(0, len(_QUERY_TOKENS))]
+        pairs.append((k, v))
+    query = urllib.parse.urlencode(pairs)
+    req = urllib.request.Request(
+        f"{url_base}/infer?{query}", data=body, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            status = r.status
+            r.read()
+    except urllib.error.HTTPError as e:
+        status = e.code
+        e.read()
+    except Exception as e:  # noqa: BLE001 — transport failure IS a finding
+        return {"why": f"transport error: {type(e).__name__}: {e}",
+                "query": query}
+    if status == 200 or 400 <= status < 500:
+        return None
+    return {"why": f"non-contract status {status}", "query": query}
+
+
 # ------------------------------------------------------------- checkpoints
 def build_valid_ckpts(tmp, rng) -> list:
     """A TF1 tensor bundle written by the in-repo writer (the format the
@@ -633,7 +725,24 @@ def run_worker(mode: str, seed: int, n: int, mem_gib: float) -> int:
 
     rng = np.random.RandomState(seed)
     failures = []
-    if mode in ("file", "container", "ckpt"):
+    if mode == "query":
+        import tempfile
+
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        with tempfile.TemporaryDirectory() as tmp:
+            body = build_query_body(tmp, rng)
+            httpd, url = start_query_server()
+            try:
+                for i in range(n):
+                    r = query_case(rng, (url, body))
+                    if r:
+                        r.update(seed=seed, case=i, mode=mode)
+                        failures.append(r)
+            finally:
+                httpd.shutdown()
+    elif mode in ("file", "container", "ckpt"):
         import tempfile
 
         build = {"file": build_valid_files,
@@ -707,14 +816,14 @@ def run_driver(args) -> int:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--mode", choices=["codec", "file", "container", "ckpt"], default="codec")
+    ap.add_argument("--mode", choices=["codec", "file", "container", "ckpt", "query"], default="codec")
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--jobs", type=int, default=2)
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument("--mem-gib", type=float, default=2.0)
     ap.add_argument("--out", default="/tmp/fuzz_native_failures")
-    ap.add_argument("--worker", choices=["codec", "file", "container", "ckpt"],
+    ap.add_argument("--worker", choices=["codec", "file", "container", "ckpt", "query"],
                     help="internal: run cases in-process")
     args = ap.parse_args()
     if args.worker:

@@ -49,6 +49,9 @@ if SMOKE:
         ("small_roi_seq", 96, 3, 1, ""),
         ("small_roi_conc4", 96, 4, 4, ""),
         ("stream_mega", 320, 1, 1, ""),
+        # band (r0-128 .. r0+32+128) x 320 must stay under the smoke
+        # STREAM_ABOVE_PX=90k windowed-inference bound
+        ("roi_512_of_8k", 320, 2, 1, "&roi=120,120,32,32&range=0,60000"),
         ("scale_0.5", 128, 2, 1, "&scale=0.5"),
         ("pyramid", 640, 1, 1, "&pyramid=1"),
         ("deflate", 128, 2, 1, "&compress=deflate"),
@@ -59,6 +62,11 @@ else:
         ("small_roi_seq", 512, 20, 1, ""),
         ("small_roi_conc4", 512, 20, 4, ""),
         ("stream_mega", 8192, 2, 1, ""),
+        # the interactive-viewer path: a 512^2 window of an 8k^2 slide,
+        # normalization pinned (probe-once-then-pin protocol) — compare
+        # against stream_mega's whole-slide wall for the same body
+        ("roi_512_of_8k", 8192, 5, 1,
+         "&roi=4000,4000,512,512&range=0,60000"),
         ("scale_0.5", 2048, 5, 1, "&scale=0.5"),
         ("pyramid", 2048, 5, 1, "&pyramid=1"),
         ("deflate", 2048, 5, 1, "&compress=deflate"),

@@ -52,6 +52,21 @@ def test_ckpt_parse_fuzz_smoke():
     _run_fuzz("ckpt", 80, 77)
 
 
+@pytest.mark.slow
+def test_query_param_fuzz_smoke():
+    """Randomized /infer query strings against a live server: every
+    response is 200 or 4xx, never 5xx (the range/roi/channel_name/...
+    parser contract).  Engine builds need more than the default fuzz
+    rlimit, so this mode runs with a 6 GiB cap."""
+    p = subprocess.run(
+        [sys.executable, FUZZ, "--mode", "query", "--n", "40",
+         "--jobs", "1", "--seed", "77", "--timeout", "500",
+         "--mem-gib", "6"],
+        capture_output=True, text=True, timeout=560,
+    )
+    assert p.returncode == 0, f"query fuzz found failures:\n{p.stdout}"
+
+
 def test_tf1_corrupt_bundle_raises_valueerror(tmp_path):
     """Fuzz repros for the TF1 table reader: truncated varints, block
     handles past EOF, corrupt dtype enums, and snappy copy offsets
