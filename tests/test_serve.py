@@ -897,3 +897,38 @@ def test_channel_name_selection(server_url, tmp_path, rng):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=60)
         assert ei.value.code == 400, bad
+
+
+def test_roi_column_clip_wide_slide(server_url, tmp_path, rng):
+    """The ROI band is clipped in BOTH axes: a small window of a very
+    wide slide must infer only ~(h+2t)x(w+2t) pixels — not a full-width
+    band — so it passes the windowed bound that a full-width band of
+    the same slide would exceed, and (grid-aligned, range pinned) stays
+    bit-identical to the full-run crop."""
+    img = (rng.rand(480, 4000) * 20000).astype(np.uint16)
+    img[:, :40] = 60000  # bright columns OUTSIDE the clipped band
+    p = str(tmp_path / "wide.tif")
+    imwrite(p, img)
+    body = open(p, "rb").read()
+
+    def post(query, n=0):
+        req = urllib.request.Request(
+            server_url + "/infer?" + query, data=body,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = r.read()
+        dst = tmp_path / f"wide_out{n}.tif"
+        dst.write_bytes(out)
+        with TiffFile(str(dst)) as tf:
+            return np.stack(
+                [tf.read_page(i) for i in range(len(tf.pages))]
+            )
+
+    rng_q = f"range={float(img.min())},{float(img.max())}"
+    full = post(f"model=nucleiDAPI&channel=0&{rng_q}", 0)
+    # r0-pad and c0-pad both land on sub-stride (96) multiples of the
+    # nucleiDAPI 128/16 geometry -> the clipped band shares the grid
+    r0, c0, h, w = 224, 1280, 96, 96
+    roi = post(f"model=nucleiDAPI&channel=0&roi={r0},{c0},{h},{w}&{rng_q}", 1)
+    np.testing.assert_array_equal(roi, full[:, r0:r0 + h, c0:c0 + w])

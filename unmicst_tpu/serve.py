@@ -360,9 +360,15 @@ class ModelServer:
                    outlier: float, compress: Optional[str] = None,
                    scale: float = 1.0, pyramid: bool = False,
                    in_range=None) -> Tuple[bytes, dict]:
-        """Windowed inference for ``roi=(r0, c0, h, w)``: read a
-        full-width row band with one net-tile of context, infer it on
-        the whole-image engine, trim to the ROI."""
+        """Windowed inference for ``roi=(r0, c0, h, w)``: read a window
+        with one net-tile of context on ALL FOUR sides, infer it on the
+        whole-image engine, trim to the ROI.
+
+        The band is clipped in both axes — a 512^2 window of a
+        100k-wide slide infers ~(512+2t)^2 pixels, not a 100k-wide row
+        band (the row IO still reads full-width rows, which is how
+        TIFF strips are laid out anyway; only the compute window
+        shrinks)."""
         r0, c0, h, w = (int(v) for v in roi)
         if not (0 <= r0 < shape[0] and 0 <= c0 < shape[1]
                 and h > 0 and w > 0
@@ -374,14 +380,19 @@ class ModelServer:
         pad = int(eng.hp.im_size)
         a = max(0, r0 - pad)
         b = min(shape[0], r0 + h + pad)
-        if (b - a) * shape[1] > self.stream_above_px:
+        ca = max(0, c0 - pad)
+        cb = min(shape[1], c0 + w + pad)
+        if (b - a) * (cb - ca) > self.stream_above_px:
             raise ValueError(
-                f"roi band of {(b - a)}x{shape[1]} px exceeds the "
-                f"windowed-inference bound {self.stream_above_px}; "
-                "request a shorter window or drop roi= to stream the "
-                "whole slide"
+                f"roi window of {(b - a)}x{(cb - ca)} px (incl. context) "
+                f"exceeds the windowed-inference bound "
+                f"{self.stream_above_px}; request a smaller window or "
+                "drop roi= to stream the whole slide"
             )
-        bands = [s.read_rows(a, b) for s in srcs]
+        bands = [
+            np.ascontiguousarray(s.read_rows(a, b)[:, ca:cb])
+            for s in srcs
+        ]
         t0 = time.perf_counter()
         if len(bands) > 1:
             maps = eng.infer_slide_stack(
@@ -396,7 +407,7 @@ class ModelServer:
             )
         infer_s = time.perf_counter() - t0
         maps = np.ascontiguousarray(
-            maps[:, r0 - a : r0 - a + h, c0 : c0 + w]
+            maps[:, r0 - a : r0 - a + h, c0 - ca : c0 - ca + w]
         )
         return self._encode(
             maps, model, (h, w), h * w, infer_s,
