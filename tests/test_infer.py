@@ -309,3 +309,49 @@ def test_pinned_range_validation(small_model, rng):
         eng.infer_slide(raw, in_range=(0.0, 1000.0), rescale=False)
     with pytest.raises(ValueError, match="pair"):
         eng.infer_slide(raw, in_range=(0.0, 1.0, 2.0))
+
+
+def test_pinned_range_composes_with_scale_classes_int8(small_model, rng):
+    """in_range composes with scaling_factor, classes subsets, and int8
+    PTQ: pinning the data's own range reproduces each derived run
+    bit-for-bit (same normalization -> same calibration -> same maps)."""
+    hp, params = small_model
+    raw = (rng.rand(96, 80) * 60000).astype(np.uint16)
+    # place the extremes ON the calibration sampler's ::4 decimation
+    # grid, so the derived int8 calibration sees exactly the pinned
+    # range (the device program always uses the exact full-plane range)
+    raw[0, 0], raw[0, 4] = 0, 60000
+    pin = (float(raw.min()), float(raw.max()))
+
+    eng = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8)
+    # scale 1: bit-equal (same range, same math); the pinned range also
+    # overrides the outlier percentile entirely
+    for kw in (dict(classes=(2, 0)), dict(outlier=99.5)):
+        derived = eng.infer_slide(raw, **{k: v for k, v in kw.items()
+                                          if k != "outlier"})
+        pinned = eng.infer_slide(raw, in_range=pin, **kw)
+        np.testing.assert_array_equal(pinned, derived, err_msg=str(kw))
+    # scaling_factor != 1: the derived range is computed on the RESIZED
+    # plane (the reference's resize-then-rescale order), so pinning the
+    # raw-plane extremes is deliberately close-but-not-bit-equal —
+    # anti-aliasing pulls the resized extremes inward a fraction of a
+    # percent
+    for kw in (dict(scaling_factor=0.5),
+               dict(scaling_factor=2.0, classes=(1,))):
+        derived = eng.infer_slide(raw, **kw)
+        pinned = eng.infer_slide(raw, in_range=pin, **kw)
+        d = np.abs(pinned.astype(int) - derived.astype(int))
+        # <=2 levels; at upscales the output double-quantization turns
+        # the tiny range shift into widespread +-1 wobble — bound the
+        # magnitude, not the count
+        assert d.max() <= 2, (kw, d.max())
+
+    # int8: one engine calibrated with the pinned range equals one
+    # calibrated on the (identical) derived range
+    q1 = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8,
+                         quantized=True)
+    q2 = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8,
+                         quantized=True)
+    a = q1.infer_slide(raw)
+    b = q2.infer_slide(raw, in_range=pin)
+    np.testing.assert_array_equal(a, b)

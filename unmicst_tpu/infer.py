@@ -612,7 +612,12 @@ class InferenceEngine:
         in raw pixel units (post the float32->uint16 parity cast) —
         overrides the data-derived min/max|percentile so windowed/ROI
         calls normalize identically to a full-slide run; ``outlier`` is
-        ignored when pinned.
+        ignored when pinned.  Note: at ``scaling_factor != 1`` the
+        derived range is computed on the RESIZED plane (the reference's
+        resize-then-rescale order, ``UnMicst1-5.py:813-821``), so
+        pinning raw-plane extremes is close but not bit-equal to the
+        derived run — anti-aliasing pulls resized extremes slightly
+        inward.
         """
         if raw.dtype == np.float32:
             raw = raw.astype(np.uint16)  # parity cast (UnMicst1-5.py:807-808)
