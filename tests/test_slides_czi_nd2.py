@@ -6,10 +6,13 @@ The fixtures are constructed byte-by-byte from the public container specs
 exercises at ``UnMicst1-5.py:798-804`` without third-party readers.
 """
 
+import os
 import struct
 
 import numpy as np
 import pytest
+
+from tests.conftest import REFERENCE, needs_reference
 
 from unmicst_tpu.io.czi import CziFile, read_czi_channel
 from unmicst_tpu.io.nd2 import Nd2File, read_nd2_channel
@@ -55,7 +58,7 @@ def _encode_pixels(pix: bytes, compression: int, hilo: bool) -> bytes:
 
 
 def write_czi(path, planes, pixel_type=1, compression=0, tile_split=None,
-              hilo=False):
+              hilo=False, channel_names=None):
     """planes: list of 2-D arrays, one per channel (single scene/time).
 
     ``tile_split``: optional column index — splits each plane into two
@@ -80,10 +83,12 @@ def write_czi(path, planes, pixel_type=1, compression=0, tile_split=None,
             blocks.append((dims, _encode_pixels(
                 piece.astype("<u2").tobytes(), compression, hilo
             )))
-    _write_czi_blocks(path, blocks, pixel_type, compression)
+    _write_czi_blocks(path, blocks, pixel_type, compression,
+                      channel_names=channel_names)
 
 
-def _write_czi_blocks(path, blocks, pixel_type=1, compression=0):
+def _write_czi_blocks(path, blocks, pixel_type=1, compression=0,
+                      channel_names=None):
     """Low-level container writer over pre-encoded (dims, payload) blocks
     (JXR tests hand it payloads the reader's backend decodes)."""
     file_header = struct.pack(
@@ -107,6 +112,25 @@ def _write_czi_blocks(path, blocks, pixel_type=1, compression=0):
     # back-patch the directory position into the file header (payload
     # offset 52; +32 skips the segment header)
     struct.pack_into("<q", out, 32 + 52, dir_pos)
+    if channel_names is not None:
+        # ZISRAWMETADATA: XmlSize, AttachmentSize, 248 spare, XML; the
+        # header's MetadataPosition lives at payload offset 60
+        meta_pos = len(out)
+        chans = "".join(
+            f'<Channel Id="Channel:{i}"'
+            + (f' Name="{n}"' if n is not None else "") + "/>"
+            for i, n in enumerate(channel_names)
+        )
+        xml = (
+            "<ImageDocument><Metadata><Information><Image><Dimensions>"
+            f"<Channels>{chans}</Channels></Dimensions></Image>"
+            "</Information></Metadata></ImageDocument>"
+        ).encode()
+        out += _segment(
+            b"ZISRAWMETADATA",
+            struct.pack("<ii", len(xml), 0) + b"\x00" * 248 + xml,
+        )
+        struct.pack_into("<q", out, 32 + 60, meta_pos)
     with open(path, "wb") as f:
         f.write(out)
 
@@ -849,3 +873,52 @@ def test_czi_jxr_dtype_mismatch_rejected(tmp_path, rng, stub_jxr):
     with CziFile(path) as cz:
         with pytest.raises(ValueError, match="declares"):
             cz.read_channel(0)
+
+
+def test_czi_channel_names(tmp_path, rng):
+    """channel_names() parses Image/Dimensions/Channels from the
+    ZISRAWMETADATA segment; files without the segment return None;
+    the CLI resolves --channelName through it end-to-end."""
+    from unmicst_tpu.io.czi import CziFile
+    from unmicst_tpu.io.slides import resolve_channel_names
+
+    planes = [(rng.rand(40, 48) * 60000).astype(np.uint16)
+              for _ in range(2)]
+    p = str(tmp_path / "named.czi")
+    write_czi(p, planes, channel_names=["DAPI", None])
+    with CziFile(p) as cz:
+        assert cz.channel_names() == ["DAPI", None]
+    assert resolve_channel_names(p, "czi", ["DAPI"]) == [0]
+    with pytest.raises(ValueError, match="DAPI"):
+        resolve_channel_names(p, "czi", ["CD45"])
+    # no metadata segment -> None / clean error
+    q = str(tmp_path / "plain.czi")
+    write_czi(q, planes)
+    with CziFile(q) as cz:
+        assert cz.channel_names() is None
+    with pytest.raises(ValueError, match="no channel names"):
+        resolve_channel_names(q, "czi", ["DAPI"])
+
+
+@needs_reference
+def test_cli_channel_name_czi(tmp_path, rng):
+    """--channelName on a CZI equals the --channel index run
+    bit-for-bit (real legacy weights)."""
+    from unmicst_tpu import cli
+    from unmicst_tpu.io.tiff import imread
+
+    planes = [(rng.rand(160, 128) * 60000).astype(np.uint16)
+              for _ in range(2)]
+    p = str(tmp_path / "n.czi")
+    write_czi(p, planes, channel_names=["junk", "DNA"])
+    base = ["--tool", "unmicst-legacy", "--stackOutput",
+            "--modelRoot", os.path.join(REFERENCE, "models")]
+    assert cli.main([p, *base, "--outputPath", str(tmp_path / "a"),
+                     "--channel", "2"]) == 0
+    assert cli.main([p, *base, "--outputPath", str(tmp_path / "b"),
+                     "--channelName", "DNA"]) == 0
+    for k in range(3):
+        np.testing.assert_array_equal(
+            imread(str(tmp_path / "a" / "n_Probabilities_2.tif"), k),
+            imread(str(tmp_path / "b" / "n_Probabilities_2.tif"), k),
+        )

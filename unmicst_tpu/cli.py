@@ -61,22 +61,13 @@ TOOL_DEFAULT_MODEL = {
 
 
 def _resolve_channel_names(image_path: str, file_type: str, names):
-    """``--channelName`` -> 0-based channel indexes via the OME-XML
-    Channel elements of a TIFF-like input; loud SystemExit otherwise."""
-    from unmicst_tpu.io.slides import TIFF_LIKE
+    """``--channelName`` -> 0-based channel indexes via the container's
+    declared names (OME-TIFF Channel elements, CZI metadata XML); loud
+    SystemExit when names are absent or don't resolve."""
+    from unmicst_tpu.io.slides import resolve_channel_names
 
-    if file_type not in TIFF_LIKE:
-        raise SystemExit(
-            f"--channelName needs an OME-TIFF input (got .{file_type}); "
-            "use --channel indexes for CZI/ND2"
-        )
-    from unmicst_tpu.io import ome
-    from unmicst_tpu.io.tiff import TiffFile
-
-    with TiffFile(image_path) as tf:
-        desc = tf.pages[0].description if tf.pages else ""
     try:
-        return [ome.resolve_channel_name(desc, n) for n in names]
+        return resolve_channel_names(image_path, file_type, names)
     except ValueError as e:
         raise SystemExit(f"--channelName: {e}")
 

@@ -244,6 +244,12 @@ class CziFile:
             if len(header) < 60:
                 raise ValueError(f"{path}: truncated CZI file header")
             dir_pos, = struct.unpack_from("<q", header, 52)
+            # MetadataPosition sits right after DirectoryPosition in the
+            # FileHeaderSegment; absent/zero in minimal writers
+            self._meta_pos = (
+                struct.unpack_from("<q", header, 60)[0]
+                if len(header) >= 68 else 0
+            )
             self.entries = self._read_directory(dir_pos)
             self._layouts = {}
             self._block_cache: Dict[int, bytes] = {}  # LRU by insertion
@@ -251,6 +257,68 @@ class CziFile:
         except Exception:
             self._f.close()
             raise
+
+    def metadata_xml(self):
+        """Raw XML of the ZISRAWMETADATA segment, or None.
+
+        Segment payload layout (public spec): XmlSize int32,
+        AttachmentSize int32, 248 spare bytes, then XmlSize bytes of
+        XML.  Minimal/foreign writers leave MetadataPosition 0; corrupt
+        headers fail soft (names are a convenience, not pixels)."""
+        if not 32 <= self._meta_pos < self._file_size:
+            return None
+        self._f.seek(self._meta_pos)
+        try:
+            sid, _alloc, used = _read_seg_header(self._f, self.path)
+            if not sid.startswith(b"ZISRAWMETADATA"):
+                return None
+            payload = self._read_payload(used)
+        except ValueError:
+            return None
+        if len(payload) < 256:
+            return None
+        xml_size, = struct.unpack_from("<i", payload, 0)
+        if not 0 < xml_size <= len(payload) - 256:
+            return None
+        return payload[256 : 256 + xml_size].decode("utf-8", "replace")
+
+    def channel_names(self):
+        """Ordered channel names from Image/Dimensions/Channels, or None.
+
+        Only the Dimensions block is consulted (DisplaySetting repeats
+        the channels with display, not acquisition, identity).  A
+        Channel without a Name attribute or <Name> child becomes None —
+        same placeholder convention as ``io/ome.py::channel_names``."""
+        xml = self.metadata_xml()
+        if not xml:
+            return None
+        import xml.etree.ElementTree as ET
+
+        try:
+            root = ET.fromstring(xml)
+        except ET.ParseError:
+            return None
+        dims = next(
+            (el for el in root.iter()
+             if el.tag == "Dimensions" or el.tag.endswith("}Dimensions")),
+            None,
+        )
+        if dims is None:
+            return None
+        names = []
+        for el in dims.iter():
+            if not (el.tag == "Channel" or el.tag.endswith("}Channel")):
+                continue
+            name = el.get("Name")
+            if name is None:
+                child = next(
+                    (c for c in el
+                     if c.tag == "Name" or c.tag.endswith("}Name")),
+                    None,
+                )
+                name = child.text if child is not None else None
+            names.append(name)
+        return names or None
 
     def close(self) -> None:
         self._f.close()

@@ -165,18 +165,12 @@ def channel_names(description: str):
     return names or None
 
 
-def resolve_channel_name(description: str, name: str) -> int:
-    """Channel *name* -> 0-based channel index.
+def resolve_name(names, name: str) -> int:
+    """Channel *name* -> its index in ``names``.
 
     Exact match wins; otherwise a case-folded match is accepted when it
     is unique.  Raises ValueError naming the available channels (no
     silent fallbacks — a typo must not infer the wrong marker)."""
-    names = channel_names(description)
-    if names is None:
-        raise ValueError(
-            "input carries no channel names (no OME-XML Channel "
-            "elements) — use a channel index instead"
-        )
     if name in names:
         return names.index(name)
     folded = [
@@ -194,3 +188,15 @@ def resolve_channel_name(description: str, name: str) -> int:
     raise ValueError(
         f"no channel named {name!r} (channels: {avail})"
     )
+
+
+def resolve_channel_name(description: str, name: str) -> int:
+    """Channel *name* -> 0-based channel index via the OME-XML Channel
+    elements of ``description`` (see :func:`resolve_name`)."""
+    names = channel_names(description)
+    if names is None:
+        raise ValueError(
+            "input carries no channel names (no OME-XML Channel "
+            "elements) — use a channel index instead"
+        )
+    return resolve_name(names, name)

@@ -313,3 +313,40 @@ def n_channels(image_path: str) -> int:
     with TiffFile(image_path) as tf:
         desc = tf.pages[0].description if tf.pages else ""
         return ome.channel_count(desc, len(tf.pages))
+
+
+def channel_names(image_path: str, file_type: str):
+    """Declared channel names of any supported container, or None.
+
+    OME-TIFF: the ``<Channel Name=...>`` elements (``io/ome.py``);
+    CZI: ``Image/Dimensions/Channels`` of the ZISRAWMETADATA XML
+    (``io/czi.py``).  ND2 carries no name support here (the vendored
+    reader parses the chunk map only)."""
+    if file_type in TIFF_LIKE:
+        from unmicst_tpu.io import ome
+
+        with TiffFile(image_path) as tf:
+            desc = tf.pages[0].description if tf.pages else ""
+        return ome.channel_names(desc)
+    if file_type == "czi":
+        from unmicst_tpu.io.czi import CziFile
+
+        with CziFile(image_path) as cz:
+            return cz.channel_names()
+    return None
+
+
+def resolve_channel_names(image_path: str, file_type: str, names):
+    """Channel *names* -> 0-based indexes for any supported container.
+
+    ValueError when the container declares no names or a name doesn't
+    resolve (message lists the available channels)."""
+    from unmicst_tpu.io import ome
+
+    declared = channel_names(image_path, file_type)
+    if declared is None:
+        raise ValueError(
+            f"this .{file_type} input carries no channel names — "
+            "use a channel index instead"
+        )
+    return [ome.resolve_name(declared, n) for n in names]

@@ -17,8 +17,9 @@ module keeps the model resident and serves slides over HTTP:
 * ``POST /infer?probe=range&channel=0[&outlier=p]`` -> JSON global
   per-channel (lo, hi) of the body, no inference — viewers call it once,
   then pin ``range=`` on every ROI request;
-* ``channel_name=DAPI`` (repeatable for duo) selects channels by OME-XML
-  Channel Name instead of index on any of the above (OME-TIFF bodies);
+* ``channel_name=DAPI`` (repeatable for duo) selects channels by their
+  declared name instead of index on any of the above (OME-TIFF Channel
+  elements; CZI metadata XML);
 * ``GET /models`` -> zoo availability;
 * ``GET /healthz`` -> liveness + device info;
 * ``GET /stats`` -> request/throughput counters (uptime, px processed,
@@ -49,20 +50,12 @@ import numpy as np
 
 
 def _resolve_channel_names(path: str, fmt: str, names) -> list:
-    """``channel_name=`` -> 0-based channel indexes via OME-XML Channel
-    elements (TIFF-like bodies only); ValueError (-> 400) otherwise."""
-    from unmicst_tpu.io import ome
-    from unmicst_tpu.io.slides import TIFF_LIKE
-    from unmicst_tpu.io.tiff import TiffFile
+    """``channel_name=`` -> 0-based channel indexes via the container's
+    declared names (OME-TIFF Channel elements, CZI metadata XML);
+    ValueError (-> 400) when absent or unresolvable."""
+    from unmicst_tpu.io.slides import resolve_channel_names
 
-    if fmt not in TIFF_LIKE:
-        raise ValueError(
-            f"channel_name needs an OME-TIFF body (sniffed {fmt!r}); "
-            "use channel indexes for CZI/ND2"
-        )
-    with TiffFile(path) as tf:
-        desc = tf.pages[0].description if tf.pages else ""
-    return [ome.resolve_channel_name(desc, n) for n in names]
+    return resolve_channel_names(path, fmt, names)
 
 
 def _parse_compress(value: str) -> Optional[str]:
