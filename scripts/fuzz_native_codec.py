@@ -488,6 +488,10 @@ def build_valid_containers(tmp, rng) -> list:
     specs = [
         ("plain.czi", lambda p: write_czi(p, [p0, p1])),
         ("mosaic.czi", lambda p: write_czi(p, [p0], tile_split=40)),
+        # a metadata segment puts the channel_names XML parse chain
+        # under mutation too
+        ("named.czi", lambda p: write_czi(
+            p, [p0, p1], channel_names=["DAPI", "Lamin"])),
     ]
     try:
         import zstandard  # noqa: F401
@@ -549,6 +553,11 @@ def container_case(rng, valid_files: list) -> dict | None:
         f.write(bytes(data))
     try:
         fmt = sniff_format(path)
+        # the channel-name probe shares the parse chain and must obey
+        # the same contract (serve resolves channel_name= before reading)
+        from unmicst_tpu.io.slides import channel_names
+
+        channel_names(path, fmt)
         read_channel(path, fmt, int(rng.randint(0, 3)))
         return None
     except Exception as e:  # noqa: BLE001 — the contract check IS the test
