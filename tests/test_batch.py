@@ -205,3 +205,55 @@ def test_sweep_pinned_intensity_range(tmp_path):
         batch.batch_main([str(tmp_path), "--intensityRange", "nope"])
     with pytest.raises(SystemExit, match="intensityRange"):
         batch.batch_main([str(tmp_path), "--intensityRange", "5"])
+
+
+@needs_reference
+def test_sweep_channel_name(tmp_path, rng):
+    """channel_name resolves per slide (different channel orders across
+    files land on the right plane each time); a slide without the name
+    fails individually while the sweep continues."""
+    from unmicst_tpu.io.tiff import TiffWriter, imread
+
+    def ome(names, z=1):
+        chans = "".join(
+            f'<Channel ID="Channel:0:{i}" Name="{n}"/>'
+            for i, n in enumerate(names)
+        )
+        return (
+            '<?xml version="1.0"?>'
+            '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+            '<Image ID="Image:0"><Pixels ID="Pixels:0" '
+            f'DimensionOrder="XYCZT" SizeC="{len(names)}" SizeZ="{z}" '
+            'SizeT="1" SizeX="80" SizeY="96" Type="uint16">'
+            f"{chans}</Pixels></Image></OME>"
+        )
+
+    target = (rng.rand(96, 80) * 60000).astype(np.uint16)
+    junk = np.zeros_like(target)
+    slides = []
+    # slide 1: DNA is channel 0; slide 2: DNA is channel 1; slide 3: no DNA
+    for name, planes, names in [
+        ("exemplar-001", [target, junk], ["DNA", "other"]),
+        ("exemplar-002", [junk, target], ["other", "DNA"]),
+        ("exemplar-003", [junk], ["other"]),
+    ]:
+        d = tmp_path / name / "registration"
+        d.mkdir(parents=True)
+        p = str(d / "s.ome.tif")
+        with TiffWriter(p, bigtiff=False) as tw:
+            for i, pl in enumerate(planes):
+                tw.write(pl, description=ome(names) if i == 0 else None)
+        slides.append(p)
+
+    model_dir = os.path.join(REFERENCE, "models/nucleiDAPI")
+    rep = batch.run_sweep(slides, model_dir, verbose=False,
+                          channel_name="DNA")
+    assert sorted(rep.completed) == sorted(slides[:2])
+    assert rep.failed == [slides[2]]
+    # both completed slides produced the SAME maps (same pixels), with
+    # the resolved per-slide index in the suffix
+    a = imread(str(tmp_path / "exemplar-001" / "prob_maps"
+                   / "s_NucleiPM_1.tif"))
+    b = imread(str(tmp_path / "exemplar-002" / "prob_maps"
+                   / "s_NucleiPM_2.tif"))
+    np.testing.assert_array_equal(a, b)

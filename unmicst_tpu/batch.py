@@ -116,6 +116,7 @@ def run_sweep(
     out_dir: Optional[str] = None,
     *,
     channel: int = 0,
+    channel_name=None,
     scaling_factor: float = 1.0,
     outlier: float = -1,
     mean: float = -1,
@@ -146,6 +147,11 @@ def run_sweep(
     slide's own min/max|percentile — TMA cores or serial sections from
     one scan then normalize identically (the reference normalizes
     strictly per image); overrides ``outlier``.
+
+    ``channel_name``: select the channel by its declared OME name,
+    resolved PER SLIDE (channel order may differ between files); slides
+    without the name fail individually (``report.failed``) while the
+    sweep continues.  Output suffixes carry the resolved index.
     """
     import functools
 
@@ -220,8 +226,18 @@ def run_sweep(
             )
             from unmicst_tpu.io.tiff import TiffFile
 
+            chan = channel
+            if channel_name is not None:
+                # resolved PER SLIDE (channel order may differ between
+                # files of one sweep); unresolvable names land in
+                # report.failed like any other per-slide fault
+                from unmicst_tpu.io.slides import resolve_channel_names
+
+                chan = resolve_channel_names(
+                    slide, "tif", [channel_name]
+                )[0]
             with TiffFile(slide) as tf_probe:
-                page = tf_probe.pages[tiff_plane(tf_probe, channel)]
+                page = tf_probe.pages[tiff_plane(tf_probe, chan)]
                 slide_px = page.height * page.width
                 # streamed stats need an exact integer histogram (the CLI
                 # applies the same gate); other dtypes take the whole
@@ -236,7 +252,7 @@ def run_sweep(
                 # mega-slide: bounded memory end to end (any scale — the
                 # virtual resized source streams off-scale slides too)
                 t0 = time.perf_counter()
-                with open_channel_source(slide, "tif", channel) as src:
+                with open_channel_source(slide, "tif", chan) as src:
                     if scaling_factor == 1:
                         # one histogram pass serves the rescale range AND
                         # the preview max (one less full-slide read)
@@ -258,13 +274,13 @@ def run_sweep(
                         raw_norm8 = preview_u8(src)
                 dt = time.perf_counter() - t0
                 cfile = os.path.join(
-                    this_out, f"{stem}_ContoursPM_{channel + 1}.tif"
+                    this_out, f"{stem}_ContoursPM_{chan + 1}.tif"
                 )
                 imwrite(cfile, contours)
                 imwrite(cfile, raw_norm8, append=True)
                 imwrite(
                     os.path.join(
-                        this_out, f"{stem}_NucleiPM_{channel + 1}.tif"
+                        this_out, f"{stem}_NucleiPM_{chan + 1}.tif"
                     ),
                     nuclei,
                 )
@@ -282,7 +298,7 @@ def run_sweep(
                 continue
             from unmicst_tpu.io.slides import read_channel
 
-            raw = read_channel(slide, "tif", channel)  # OME-plane-aware
+            raw = read_channel(slide, "tif", chan)  # OME-plane-aware
             t0 = time.perf_counter()
             # device-side preprocess + uint8 maps: the link carries
             # raw uint16 up and 2 uint8 planes down (~3x less than the
@@ -296,11 +312,11 @@ def run_sweep(
             dt = time.perf_counter() - t0
             # batch walker output contract (batchUnMicst.py:570-587):
             # ContoursPM is a 2-page stack [contours PM, normalized raw]
-            cfile = os.path.join(this_out, f"{stem}_ContoursPM_{channel + 1}.tif")
+            cfile = os.path.join(this_out, f"{stem}_ContoursPM_{chan + 1}.tif")
             imwrite(cfile, contours)
             imwrite(cfile, preview, append=True)
             imwrite(
-                os.path.join(this_out, f"{stem}_NucleiPM_{channel + 1}.tif"),
+                os.path.join(this_out, f"{stem}_NucleiPM_{chan + 1}.tif"),
                 nuclei,
             )
             mpx = raw.shape[0] * raw.shape[1] / 1e6
@@ -334,6 +350,12 @@ def batch_main(argv=None) -> int:
     p.add_argument("--outputPath", help="override per-sample prob_maps dirs")
     p.add_argument("--TMA", action="store_true", help="dearray/*.tif layout")
     p.add_argument("--channel", type=int, default=0, help="0-based channel")
+    p.add_argument("--channelName", metavar="NAME",
+                   help="select the channel by its declared name per "
+                   "slide (OME-XML Channel elements) instead of a fixed "
+                   "index; takes precedence over --channel; slides "
+                   "without that name fail individually and are "
+                   "recorded, the sweep continues")
     p.add_argument("--scalingFactor", type=float, default=1)
     p.add_argument("--outlier", type=float, default=-1)
     p.add_argument("--mean", type=float, default=-1)
@@ -379,6 +401,7 @@ def batch_main(argv=None) -> int:
         resolve_model_dir(args.model, args.modelRoot),
         args.outputPath,
         channel=args.channel,
+        channel_name=args.channelName,
         scaling_factor=args.scalingFactor,
         outlier=args.outlier,
         mean=args.mean,
