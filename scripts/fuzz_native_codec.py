@@ -575,7 +575,8 @@ def container_case(rng, valid_files: list) -> dict | None:
 # ------------------------------------------------------------ query params
 _QUERY_KEYS = (
     "model", "channel", "channel_name", "outlier", "scale", "roi",
-    "range", "compress", "pyramid", "rescale", "probe", "bogus_key",
+    "range", "compress", "pyramid", "rescale", "probe", "slide",
+    "bogus_key",
 )
 _QUERY_TOKENS = (
     "0", "1", "-1", "2", "0,1", "1,2,3", "nucleiDAPI", "../etc/passwd",

@@ -786,8 +786,8 @@ def test_roi_with_pinned_range(server_url, tmp_path, rng):
     the full run bit-for-bit once range= pins the global stats — and
     drifts without it.  (Band chosen grid-aligned: r0 - pad is a
     sub-stride multiple of the 128/16 nucleiDAPI geometry.)"""
-    img = (rng.rand(600, 160) * 20000).astype(np.uint16)
-    img[:40] = 60000  # bright rows OUTSIDE the roi's context band
+    img = (rng.rand(1200, 160) * 20000).astype(np.uint16)
+    img[:40] = 60000  # bright rows OUTSIDE the roi's (snapped) band
     p = str(tmp_path / "roipin.tif")
     imwrite(p, img)
     body = open(p, "rb").read()
@@ -810,7 +810,7 @@ def test_roi_with_pinned_range(server_url, tmp_path, rng):
     rng_q = f"range={float(img.min())},{float(img.max())}"
     full, meta = post(f"model=nucleiDAPI&channel=0&{rng_q}")
     assert meta["in_range"] == [[float(img.min()), float(img.max())]]
-    r0, c0, h, w = 224, 0, 64, 160
+    r0, c0, h, w = 700, 0, 64, 160
     roi_q = f"roi={r0},{c0},{h},{w}"
     pinned, _ = post(f"model=nucleiDAPI&channel=0&{roi_q}&{rng_q}")
     np.testing.assert_array_equal(
@@ -932,3 +932,147 @@ def test_roi_column_clip_wide_slide(server_url, tmp_path, rng):
     r0, c0, h, w = 224, 1280, 96, 96
     roi = post(f"model=nucleiDAPI&channel=0&roi={r0},{c0},{h},{w}&{rng_q}", 1)
     np.testing.assert_array_equal(roi, full[:, r0:r0 + h, c0:c0 + w])
+
+
+def test_slide_cache_roundtrip(server_url, tmp_path, rng):
+    """POST /slides then body-less slide= requests: identical response
+    to the body request; re-upload dedups to the same id; unknown ids
+    404; body+slide together 400."""
+    import urllib.error
+
+    img = (rng.rand(200, 160) * 60000).astype(np.uint16)
+    p = str(tmp_path / "cache.tif")
+    imwrite(p, img)
+    body = open(p, "rb").read()
+
+    def post(path_q, data):
+        req = urllib.request.Request(
+            server_url + path_q, data=data, method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.read(), dict(r.headers)
+
+    up1, _ = post("/slides", body)
+    sid = json.loads(up1)["slide_id"]
+    assert not json.loads(up1)["deduplicated"]
+    up2, _ = post("/slides", body)
+    assert json.loads(up2)["slide_id"] == sid
+    assert json.loads(up2)["deduplicated"]
+
+    with_body, _ = post("/infer?model=nucleiDAPI&channel=0", body)
+    cached, _ = post(f"/infer?model=nucleiDAPI&channel=0&slide={sid}",
+                     None)
+    assert cached == with_body  # byte-identical TIFF
+    # roi + probe work against the cached slide too
+    roi, _ = post(
+        f"/infer?model=nucleiDAPI&channel=0&slide={sid}&roi=40,16,64,96",
+        None,
+    )
+    assert roi  # parses; full equality pinned in test_roi_inference
+    pr, _ = post(f"/infer?probe=range&channel=0&slide={sid}", None)
+    assert json.loads(pr)["range"] == [
+        [float(img.min()), float(img.max())]
+    ]
+    # stats surface the cache
+    with urllib.request.urlopen(server_url + "/stats", timeout=30) as r:
+        st = json.loads(r.read())
+    assert st["slides_cached"] >= 1 and st["slide_hits"] >= 3
+
+    for bad_q, bad_body, code in [
+        (f"/infer?model=nucleiDAPI&slide={'0' * 32}", None, 404),
+        (f"/infer?model=nucleiDAPI&slide=ZZZ", None, 400),
+        (f"/infer?model=nucleiDAPI&slide={sid}", body, 400),
+    ]:
+        req = urllib.request.Request(
+            server_url + bad_q, data=bad_body, method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == code, bad_q
+
+
+def test_slide_cache_lru_eviction(tmp_path, rng):
+    """The cache evicts least-recently-used entries past the byte
+    bound; evicted ids 404 afterward."""
+    import urllib.error
+
+    from http.server import ThreadingHTTPServer
+
+    srv = ModelServer(
+        model_root=os.path.join(REFERENCE, "models"),
+        precision="float32", slide_cache_bytes=30_000,
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        ids = []
+        for i in range(3):
+            img = (rng.rand(80, 80) * 60000).astype(np.uint16)  # ~12.8kB
+            p = str(tmp_path / f"e{i}.tif")
+            imwrite(p, img, bigtiff=False)
+            req = urllib.request.Request(
+                url + "/slides", data=open(p, "rb").read(), method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                ids.append(json.loads(r.read())["slide_id"])
+        # 3 x ~12.9 kB > 30 kB: the first upload must be gone
+        req = urllib.request.Request(
+            url + f"/infer?model=nucleiDAPI&channel=0&slide={ids[0]}",
+            data=None, method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 404
+        # the newest survives
+        req = urllib.request.Request(
+            url + f"/infer?model=nucleiDAPI&channel=0&slide={ids[2]}",
+            data=None, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+    finally:
+        httpd.shutdown()
+
+
+def test_roi_any_offset_bit_identical_with_range(server_url, tmp_path,
+                                                 rng):
+    """Band snapping aligns EVERY ROI to the full-slide grid: arbitrary
+    (unaligned) offsets with a pinned range are bit-identical to the
+    full-run crop, and distinct pans reuse the same band geometry
+    (compiled-program cache) rather than compiling per window."""
+    img = (rng.rand(600, 500) * 20000).astype(np.uint16)
+    img[:30] = 60000
+    p = str(tmp_path / "pan.tif")
+    imwrite(p, img)
+    body = open(p, "rb").read()
+
+    def post(query, n):
+        req = urllib.request.Request(
+            server_url + "/infer?" + query, data=body,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = r.read()
+        dst = tmp_path / f"pan_out{n}.tif"
+        dst.write_bytes(out)
+        with TiffFile(str(dst)) as tf:
+            return np.stack(
+                [tf.read_page(i) for i in range(len(tf.pages))]
+            )
+
+    rng_q = f"range={float(img.min())},{float(img.max())}"
+    full = post(f"model=nucleiDAPI&channel=0&{rng_q}", 0)
+    # deliberately awkward offsets — none aligned to the 96-px stride
+    for i, (r0, c0, h, w) in enumerate(
+        [(203, 37, 111, 155), (350, 260, 97, 83), (449, 1, 150, 499)]
+    ):
+        roi = post(
+            f"model=nucleiDAPI&channel=0&roi={r0},{c0},{h},{w}&{rng_q}",
+            i + 1,
+        )
+        np.testing.assert_array_equal(
+            roi, full[:, r0:r0 + h, c0:c0 + w], err_msg=str((r0, c0))
+        )

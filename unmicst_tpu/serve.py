@@ -20,6 +20,10 @@ module keeps the model resident and serves slides over HTTP:
 * ``channel_name=DAPI`` (repeatable for duo) selects channels by their
   declared name instead of index on any of the above (OME-TIFF Channel
   elements; CZI metadata XML);
+* ``POST /slides`` with a container body -> ``{"slide_id": ...}`` —
+  content-addressed (sha256, dedup), LRU-bounded cache; then body-less
+  ``POST /infer?slide=ID&roi=...`` serves every viewer window without
+  re-uploading the slide;
 * ``GET /models`` -> zoo availability;
 * ``GET /healthz`` -> liveness + device info;
 * ``GET /stats`` -> request/throughput counters (uptime, px processed,
@@ -89,6 +93,7 @@ class ModelServer:
         queue_timeout_s: float = 30.0,
         max_scaled_px: int = 1 << 30,
         calibration_percentile: float = 99.99,
+        slide_cache_bytes: int = 4 << 30,
     ):
         self.model_root = model_root
         self.precision = precision
@@ -115,8 +120,16 @@ class ModelServer:
         self.stats = {
             "requests": 0, "ok": 0, "client_error": 0, "server_error": 0,
             "busy_rejected": 0, "px_processed": 0, "infer_s_total": 0.0,
-            "by_model": {},
+            "slide_uploads": 0, "slide_hits": 0, "by_model": {},
         }
+        # content-addressed slide cache (POST /slides): interactive
+        # viewers upload a slide ONCE and issue body-less roi= requests
+        # against its id instead of re-uploading per window
+        self.slide_cache_bytes = int(slide_cache_bytes)
+        self._slide_lock = threading.Lock()
+        self._slides: Dict[str, dict] = {}  # id -> {path,bytes,used,refs}
+        self._slide_total = 0
+        self._slide_dir: Optional[str] = None
 
     def _count(self, **deltas) -> None:
         with self._stats_lock:
@@ -133,7 +146,80 @@ class ModelServer:
             out = dict(self.stats, by_model=dict(self.stats["by_model"]))
         out["uptime_s"] = round(time.time() - self._started, 1)
         out["max_inflight"] = self.max_inflight
+        with self._slide_lock:
+            out["slides_cached"] = len(self._slides)
+            out["slide_cache_bytes_used"] = self._slide_total
         return out
+
+    # -- slide cache (upload once, infer many) -------------------------------
+
+    def register_slide(self, spool_path: str, nbytes: int,
+                       digest: str) -> dict:
+        """Adopt a spooled upload into the content-addressed cache.
+
+        ``digest`` is the body's sha256 (computed while spooling) — a
+        re-upload of the same bytes dedups to the existing entry.  The
+        cache is LRU-bounded by ``slide_cache_bytes``; entries with
+        in-flight readers are never evicted (refcounted)."""
+        import shutil
+
+        sid = digest[:32]
+        with self._slide_lock:
+            if self._slide_dir is None:
+                import atexit
+
+                self._slide_dir = tempfile.mkdtemp(prefix="unmicst-slides-")
+                atexit.register(
+                    shutil.rmtree, self._slide_dir, ignore_errors=True
+                )
+            ent = self._slides.get(sid)
+            if ent is not None:
+                ent["used"] = time.time()
+                os.unlink(spool_path)
+                return {"slide_id": sid, "bytes": ent["bytes"],
+                        "deduplicated": True}
+            dest = os.path.join(self._slide_dir, sid)
+            os.replace(spool_path, dest)
+            self._slides[sid] = {"path": dest, "bytes": nbytes,
+                                 "used": time.time(), "refs": 0}
+            self._slide_total += nbytes
+            # LRU eviction, skipping entries a request currently reads
+            while self._slide_total > self.slide_cache_bytes:
+                victims = sorted(
+                    (e["used"], i) for i, e in self._slides.items()
+                    if e["refs"] == 0 and i != sid
+                )
+                if not victims:
+                    break
+                _, vid = victims[0]
+                v = self._slides.pop(vid)
+                self._slide_total -= v["bytes"]
+                try:
+                    os.unlink(v["path"])
+                except OSError:
+                    pass
+        self._count(slide_uploads=1)
+        return {"slide_id": sid, "bytes": nbytes, "deduplicated": False}
+
+    def acquire_slide(self, slide_id: str) -> str:
+        """Path of a cached slide; pins it against eviction until
+        :meth:`release_slide`.  FileNotFoundError (-> 404) if unknown."""
+        with self._slide_lock:
+            ent = self._slides.get(slide_id)
+            if ent is None:
+                raise FileNotFoundError(
+                    f"unknown slide id {slide_id!r} (expired or never "
+                    "uploaded — POST the body to /slides first)"
+                )
+            ent["refs"] += 1
+            ent["used"] = time.time()
+            return ent["path"]
+
+    def release_slide(self, slide_id: str) -> None:
+        with self._slide_lock:
+            ent = self._slides.get(slide_id)
+            if ent is not None and ent["refs"] > 0:
+                ent["refs"] -= 1
 
     def engine(self, model: str, kind: str = "whole"):
         """Cached engine, built OUTSIDE the cache lock: a cold build
@@ -223,11 +309,11 @@ class ModelServer:
         accepted.
 
         ``roi=(r0, c0, h, w)`` infers only that window (interactive
-        viewers over mega-slides): a full-width row band with one tile
-        of context margin is read and inferred, then trimmed to the
-        ROI.  Away from the margin the maps match a full-slide run;
-        within it, tile-blend seams may differ by ~1 uint8 level (the
-        tile grid originates at the band, not the slide).
+        viewers over mega-slides): a context-clipped, grid-snapped band
+        is read and inferred, then trimmed to the ROI (see
+        :meth:`_infer_roi`).  At ``scale == 1`` with a pinned ``range=``
+        the result is bit-identical to the full-slide run's crop for
+        ANY offset.
 
         ``in_range``: optional pinned per-channel rescale ranges — a list
         of (lo, hi) raw-unit pairs (one pair broadcasts).  Without it an
@@ -361,7 +447,16 @@ class ModelServer:
         100k-wide slide infers ~(512+2t)^2 pixels, not a 100k-wide row
         band (the row IO still reads full-width rows, which is how
         TIFF strips are laid out anyway; only the compute window
-        shrinks)."""
+        shrinks).
+
+        Band extents are snapped to the full-slide tile grid and
+        bucketed to multiples of 2 sub-strides, which buys two things:
+        (1) arbitrary viewer pans reuse a handful of compiled programs
+        instead of paying a fresh 10-200 s XLA compile per window
+        geometry, and (2) at ``scale == 1`` the band shares the
+        full-slide grid origin, so a pinned ``range=`` makes EVERY ROI
+        bit-identical to the full-run crop (not only luckily-aligned
+        ones)."""
         r0, c0, h, w = (int(v) for v in roi)
         if not (0 <= r0 < shape[0] and 0 <= c0 < shape[1]
                 and h > 0 and w > 0
@@ -371,10 +466,22 @@ class ModelServer:
             )
         eng = self.engine(model)
         pad = int(eng.hp.im_size)
-        a = max(0, r0 - pad)
-        b = min(shape[0], r0 + h + pad)
-        ca = max(0, c0 - pad)
-        cb = min(shape[1], c0 + w + pad)
+        sub = int(eng.hp.im_size) - 2 * int(eng.hp.margin)
+        step = 2 * sub
+
+        def expand(lo, hi, limit):
+            # bucket size from the ROI extent ALONE (+ one sub-stride of
+            # alignment slack): every same-sized window shares one band
+            # geometry no matter where it pans, so the compiled-program
+            # cache is hit instead of paying XLA per offset
+            size = -(-(hi - lo + sub) // step) * step
+            lo = (max(0, lo) // sub) * sub  # full-grid-aligned start
+            hi = min(limit, lo + size)
+            lo = max(0, hi - size)
+            return (lo // sub) * sub, hi  # re-align after an end clip
+
+        a, b = expand(r0 - pad, r0 + h + pad, shape[0])
+        ca, cb = expand(c0 - pad, c0 + w + pad, shape[1])
         if (b - a) * (cb - ca) > self.stream_above_px:
             raise ValueError(
                 f"roi window of {(b - a)}x{(cb - ca)} px (incl. context) "
@@ -383,7 +490,10 @@ class ModelServer:
                 "drop roi= to stream the whole slide"
             )
         bands = [
-            np.ascontiguousarray(s.read_rows(a, b)[:, ca:cb])
+            # read_rows takes (start, COUNT) — passing b read b rows
+            # (zero-padded past EOF): correct pixels but an inflated
+            # band and a fresh compile per offset
+            np.ascontiguousarray(s.read_rows(a, b - a)[:, ca:cb])
             for s in srcs
         ]
         t0 = time.perf_counter()
@@ -515,6 +625,10 @@ def make_handler(server: ModelServer):
 
         def do_POST(self):
             url = urlparse(self.path)
+            if url.path == "/slides":
+                server._count(requests=1)
+                self._upload_slide()
+                return
             if url.path != "/infer":
                 self._json(404, {"error": "not found"})
                 return
@@ -551,6 +665,57 @@ def make_handler(server: ModelServer):
                 self._infer(url)
             finally:
                 server._inflight.release()
+
+        def _upload_slide(self):
+            """POST /slides: spool the body (sha256 while spooling) and
+            adopt it into the content-addressed cache -> {"slide_id"}."""
+            import hashlib
+
+            length = int(self.headers.get("Content-Length", "0") or 0)
+            if length <= 0:
+                server._count(client_error=1)
+                self._json(411, {"error": "Content-Length required"})
+                return
+            if length > server.max_body_bytes:
+                server._count(client_error=1)
+                self._json(413, {
+                    "error": f"request body {length} B exceeds the "
+                    f"{server.max_body_bytes} B limit"
+                })
+                return
+            h = hashlib.sha256()
+            tmp = tempfile.NamedTemporaryFile(
+                suffix=".slide", delete=False
+            )
+            try:
+                remaining = length
+                while remaining:
+                    chunk = self.rfile.read(min(remaining, 16 << 20))
+                    if not chunk:
+                        raise ConnectionError("client hung up mid-body")
+                    h.update(chunk)
+                    tmp.write(chunk)
+                    remaining -= len(chunk)
+                tmp.close()
+                res = server.register_slide(
+                    tmp.name, length, h.hexdigest()
+                )
+            except ConnectionError:
+                tmp.close()
+                os.unlink(tmp.name)
+                server._count(client_error=1)
+                return
+            except Exception as e:  # noqa: BLE001 — surface, don't die
+                tmp.close()
+                try:
+                    os.unlink(tmp.name)
+                except OSError:
+                    pass
+                server._count(server_error=1)
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            server._count(ok=1)
+            self._json(200, res)
 
         def _infer(self, url):
             q = parse_qs(url.query)
@@ -641,6 +806,15 @@ def make_handler(server: ModelServer):
                     raise ValueError(
                         f"probe supports only 'range', got {probe!r}"
                     )
+                slide_id = q.get("slide", [None])[0]
+                if slide_id is not None and (
+                        not slide_id
+                        or any(c not in "0123456789abcdef"
+                               for c in slide_id)):
+                    raise ValueError(
+                        f"slide must be a hex id from POST /slides, "
+                        f"got {slide_id!r}"
+                    )
                 if not 0.01 <= scale <= 16:
                     raise ValueError(
                         f"scale must be in [0.01, 16], got {scale}"
@@ -650,7 +824,13 @@ def make_handler(server: ModelServer):
                 server._count(client_error=1)
                 self._json(400, {"error": f"bad parameter: {e}"})
                 return
-            if length <= 0:
+            if slide_id is not None and length > 0:
+                server._count(client_error=1)
+                self._json(400, {
+                    "error": "pass either a body or slide=, not both"
+                })
+                return
+            if slide_id is None and length <= 0:
                 server._count(client_error=1)
                 self._json(411, {"error": "Content-Length required"})
                 return
@@ -661,45 +841,61 @@ def make_handler(server: ModelServer):
                     f"{server.max_body_bytes} B limit"
                 })
                 return
+
+            def run_on(path):
+                if probe == "range":
+                    res = server.probe_range(
+                        path, channel, outlier,
+                        channel_names=channel_names,
+                    )
+                    return None, {"model": model, "shape": res["shape"],
+                                  "infer_s": 0.0}, res
+                out, meta = server.infer_tiff_path(
+                    path, model, channel, rescale, outlier,
+                    compress=compress, scale=scale,
+                    pyramid=pyramid, roi=roi, in_range=in_range,
+                    channel_names=channel_names,
+                )
+                return out, meta, None
+
             try:
-                # spool to disk in chunks: a whole-slide POST must not
-                # occupy RAM twice (body + decoded pixels).  ONLY the
-                # spool loop treats ConnectionError as a client hangup —
-                # one from inside inference is a server fault
-                with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
+                if slide_id is not None:
+                    # body-less request against a cached upload — the
+                    # interactive-viewer fast path (the slide rides the
+                    # wire once, every roi= window after that is bytes
+                    # of query string)
+                    path = server.acquire_slide(slide_id)
                     try:
-                        remaining = length
-                        while remaining:
-                            chunk = self.rfile.read(
-                                min(remaining, 16 << 20)
-                            )
-                            if not chunk:
-                                raise ConnectionError(
-                                    "client hung up mid-body"
+                        out, meta, probe_res = run_on(path)
+                    finally:
+                        server.release_slide(slide_id)
+                    server._count(slide_hits=1)
+                else:
+                    # spool to disk in chunks: a whole-slide POST must
+                    # not occupy RAM twice (body + decoded pixels).
+                    # ONLY the spool loop treats ConnectionError as a
+                    # client hangup — one from inside inference is a
+                    # server fault
+                    with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
+                        try:
+                            remaining = length
+                            while remaining:
+                                chunk = self.rfile.read(
+                                    min(remaining, 16 << 20)
                                 )
-                            tmp.write(chunk)
-                            remaining -= len(chunk)
-                        tmp.flush()
-                    except ConnectionError:
-                        # nothing to write a response to, and not a
-                        # server fault
-                        server._count(client_error=1)
-                        return
-                    if probe == "range":
-                        probe_res = server.probe_range(
-                            tmp.name, channel, outlier,
-                            channel_names=channel_names,
-                        )
-                        out = None
-                        meta = {"model": model, "shape": probe_res["shape"],
-                                "infer_s": 0.0}
-                    else:
-                        out, meta = server.infer_tiff_path(
-                            tmp.name, model, channel, rescale, outlier,
-                            compress=compress, scale=scale,
-                            pyramid=pyramid, roi=roi, in_range=in_range,
-                            channel_names=channel_names,
-                        )
+                                if not chunk:
+                                    raise ConnectionError(
+                                        "client hung up mid-body"
+                                    )
+                                tmp.write(chunk)
+                                remaining -= len(chunk)
+                            tmp.flush()
+                        except ConnectionError:
+                            # nothing to write a response to, and not a
+                            # server fault
+                            server._count(client_error=1)
+                            return
+                        out, meta, probe_res = run_on(tmp.name)
             except FileNotFoundError as e:
                 server._count(client_error=1)
                 self._json(404, {"error": str(e)})
@@ -801,11 +997,18 @@ def main(argv=None) -> int:
         help="concurrent /infer bound (>= 1); excess gets 503 + "
         "Retry-After",
     )
+    p.add_argument(
+        "--slideCacheBytes", type=int, default=4 << 30,
+        help="byte bound of the POST /slides content-addressed cache "
+        "(LRU eviction; viewers upload once, then issue body-less "
+        "slide=ID requests)",
+    )
     args = p.parse_args(argv)
     serve(args.host, args.port, model_root=args.modelRoot,
           precision=args.precision, max_body_bytes=args.maxBodyBytes,
           max_inflight=args.maxInflight,
-          calibration_percentile=args.calibrationPercentile)
+          calibration_percentile=args.calibrationPercentile,
+          slide_cache_bytes=args.slideCacheBytes)
     return 0
 
 
