@@ -48,15 +48,16 @@ if SMOKE:
     WORKLOADS = [
         ("small_roi_seq", 96, 3, 1, ""),
         ("small_roi_conc4", 96, 4, 4, ""),
-        ("stream_mega", 320, 1, 1, ""),
-        # band (r0-128 .. r0+32+128) x 320 must stay under the smoke
-        # STREAM_ABOVE_PX=90k windowed-inference bound
-        ("roi_512_of_8k", 320, 2, 1, "&roi=120,120,32,32&range=0,60000"),
+        ("stream_mega", 1024, 1, 1, ""),
+        # ROI bands snap to the tile grid (min ~576^2 for the 128/16
+        # model), so the windowed bound must clear that while the
+        # stream_mega slide stays above it
+        ("roi_512_of_8k", 640, 2, 1, "&roi=120,120,64,64&range=0,60000"),
         ("scale_0.5", 128, 2, 1, "&scale=0.5"),
         ("pyramid", 640, 1, 1, "&pyramid=1"),
         ("deflate", 128, 2, 1, "&compress=deflate"),
     ]
-    STREAM_ABOVE_PX = 90_000  # force the streaming engine on 320^2
+    STREAM_ABOVE_PX = 600_000  # stream 1024^2; pass ~576^2 roi bands
 else:
     WORKLOADS = [
         ("small_roi_seq", 512, 20, 1, ""),
@@ -96,6 +97,61 @@ def one_request(url: str, body: bytes, timeout: float = 3600.0) -> dict:
         meta = json.loads(r.headers["X-UnMicst-Meta"])
     dt = time.perf_counter() - t0
     return {"wall_s": dt, "out_bytes": len(out), "meta": meta}
+
+
+def run_cached_pans(base: str, label: str, side: int, n: int,
+                    roi_hw: int) -> dict:
+    """The interactive-viewer protocol: ONE /slides upload, then n
+    body-less roi= pans at scattered offsets.
+
+    Band snapping means a (slide, roi-size) pair compiles at most FOUR
+    XLA programs: interior, bottom-edge, right-edge, corner (the exact
+    end clip that keeps edge pans bit-identical to the full-slide grid
+    gives the edge bands their own heights).  We pre-warm all four so
+    the timed pans measure steady-state viewer latency; the geometry
+    compiles are reported separately as warmup_interior_s /
+    warmup_edge_s (bottom, right, corner)."""
+    body = make_body(side)
+    print(f"[{label}] {side}x{side}, {n} cached pans of {roi_hw}^2 ...",
+          flush=True)
+    t0 = time.perf_counter()
+    req = urllib.request.Request(f"{base}/slides", data=body,
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=3600) as r:
+        sid = json.loads(r.read())["slide_id"]
+    upload_s = time.perf_counter() - t0
+
+    def pan_url(r0, c0):
+        return (f"{base}/infer?model={MODEL}&slide={sid}"
+                f"&roi={r0},{c0},{roi_hw},{roi_hw}&range=0,60000")
+
+    warm_int = one_request(pan_url(0, 0), None)
+    e = side - roi_hw  # edge pans: bottom, right, corner band shapes
+    warm_edges = [one_request(pan_url(r0, c0), None)["wall_s"]
+                  for r0, c0 in ((e, 0), (0, e), (e, e))]
+    walls = []
+    t0 = time.perf_counter()
+    for i in range(1, n + 1):
+        r0 = (i * 977) % max(1, side - roi_hw)
+        c0 = (i * 1499) % max(1, side - roi_hw)
+        walls.append(one_request(pan_url(r0, c0), None)["wall_s"])
+    total = time.perf_counter() - t0
+    walls.sort()
+    rec = {
+        "slide": f"{side}x{side}",
+        "roi": f"{roi_hw}x{roi_hw}",
+        "n": n,
+        "upload_s": round(upload_s, 3),
+        "warmup_interior_s": round(warm_int["wall_s"], 3),
+        "warmup_edge_s": [round(w, 3) for w in warm_edges],
+        "p50_s": round(walls[len(walls) // 2], 4),
+        "p99_s": round(walls[min(len(walls) - 1, int(len(walls) * 0.99))],
+                       4),
+        "min_s": round(walls[0], 4),
+        "pans_per_s": round(n / total, 3),
+    }
+    print(f"[{label}] {json.dumps(rec)}")
+    return rec
 
 
 def run_workload(base: str, label: str, side: int, n: int, conc: int,
@@ -165,11 +221,21 @@ def main() -> None:
             report["workloads"][label] = run_workload(
                 base, label, side, n, conc, extra
             )
+        # the upload-once viewer protocol (slide cache + snapped pans)
+        if SMOKE:
+            report["workloads"]["roi_cached_pans"] = run_cached_pans(
+                base, "roi_cached_pans", 640, 3, 64
+            )
+        else:
+            report["workloads"]["roi_cached_pans"] = run_cached_pans(
+                base, "roi_cached_pans", 8192, 12, 512
+            )
         report["server_stats"] = srv.snapshot()
     finally:
         httpd.shutdown()
 
-    out = "/root/repo/scripts/serve_bench_report.json"
+    out = ("/root/repo/scripts/serve_bench_smoke.json" if SMOKE
+           else "/root/repo/scripts/serve_bench_report.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {out}")
