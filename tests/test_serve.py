@@ -1076,3 +1076,92 @@ def test_roi_any_offset_bit_identical_with_range(server_url, tmp_path,
         np.testing.assert_array_equal(
             roi, full[:, r0:r0 + h, c0:c0 + w], err_msg=str((r0, c0))
         )
+
+
+def test_prewarm_on_upload(server_url, tmp_path, rng):
+    """POST /slides?prewarm=1 schedules the <=4 band-geometry compiles
+    in the background: /stats converges to prewarmed += 4 (one run per
+    extreme offset), pans on the cached slide still answer correctly,
+    and semantic failures land in prewarm_errors without failing the
+    upload."""
+    import time as _time
+    import urllib.error
+
+    def stats():
+        with urllib.request.urlopen(server_url + "/stats", timeout=30) as r:
+            return json.loads(r.read())
+
+    def post(path_q, data):
+        req = urllib.request.Request(
+            server_url + path_q, data=data, method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    img = (rng.rand(320, 288) * 60000).astype(np.uint16)
+    p = str(tmp_path / "prewarm.tif")
+    imwrite(p, img)
+    body = open(p, "rb").read()
+
+    before = stats()
+    res = post(
+        "/slides?prewarm=1&model=nucleiDAPI&roi=64,96&range=0,60000", body
+    )
+    assert res["prewarm"] == "scheduled"
+    sid = res["slide_id"]
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        st = stats()
+        if (st["prewarm_pending"] == 0
+                and st["prewarmed"] >= before["prewarmed"] + 4):
+            break
+        _time.sleep(0.25)
+    st = stats()
+    assert st["prewarmed"] == before["prewarmed"] + 4
+    assert st["prewarm_errors"] == before["prewarm_errors"]
+    # the cached slide still answers pans normally after prewarm
+    pan = post(f"/infer?probe=range&channel=0&slide={sid}", None)
+    assert pan["range"] == [[float(img.min()), float(img.max())]]
+
+    # square shorthand + offset dedupe: a 288^2 window of the 320x288
+    # slide has only 2 distinct extreme offsets (c0 is always 0)
+    res = post("/slides?prewarm=1&model=nucleiDAPI&roi=288", body)
+    assert res["prewarm"] == "scheduled"
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        st2 = stats()
+        if (st2["prewarm_pending"] == 0
+                and st2["prewarmed"] >= st["prewarmed"] + 2):
+            break
+        _time.sleep(0.25)
+    st2 = stats()
+    assert st2["prewarmed"] == st["prewarmed"] + 2
+
+    # semantic failure (window larger than the slide): upload still 200,
+    # error recorded asynchronously
+    res = post("/slides?prewarm=1&model=nucleiDAPI&roi=1000,1000", body)
+    assert res["prewarm"] == "scheduled"
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        st3 = stats()
+        if st3["prewarm_errors"] > st["prewarm_errors"]:
+            break
+        _time.sleep(0.25)
+    assert st3["prewarm_errors"] == before["prewarm_errors"] + 1
+    assert "exceeds" in st3["last_prewarm_error"]
+
+    # syntactic failures are 400 at the door, nothing scheduled
+    for bad in [
+        "/slides?prewarm=1",                                # roi missing
+        "/slides?prewarm=1&roi=0,64",                       # non-positive
+        "/slides?prewarm=1&roi=64&model=../../etc",         # traversal
+        "/slides?prewarm=maybe&roi=64",                     # bad bool
+    ]:
+        req = urllib.request.Request(
+            server_url + bad, data=body, method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400, bad

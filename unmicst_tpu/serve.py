@@ -121,6 +121,7 @@ class ModelServer:
             "requests": 0, "ok": 0, "client_error": 0, "server_error": 0,
             "busy_rejected": 0, "px_processed": 0, "infer_s_total": 0.0,
             "slide_uploads": 0, "slide_hits": 0, "by_model": {},
+            "prewarmed": 0, "prewarm_errors": 0, "prewarm_pending": 0,
         }
         # content-addressed slide cache (POST /slides): interactive
         # viewers upload a slide ONCE and issue body-less roi= requests
@@ -220,6 +221,81 @@ class ModelServer:
             ent = self._slides.get(slide_id)
             if ent is not None and ent["refs"] > 0:
                 ent["refs"] -= 1
+
+    def prewarm_slide(self, slide_id: str, model: str, roi_h: int,
+                      roi_w: int, channel=0, rescale: bool = True,
+                      outlier: float = -1.0, scale: float = 1.0,
+                      in_range=None, channel_names=None) -> int:
+        """Compile every ``roi=`` band geometry a viewer will hit on a
+        cached slide, BEFORE the first pan.
+
+        Band snapping (:meth:`_infer_roi`) means a (slide, window-size)
+        pair uses at most FOUR XLA programs — interior, bottom edge,
+        right edge, corner.  This runs one tiny ROI inference at each of
+        the four extreme offsets (deduped when the slide is small), each
+        through the normal in-flight semaphore so prewarm never
+        oversubscribes the device past the configured bound.  Outputs
+        are discarded; the XLA executable cache is the product.
+
+        Returns the number of geometries warmed.  Called from the
+        ``POST /slides?prewarm=1&...`` background worker; also usable
+        synchronously (tests, embedding apps)."""
+        from unmicst_tpu.io.slides import open_channel_source, sniff_format
+
+        path = self.acquire_slide(slide_id)
+        try:
+            fmt = sniff_format(path)
+            first = (channel_names[0] if channel_names is not None
+                     else (channel[0] if isinstance(channel, (list, tuple))
+                           else channel))
+            if channel_names is not None:
+                first = _resolve_channel_names(path, fmt, [first])[0]
+            with open_channel_source(path, fmt, first) as src:
+                hh, ww = src.height, src.width
+            if roi_h > hh or roi_w > ww:
+                raise ValueError(
+                    f"prewarm roi {roi_h}x{roi_w} exceeds the "
+                    f"{hh}x{ww} slide"
+                )
+            offsets = sorted({
+                (r0, c0)
+                for r0 in (0, hh - roi_h)
+                for c0 in (0, ww - roi_w)
+            })
+            warmed = 0
+            for r0, c0 in offsets:
+                if not self._inflight.acquire(timeout=3600.0):
+                    break
+                try:
+                    self.infer_tiff_path(
+                        path, model, channel, rescale, outlier,
+                        scale=scale, roi=(r0, c0, roi_h, roi_w),
+                        in_range=in_range, channel_names=channel_names,
+                    )
+                finally:
+                    self._inflight.release()
+                warmed += 1
+                self._count(prewarmed=1)
+            return warmed
+        finally:
+            self.release_slide(slide_id)
+
+    def _prewarm_async(self, *args, **kwargs) -> None:
+        """Daemon worker for upload-time prewarm: semantic failures
+        (unknown model, roi larger than the slide) land in stats as
+        ``prewarm_errors`` — the upload already returned 200 and the
+        viewer's pans still work, just without the warm cache."""
+        self._count(prewarm_pending=1)
+        try:
+            self.prewarm_slide(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — background: record, don't die
+            self._count(prewarm_errors=1)
+            with self._stats_lock:
+                self.stats["last_prewarm_error"] = (
+                    f"{type(e).__name__}: {e}"
+                )
+        finally:
+            self._count(prewarm_pending=-1)
 
     def engine(self, model: str, kind: str = "whole"):
         """Cached engine, built OUTSIDE the cache lock: a cold build
@@ -627,7 +703,7 @@ def make_handler(server: ModelServer):
             url = urlparse(self.path)
             if url.path == "/slides":
                 server._count(requests=1)
-                self._upload_slide()
+                self._upload_slide(url)
                 return
             if url.path != "/infer":
                 self._json(404, {"error": "not found"})
@@ -666,10 +742,95 @@ def make_handler(server: ModelServer):
             finally:
                 server._inflight.release()
 
-        def _upload_slide(self):
+        def _upload_slide(self, url):
             """POST /slides: spool the body (sha256 while spooling) and
-            adopt it into the content-addressed cache -> {"slide_id"}."""
+            adopt it into the content-addressed cache -> {"slide_id"}.
+
+            ``?prewarm=1&model=M&roi=H,W`` (plus the usual channel /
+            channel_name / range / rescale / outlier / scale params)
+            schedules a background worker that compiles all <=4 ``roi=``
+            band geometries for that window size before the viewer's
+            first pan — progress lands in ``/stats`` as ``prewarmed`` /
+            ``prewarm_pending`` / ``prewarm_errors``."""
             import hashlib
+
+            q = parse_qs(url.query)
+            prewarm = None
+            try:
+                if _parse_bool(q.get("prewarm", ["0"])[0], "prewarm"):
+                    model = q.get("model", ["nucleiDAPI"])[0]
+                    if (os.path.isabs(model) or os.sep in model
+                            or (os.altsep and os.altsep in model)
+                            or ".." in model):
+                        raise ValueError(
+                            "model must be a plain model name"
+                        )
+                    if "roi" not in q:
+                        raise ValueError(
+                            "prewarm=1 requires roi=H,W (the pan "
+                            "window size to compile for)"
+                        )
+                    parts = q["roi"][0].split(",")
+                    if len(parts) == 1:
+                        parts = parts * 2  # roi=512 -> square window
+                    if len(parts) != 2:
+                        raise ValueError(
+                            f"prewarm roi must be H,W — got {q['roi'][0]!r}"
+                        )
+                    roi_h, roi_w = (int(v) for v in parts)
+                    if roi_h <= 0 or roi_w <= 0:
+                        raise ValueError(
+                            f"prewarm roi must be positive, got "
+                            f"{roi_h},{roi_w}"
+                        )
+                    chan_vals = [
+                        int(x)
+                        for v in q.get("channel", ["0"])
+                        for x in v.split(",") if x != ""
+                    ]
+                    if not 1 <= len(chan_vals) <= 2:
+                        raise ValueError(
+                            "channel must be one index or two (duo)"
+                        )
+                    channel_names = q.get("channel_name")
+                    if channel_names is not None and (
+                            not all(channel_names)
+                            or len(channel_names) > 2):
+                        raise ValueError(
+                            "channel_name must be 1-2 non-empty names"
+                        )
+                    in_range = None
+                    if "range" in q:
+                        in_range = []
+                        for v in q["range"]:
+                            lo_hi = v.split(",")
+                            if len(lo_hi) != 2:
+                                raise ValueError(
+                                    f"range must be lo,hi — got {v!r}"
+                                )
+                            in_range.append(
+                                (float(lo_hi[0]), float(lo_hi[1]))
+                            )
+                    scale = float(q.get("scale", ["1"])[0])
+                    if not 0.01 <= scale <= 16:
+                        raise ValueError(
+                            f"scale must be in [0.01, 16], got {scale}"
+                        )
+                    prewarm = dict(
+                        model=model, roi_h=roi_h, roi_w=roi_w,
+                        channel=(chan_vals[0] if len(chan_vals) == 1
+                                 else chan_vals),
+                        rescale=_parse_bool(
+                            q.get("rescale", ["1"])[0], "rescale"
+                        ),
+                        outlier=float(q.get("outlier", ["-1"])[0]),
+                        scale=scale, in_range=in_range,
+                        channel_names=channel_names,
+                    )
+            except ValueError as e:
+                server._count(client_error=1)
+                self._json(400, {"error": f"bad parameter: {e}"})
+                return
 
             length = int(self.headers.get("Content-Length", "0") or 0)
             if length <= 0:
@@ -714,6 +875,15 @@ def make_handler(server: ModelServer):
                 server._count(server_error=1)
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
+            if prewarm is not None:
+                threading.Thread(
+                    target=server._prewarm_async,
+                    args=(res["slide_id"],),
+                    kwargs=prewarm,
+                    name=f"prewarm-{res['slide_id'][:8]}",
+                    daemon=True,
+                ).start()
+                res = dict(res, prewarm="scheduled")
             server._count(ok=1)
             self._json(200, res)
 
