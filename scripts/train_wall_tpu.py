@@ -68,6 +68,13 @@ CONFIGS = [
     ("v2_b32_f32_parity", HP_V2.batch_size, {}),
     ("v2_b128_bf16_perf", 4 if SMOKE else 128,
      {"precision": "default", "compute_dtype": "bfloat16"}),
+    # valid_every=50 cadence: skips the per-step valid batch upload +
+    # host error sync on 49/50 steps (train.py TrainConfig.valid_every);
+    # measures the real train-wall lever on a host-fed link
+    ("v2_b32_f32_ve50", HP_V2.batch_size, {"valid_every": 50}),
+    ("v2_b128_bf16_ve50", 4 if SMOKE else 128,
+     {"precision": "default", "compute_dtype": "bfloat16",
+      "valid_every": 50}),
 ]
 
 
@@ -144,8 +151,10 @@ def run_config(root: str, label: str, batch_size: int, overrides) -> dict:
         "wall_step_ms": round(1e3 / steps_s, 2),
         "tiles_per_s": round(steps_s * batch_size, 1),
         "best_valid_error": round(float(best), 5),
-        "includes": "host batch assembly + valid-every-step + JSONL/TB "
-                    "logging + best-on-valid ckpt saves (native + TF1)",
+        "valid_every": cfg.valid_every,
+        "includes": "host batch assembly + validation at the configured "
+                    "cadence + JSONL/TB logging + best-on-valid ckpt "
+                    "saves (native + TF1)",
     }
     # host-overhead split vs the scan-amortized device step, if published
     try:
@@ -190,7 +199,9 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    out = "/root/repo/scripts/train_wall_report.json"
+    # smoke runs must not clobber the published on-chip report
+    out = ("/tmp/train_wall_report_smoke.json" if SMOKE
+           else "/root/repo/scripts/train_wall_report.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {out}")

@@ -138,6 +138,31 @@ def test_fit_restore_cycle(tmp_path, rng):
     t2.fit(corpus, corpus, n_steps=2, verbose=False)
 
 
+def test_valid_every_cadence(tmp_path, rng):
+    """valid_every=N validates steps 0, N, 2N, ... and the last step;
+    in-between steps are logged (buffered drain) without valid fields and
+    never checkpoint.  N=1 is the reference protocol (covered above)."""
+    cfg = tr.TrainConfig.for_variant(
+        "v2", n_aug=1, lr0=1e-3, ckpt_every=1, seed=0, valid_every=3,
+        export_tf1=False,
+    )
+    _write_corpus(str(tmp_path / "data"), 6, 1, rng)
+    corpus = tr.Corpus(str(tmp_path / "data"), 6, HP, cfg)
+    t = tr.Trainer(HP, cfg, str(tmp_path / "m"), log_path=str(tmp_path / "log"))
+    best = t.fit(corpus, corpus, n_steps=8, verbose=False)
+    recs = [
+        json.loads(l)
+        for l in open(os.path.join(tmp_path / "log", "metrics.jsonl"))
+    ]
+    assert [r["step"] for r in recs] == list(range(8))
+    validated = {r["step"] for r in recs if "valid_error" in r}
+    assert validated == {0, 3, 6, 7}  # cadence hits + final step
+    for r in recs:
+        assert np.isfinite(r["loss"])
+        assert ("errors" in r) == (r["step"] in validated)
+    assert best == min(r["valid_error"] for r in recs if "valid_error" in r)
+
+
 def test_render_montages(tmp_path, rng):
     cfg = tr.TrainConfig.for_variant("v2", n_aug=2)
     _write_corpus(str(tmp_path / "data"), 2, 2, rng)

@@ -86,6 +86,18 @@ class TrainConfig:
     # legacy draws a FRESH permutation every step and takes its head
     # (UnMicst.py:346-352) instead of the v2 cursor walk
     per_step_shuffle: bool = False
+    # Validation cadence.  1 (default) = the reference protocol: one
+    # valid batch + host-synced error after EVERY train step
+    # (UnMicst1-5.py:498-517).  N>1 validates every Nth step (and the
+    # last), buffering the train metrics as device scalars in between so
+    # non-validated steps run with ZERO host syncs — XLA pipelines them
+    # back-to-back.  On a host-fed link the valid batch upload + sync is
+    # the dominant per-step cost once the device step is ~20 ms
+    # (BASELINE.md "training end-to-end wall"), so this is the main
+    # training-wall lever.  Checkpoint-on-best still only fires on
+    # validated steps that hit ckpt_every, identical to the reference
+    # gate when valid_every == 1.
+    valid_every: int = 1
     # class-weight constants (v2 defaults; duo 1/2/5/10, cyto2 1/3/-/5 —
     # each tool hardcodes its own set)
     bg_weight: float = BG_WEIGHT
@@ -425,7 +437,9 @@ class Trainer:
         verbose: bool = True,
     ) -> float:
         """Run ``n_steps``; one train + one valid step per iteration
-        (``UnMicst1-5.py:469-521``).  Returns best validation error."""
+        (``UnMicst1-5.py:469-521``), validating every
+        ``cfg.valid_every``-th step (plus the last) when the cadence is
+        relaxed.  Returns best validation error."""
         cfg = self.cfg
         bs = batch_size or self.hp.batch_size
         rng_np = np.random.RandomState(cfg.seed + 1)
@@ -439,38 +453,51 @@ class Trainer:
         )
         key = jax.random.PRNGKey(cfg.seed + 2)
         t0 = time.time()
+        ve = max(1, int(cfg.valid_every))
+        # (step, device metrics, elapsed) buffered between validations;
+        # float()-ing a metric is a host sync, so non-validated steps
+        # keep theirs on device and the drain happens at the next
+        # validation point (the scalars are tiny — 3 per step)
+        pending = []
         for i in range(n_steps):
             key, step_key = jax.random.split(key)
             batch = self._maybe_shard(next(train_iter))
             self.params, self.opt_state, metrics = self.train_step(
                 self.params, self.opt_state, batch, step_key
             )
+            pending.append((self.step, metrics, time.time() - t0))
+            if i % ve != 0 and i != n_steps - 1:
+                self.step += 1
+                continue
             vmetrics = self.eval_step(self.params, self._maybe_shard(next(valid_iter)))
             e = float(vmetrics["mean_error"])
             if i == 0 and self.restored:
                 # restoreVariables semantics: the first validation error of a
                 # resumed run seeds the best-so-far (UnMicst1-5.py:513-517)
                 self.lowest_error = e
-            self._log(
-                {
-                    "step": self.step,
-                    "loss": float(metrics["loss"]),
-                    "ce": float(metrics["ce"]),
-                    "reg": float(metrics["reg"]),
-                    "valid_error": e,
-                    "errors": [float(x) for x in np.asarray(vmetrics["errors"])],
-                    "elapsed_s": time.time() - t0,
+            errors = [float(x) for x in np.asarray(vmetrics["errors"])]
+            for s, m, el in pending:
+                rec = {
+                    "step": s,
+                    "loss": float(m["loss"]),
+                    "ce": float(m["ce"]),
+                    "reg": float(m["reg"]),
+                    "elapsed_s": el,
                 }
-            )
+                if s == self.step:
+                    rec["valid_error"] = e
+                    rec["errors"] = errors
+                self._log(rec)
             if self._tb_train and self.step % 20 == 0:  # cadence: :490,507
                 self._tb_train.add_scalar(
-                    "avg_cross_entropy", float(metrics["loss"]), self.step
+                    "avg_cross_entropy", float(pending[-1][1]["loss"]), self.step
                 )
-                for k, err in enumerate(np.asarray(vmetrics["errors"])):
+                for k, err in enumerate(errors):
                     self._tb_valid.add_scalar(
                         f"avg_pixel_error_{k}", float(err), self.step
                     )
                 self._tb_valid.add_scalar("mean_error", e, self.step)
+            pending.clear()
             if verbose:
                 print(f"step {self.step:05d}, e: {e:f}")
             if self.step % cfg.ckpt_every == 0 and e < self.lowest_error:
