@@ -66,15 +66,19 @@ if SMOKE:
 CONFIGS = [
     # (label, batch_size, TrainConfig overrides)
     ("v2_b32_f32_parity", HP_V2.batch_size, {}),
+    # prefetch=4: the EXACT reference protocol (valid every step) with
+    # the host feed pipelined — bit-identical numerics, overlapped H2D
+    ("v2_b32_f32_pf4", HP_V2.batch_size, {"prefetch": 4}),
+    # valid_every=50 cadence: skips the per-step valid batch upload +
+    # host error sync on 49/50 steps (train.py TrainConfig.valid_every)
+    ("v2_b32_f32_ve50", HP_V2.batch_size, {"valid_every": 50}),
+    ("v2_b32_f32_ve50_pf4", HP_V2.batch_size,
+     {"valid_every": 50, "prefetch": 4}),
     ("v2_b128_bf16_perf", 4 if SMOKE else 128,
      {"precision": "default", "compute_dtype": "bfloat16"}),
-    # valid_every=50 cadence: skips the per-step valid batch upload +
-    # host error sync on 49/50 steps (train.py TrainConfig.valid_every);
-    # measures the real train-wall lever on a host-fed link
-    ("v2_b32_f32_ve50", HP_V2.batch_size, {"valid_every": 50}),
-    ("v2_b128_bf16_ve50", 4 if SMOKE else 128,
+    ("v2_b128_bf16_ve50_pf4", 4 if SMOKE else 128,
      {"precision": "default", "compute_dtype": "bfloat16",
-      "valid_every": 50}),
+      "valid_every": 50, "prefetch": 4}),
 ]
 
 
@@ -152,6 +156,7 @@ def run_config(root: str, label: str, batch_size: int, overrides) -> dict:
         "tiles_per_s": round(steps_s * batch_size, 1),
         "best_valid_error": round(float(best), 5),
         "valid_every": cfg.valid_every,
+        "prefetch": cfg.prefetch,
         "includes": "host batch assembly + validation at the configured "
                     "cadence + JSONL/TB logging + best-on-valid ckpt "
                     "saves (native + TF1)",

@@ -163,6 +163,56 @@ def test_valid_every_cadence(tmp_path, rng):
     assert best == min(r["valid_error"] for r in recs if "valid_error" in r)
 
 
+def test_prefetch_feed_bit_identical(tmp_path, rng):
+    """prefetch=N overlaps host feed with device steps but consumes the
+    SAME shared-RNG batch sequence — final params and the metrics log
+    must be bit-identical to the inline feed (only wall time may
+    differ)."""
+    _write_corpus(str(tmp_path / "data"), 6, 1, rng)
+
+    def run(prefetch):
+        cfg = tr.TrainConfig.for_variant(
+            "v2", n_aug=1, lr0=1e-3, ckpt_every=2, seed=0,
+            valid_every=2, prefetch=prefetch, export_tf1=False,
+        )
+        corpus = tr.Corpus(str(tmp_path / "data"), 6, HP, cfg)
+        log = str(tmp_path / f"log{prefetch}")
+        t = tr.Trainer(HP, cfg, str(tmp_path / f"m{prefetch}"), log_path=log)
+        t.fit(corpus, corpus, n_steps=5, verbose=False)
+        t.close()
+        recs = [
+            json.loads(l)
+            for l in open(os.path.join(log, "metrics.jsonl"))
+        ]
+        for r in recs:
+            r.pop("elapsed_s")
+        return t.params, recs
+
+    p0, r0 = run(0)
+    p2, r2 = run(2)
+    assert r0 == r2
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prefetch_feed_propagates_errors(tmp_path, rng):
+    """A feed-thread exception (corrupt corpus batch, OOM in device_put)
+    surfaces at the consuming step, not as a silent hang."""
+
+    def boom():
+        yield {"image": np.zeros((1,), np.float32)}
+        raise RuntimeError("feed died")
+
+    feed = tr._PrefetchFeed(boom(), depth=2)
+    assert next(feed)["image"].shape == (1,)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="feed died"):
+        next(feed)
+    feed.close()
+
+
 def test_render_montages(tmp_path, rng):
     cfg = tr.TrainConfig.for_variant("v2", n_aug=2)
     _write_corpus(str(tmp_path / "data"), 2, 2, rng)

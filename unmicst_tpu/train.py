@@ -25,6 +25,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import queue as _queue_mod
+import threading
 import time
 from functools import partial
 from typing import Dict, Iterator, Optional, Tuple
@@ -86,6 +88,17 @@ class TrainConfig:
     # legacy draws a FRESH permutation every step and takes its head
     # (UnMicst.py:346-352) instead of the v2 cursor walk
     per_step_shuffle: bool = False
+    # Host-feed pipeline depth.  0 (default) = the inline reference
+    # scheduling (assemble -> upload -> step, serialized).  N>0 runs
+    # batch assembly + host->device transfer for the next N steps in a
+    # background thread while the device executes the current step —
+    # the standard TPU input-pipelining recipe.  Bit-identical data in
+    # the identical order (the thread consumes the same shared-RNG
+    # iterators), so results match the inline feed exactly; only the
+    # wall changes.  Pays off whenever the host feed is comparable to
+    # the device step (always true for this workload's ~4 MB/step on a
+    # slow link; see BASELINE.md "training end-to-end wall").
+    prefetch: int = 0
     # Validation cadence.  1 (default) = the reference protocol: one
     # valid batch + host-synced error after EVERY train step
     # (UnMicst1-5.py:498-517).  N>1 validates every Nth step (and the
@@ -359,6 +372,59 @@ class Corpus:
             }
 
 
+class _PrefetchFeed:
+    """Background host-feed pipeline (``TrainConfig.prefetch``): a daemon
+    thread assembles and ``device_put``s upcoming batches into a bounded
+    queue while the device executes the current step.  Yields exactly
+    the wrapped generator's items in order; a feed exception re-raises
+    at the consuming step.  ``close()`` unblocks and retires the thread
+    early (fit errors / early returns)."""
+
+    _DONE = object()
+
+    def __init__(self, gen, depth: int):
+        self._q = _queue_mod.Queue(maxsize=max(1, int(depth)))
+        self._cancelled = threading.Event()
+        self._err = None
+        self._thread = threading.Thread(
+            target=self._run, args=(gen,), daemon=True
+        )
+        self._thread.start()
+
+    def _put(self, item) -> bool:
+        while not self._cancelled.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except _queue_mod.Full:
+                continue
+        return False
+
+    def _run(self, gen) -> None:
+        try:
+            for item in gen:
+                if not self._put(item):
+                    return
+        except BaseException as e:  # noqa: BLE001 — re-raised at __next__
+            self._err = e
+        finally:
+            self._put(self._DONE)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self) -> None:
+        self._cancelled.set()
+
+
 # ---------------------------------------------------------------------------
 # trainer
 # ---------------------------------------------------------------------------
@@ -459,17 +525,51 @@ class Trainer:
         # keep theirs on device and the drain happens at the next
         # validation point (the scalars are tiny — 3 per step)
         pending = []
-        for i in range(n_steps):
+
+        def _place(b):
+            if self.mesh is not None:
+                return self._maybe_shard(b)
+            if cfg.prefetch > 0:
+                # eager default-device put: starts the H2D copy from the
+                # feed thread so it overlaps the in-flight device step
+                # (the jit call would do the same copy, just serialized)
+                return {k: jax.device_put(v) for k, v in b.items()}
+            return b
+
+        def _host_feed():
+            # one (train, valid-or-None) pair per step; the valid batch
+            # is only drawn on steps that will validate, so the shared
+            # RNG stream advances exactly like the inline loop
+            for i in range(n_steps):
+                tb = _place(next(train_iter))
+                vb = (
+                    _place(next(valid_iter))
+                    if (i % ve == 0 or i == n_steps - 1) else None
+                )
+                yield tb, vb
+
+        feed = _host_feed()
+        if cfg.prefetch > 0:
+            feed = _PrefetchFeed(feed, cfg.prefetch)
+        try:
+            self._fit_loop(feed, key, t0, pending, verbose)
+        finally:
+            if isinstance(feed, _PrefetchFeed):
+                feed.close()
+        return self.lowest_error
+
+    def _fit_loop(self, feed, key, t0, pending, verbose: bool) -> None:
+        cfg = self.cfg
+        for i, (batch, vbatch) in enumerate(feed):
             key, step_key = jax.random.split(key)
-            batch = self._maybe_shard(next(train_iter))
             self.params, self.opt_state, metrics = self.train_step(
                 self.params, self.opt_state, batch, step_key
             )
             pending.append((self.step, metrics, time.time() - t0))
-            if i % ve != 0 and i != n_steps - 1:
+            if vbatch is None:
                 self.step += 1
                 continue
-            vmetrics = self.eval_step(self.params, self._maybe_shard(next(valid_iter)))
+            vmetrics = self.eval_step(self.params, vbatch)
             e = float(vmetrics["mean_error"])
             if i == 0 and self.restored:
                 # restoreVariables semantics: the first validation error of a
@@ -504,7 +604,6 @@ class Trainer:
                 self.lowest_error = e
                 self.save()
             self.step += 1
-        return self.lowest_error
 
     def save(self) -> None:
         """Native checkpoint + reference-compatible sidecars
