@@ -213,6 +213,50 @@ def test_prefetch_feed_propagates_errors(tmp_path, rng):
     feed.close()
 
 
+def test_async_save_matches_sync(tmp_path, rng):
+    """async_save=True snapshots immutable device arrays, so the final
+    checkpoint bytes must equal the synchronous run's; fit() joins the
+    worker, so files are durable when it returns."""
+    _write_corpus(str(tmp_path / "data"), 6, 1, rng)
+
+    def run(async_save):
+        cfg = tr.TrainConfig.for_variant(
+            "v2", n_aug=1, lr0=1e-3, ckpt_every=2, seed=0,
+            async_save=async_save,
+        )
+        corpus = tr.Corpus(str(tmp_path / "data"), 6, HP, cfg)
+        mp = str(tmp_path / f"m_{async_save}")
+        t = tr.Trainer(HP, cfg, mp)
+        t.fit(corpus, corpus, n_steps=4, verbose=False)
+        t.close()
+        return mp
+
+    sync_dir, async_dir = run(False), run(True)
+    for name in ("model.unmicst-tpu.msgpack", "hp.data",
+                 "model.ckpt.index", "model.ckpt.data-00000-of-00001"):
+        a = open(os.path.join(sync_dir, name), "rb").read()
+        b = open(os.path.join(async_dir, name), "rb").read()
+        assert a == b, name
+
+
+def test_async_save_error_surfaces(tmp_path, rng, monkeypatch):
+    """A worker-thread write failure re-raises at the next join point
+    (close), never disappears."""
+    cfg = tr.TrainConfig.for_variant("v2", n_aug=1, async_save=True)
+    _write_corpus(str(tmp_path / "data"), 2, 1, rng)
+    t = tr.Trainer(HP, cfg, str(tmp_path / "m"))
+    monkeypatch.setattr(
+        t, "_write_checkpoint",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("disk full")),
+    )
+    t.save()
+    import pytest
+
+    with pytest.raises(OSError, match="disk full"):
+        t.close()
+    t.close()  # error is consumed; close is idempotent after
+
+
 def test_render_montages(tmp_path, rng):
     cfg = tr.TrainConfig.for_variant("v2", n_aug=2)
     _write_corpus(str(tmp_path / "data"), 2, 2, rng)

@@ -88,6 +88,13 @@ class TrainConfig:
     # legacy draws a FRESH permutation every step and takes its head
     # (UnMicst.py:346-352) instead of the v2 cursor walk
     per_step_shuffle: bool = False
+    # Async checkpoint writes (opt-in).  save() snapshots params and
+    # opt_state with one cheap on-device copy (the donated buffers
+    # cannot be referenced past the next step) and a worker thread does
+    # the D2H pull + msgpack/TF1 serialization while training continues.
+    # Writes stay ordered (each save joins the previous); fit()/close()
+    # join before returning, and a worker failure re-raises there.
+    async_save: bool = False
     # Host-feed pipeline depth.  0 (default) = the inline reference
     # scheduling (assemble -> upload -> step, serialized).  N>0 runs
     # batch assembly + host->device transfer for the next N steps in a
@@ -464,6 +471,8 @@ class Trainer:
         self.lowest_error = np.inf
         self.step = 0
         self.restored = False
+        self._save_thread = None  # in-flight async checkpoint write
+        self._save_error = None
         self._metrics_file = None
         self._tb_train = self._tb_valid = None
         if log_path:
@@ -556,6 +565,8 @@ class Trainer:
         finally:
             if isinstance(feed, _PrefetchFeed):
                 feed.close()
+            # fit returns only once checkpoints are durable on disk
+            self._join_save()
         return self.lowest_error
 
     def _fit_loop(self, feed, key, t0, pending, verbose: bool) -> None:
@@ -607,18 +618,65 @@ class Trainer:
 
     def save(self) -> None:
         """Native checkpoint + reference-compatible sidecars
-        (``UnMicst1-5.py:289-290,527``)."""
+        (``UnMicst1-5.py:289-290,527``).
+
+        With ``cfg.async_save`` the write runs on a background thread.
+        The snapshot is one on-device copy (HBM-to-HBM, cheap vs the
+        D2H pull) — a bare reference would not survive the next step's
+        buffer donation (``make_train_step`` donates params/opt_state).
+        The worker then pulls the copy D2H and serializes while training
+        continues.  Writes are serialized (a new save joins the previous
+        one); a worker error re-raises at the next save, at
+        :meth:`close`, or when :meth:`fit` returns."""
+        if not self.cfg.async_save:
+            self._write_checkpoint(
+                self.params, self.opt_state, self.step, self.lowest_error
+            )
+            return
+
+        def _snap(x):
+            return jnp.copy(x) if isinstance(x, jax.Array) else x
+
+        state = (
+            jax.tree_util.tree_map(_snap, self.params),
+            jax.tree_util.tree_map(_snap, self.opt_state),
+            self.step,
+            self.lowest_error,
+        )
+        self._join_save()
+
+        def _worker():
+            try:
+                self._write_checkpoint(*state)
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                self._save_error = e
+
+        self._save_thread = threading.Thread(target=_worker, daemon=True)
+        self._save_thread.start()
+
+    def _join_save(self) -> None:
+        """Wait for an in-flight async save; re-raise its failure."""
+        t = self._save_thread
+        if t is not None:
+            t.join()
+            self._save_thread = None
+        if self._save_error is not None:
+            e, self._save_error = self._save_error, None
+            raise e
+
+    def _write_checkpoint(self, params, opt_state, step: int,
+                          lowest_error: float) -> None:
         from unmicst_tpu.core.checkpoint import save_native
 
         os.makedirs(self.model_path, exist_ok=True)
         from flax import serialization as _ser
 
-        host_params = jax.tree_util.tree_map(np.asarray, self.params)
+        host_params = jax.tree_util.tree_map(np.asarray, params)
         # persist the optimizer state too (reference Saver restores the
         # Momentum/Adam slots and globalStep, UnMicst1-5.py:445-447);
         # step+1 = the step a resumed run continues AT (save happens
         # before the in-loop increment)
-        host_opt = jax.tree_util.tree_map(np.asarray, self.opt_state)
+        host_opt = jax.tree_util.tree_map(np.asarray, opt_state)
         save_native(
             os.path.join(self.model_path, "model.unmicst-tpu.msgpack"),
             host_params,
@@ -627,8 +685,8 @@ class Trainer:
             self.cfg.dataset_mean,
             self.cfg.dataset_std,
             extra={
-                "step": self.step + 1,
-                "valid_error": self.lowest_error,
+                "step": step + 1,
+                "valid_error": lowest_error,
             },
             extra_arrays={"opt_state": _ser.to_state_dict(host_opt)},
         )
@@ -647,7 +705,7 @@ class Trainer:
             save_tf1_params(
                 os.path.join(self.model_path, "model.ckpt"),
                 host_params, self.hp, self.cfg.variant,
-                global_step=self.step + 1,
+                global_step=step + 1,
             )
             with open(os.path.join(self.model_path, "checkpoint"), "w") as f:
                 f.write('model_checkpoint_path: "model.ckpt"\n')
@@ -655,7 +713,9 @@ class Trainer:
 
     def close(self) -> None:
         """Flush and release the metrics/TensorBoard sinks (the reference
-        closes its writers, UnMicst1-5.py:530-532)."""
+        closes its writers, UnMicst1-5.py:530-532); joins any in-flight
+        async checkpoint write first."""
+        self._join_save()
         if self._metrics_file:
             self._metrics_file.close()
             self._metrics_file = None
@@ -676,6 +736,7 @@ class Trainer:
         ``UnMicst1-5.py:445-447``)."""
         from unmicst_tpu.core.checkpoint import load_native
 
+        self._join_save()  # never read a checkpoint mid-write
         path = path or os.path.join(self.model_path, "model.unmicst-tpu.msgpack")
         params, hp, variant, _, _, meta = load_native(path)
         if hp != self.hp or variant != self.cfg.variant:
