@@ -48,7 +48,24 @@ long long unmicst_lzw_decode(const uint8_t* src, long long src_len,
   auto emit = [&](int code) -> long long {
     // write the chain directly into dst, back to front (no temp copy)
     long long n = table[code].len;
-    if (out + n > dst_cap) return -1;
+    if (out + n > dst_cap) {
+      // chain crosses the buffer end: keep its head and stop at full —
+      // libtiff semantics for writer-padded final strips (the declared
+      // geometry, not the stream, bounds the output).  Cold path; an
+      // entry chain is at most one byte per table add since the last
+      // clear, so < 4096.
+      uint8_t tmp[4096];
+      if (n > (long long)sizeof(tmp)) return -1;
+      long long i = n;
+      int c = code;
+      while (c >= 0) {
+        tmp[--i] = table[c].byte;
+        c = table[c].prev;
+      }
+      std::memcpy(dst + out, tmp, (size_t)(dst_cap - out));
+      out = dst_cap;
+      return n;
+    }
     long long i = out + n;
     int c = code;
     while (c >= 0) {
@@ -113,6 +130,11 @@ long long unmicst_lzw_decode(const uint8_t* src, long long src_len,
       }
       prev_code = code;
     }
+    // output full: done.  Reading on would demand the EOI at the
+    // spec-exact width, but encoders with the classic early-change
+    // off-by-one at the final code exist in the wild (found by fuzz;
+    // PIL/libtiff accept such files by stopping exactly here).
+    if (out == dst_cap) break;
     // early change (TIFF spec 6.0)
     if (next_code >= (1 << nbits) - 1 && nbits < 12) ++nbits;
   }
@@ -126,17 +148,26 @@ long long unmicst_packbits_decode(const uint8_t* src, long long src_len,
     uint8_t h = src[i++];
     if (h < 128) {
       long long n = h + 1;
-      if (i + n > src_len || out + n > dst_cap) return -1;
+      if (i + n > src_len) return -1;
+      if (out + n > dst_cap) {  // writer-padded strip: truncate + stop
+        std::memcpy(dst + out, src + i, (size_t)(dst_cap - out));
+        return dst_cap;
+      }
       std::memcpy(dst + out, src + i, (size_t)n);
       i += n;
       out += n;
     } else if (h > 128) {
       long long n = 257 - h;
-      if (i >= src_len || out + n > dst_cap) return -1;
+      if (i >= src_len) return -1;
+      if (out + n > dst_cap) {  // writer-padded strip: truncate + stop
+        std::memset(dst + out, src[i], (size_t)(dst_cap - out));
+        return dst_cap;
+      }
       std::memset(dst + out, src[i], (size_t)n);
       ++i;
       out += n;
     }  // h == 128: no-op
+    if (out == dst_cap) return out;  // declared geometry reached: done
   }
   return out;
 }

@@ -77,10 +77,19 @@ FILE_CONTRACT = (
 
 
 # ---------------------------------------------------------------- encoders
-def lzw_encode(data: bytes) -> bytes:
+def lzw_encode(data: bytes, eoi_width: str = "spec") -> bytes:
     """Minimal TIFF-flavor LZW encoder (MSB-first, early change) used to
     mint valid streams for the decoder fuzz.  Matches the TIFF 6.0 spec
-    the decoders implement (reference behavior: tifffile's encoder)."""
+    the decoders implement (reference behavior: tifffile's encoder).
+
+    ``eoi_width``: the final flush code erases the decoder's one-entry
+    table lag, so when it lands exactly on an early-change boundary the
+    EOI must be written one bit wider ("spec").  "lagged" skips that
+    bump — the classic encoder off-by-one; such files exist in the wild
+    and decoders are expected to stop at the declared output size
+    instead of parsing the (misaligned) EOI.  The first fuzz campaign
+    with streams crossing this boundary caught all three of our decode
+    paths on it."""
     out = bytearray()
     bitbuf = 0
     bitcnt = 0
@@ -121,6 +130,10 @@ def lzw_encode(data: bytes) -> bytes:
         w = bytes([b])
     if w:
         put(table[w], nbits)
+        # the decoder appends an entry for this code (its lag vanishes)
+        if (eoi_width == "spec" and next_code >= (1 << nbits) - 1
+                and nbits < 12):
+            nbits += 1
     put(257, nbits)  # EOI
     if bitcnt:
         out.append((bitbuf << (8 - bitcnt)) & 0xFF)

@@ -82,8 +82,14 @@ _FIELD_TYPES = {
 }
 
 
-def _unpack_lzw(data: bytes) -> bytes:
-    """Decode TIFF-flavor LZW (MSB-first codes, early-change)."""
+def _unpack_lzw(data: bytes, max_out: int = 0) -> bytes:
+    """Decode TIFF-flavor LZW (MSB-first codes, early-change).
+
+    ``max_out`` > 0 stops (and truncates) once that many bytes are out —
+    libtiff semantics: the declared strip geometry, not the stream,
+    bounds the output.  Real-world encoders with the early-change
+    off-by-one at the final code before EOI need this (reading on would
+    misparse the EOI at the bumped width; found by differential fuzz)."""
     result = bytearray()
     table: List[bytes] = []
 
@@ -124,6 +130,8 @@ def _unpack_lzw(data: bytes) -> bytes:
                 raise ValueError("corrupt LZW stream")
             result += entry
             prev = entry
+        if max_out and len(result) >= max_out:
+            return bytes(result[:max_out])
         # early-change: bump code width one code early (TIFF spec 6.0)
         if len(table) >= (1 << nbits) - 1 and nbits < 12:
             nbits += 1
@@ -203,9 +211,8 @@ def _decode(data: bytes, compression: int, max_out: int = 0) -> bytes:
                 if out is not None:
                     return out
             except ValueError:
-                pass  # e.g. writer padded the final strip beyond max_out:
-                # the Python path decodes fully and the caller truncates
-        return _unpack_lzw(data)
+                pass  # native strict-contract miss: Python path below
+        return _unpack_lzw(data, max_out)
     if compression == COMPRESSION_PACKBITS:
         if max_out:
             from unmicst_tpu.io import _native
@@ -560,18 +567,18 @@ class TiffFile:
                               and page.dtype.itemsize in (1, 2)))
         )
 
-    def _batched_span_decode(self, page, offs, cnts, dst_offs, dst_lens,
-                             fallback_on_mismatch):
+    def _batched_span_decode(self, page, offs, cnts, dst_offs, dst_lens):
         """Span-gather + one-call native decode shared by the batched
         strip/tile readers: validates the segment layout (ascending,
         nonnegative), declines sparse spans (reading them would pull in
         unrelated bytes — the per-segment loops win there), reads the
         span once and decodes every segment straight into one uint8
-        buffer.  Returns the buffer, or None when the layout declines.
-        ``fallback_on_mismatch``: a segment decoding to other than its
-        exact dst_len returns None (tiles: writer slack is legal) rather
-        than raising (strips: exact lengths are computed, a mismatch is
-        corruption)."""
+        buffer.  Returns the buffer, or None when the layout declines or
+        any segment misses the strict native contract — the per-segment
+        chains are strictly more tolerant (native retry -> bounded
+        Python decode -> truncate; writer slack and lenient-encoder
+        lineages live in that gap), and genuinely corrupt segments still
+        raise from them with segment context."""
         from unmicst_tpu.io import _native
 
         n = len(offs)
@@ -605,9 +612,7 @@ class TiffFile:
             ):
                 return None
         except ValueError:
-            if fallback_on_mismatch:
-                return None
-            raise
+            return None
         return out8
 
     def _read_strips_batched(self, page, dtype, row_bytes, s0, s1):
@@ -631,9 +636,7 @@ class TiffFile:
         dst_offs = np.concatenate(
             ([0], np.cumsum(dst_lens[:-1]))
         ).astype(np.int64)
-        out8 = self._batched_span_decode(
-            page, offs, cnts, dst_offs, dst_lens, fallback_on_mismatch=False
-        )
+        out8 = self._batched_span_decode(page, offs, cnts, dst_offs, dst_lens)
         if out8 is None:
             return None
         band_rows = int(dst_lens.sum()) // row_bytes
@@ -671,9 +674,7 @@ class TiffFile:
         tile_bytes = th * tw * page.samples * (page.bits // 8)
         dst_offs = np.arange(n, dtype=np.int64) * tile_bytes
         dst_lens = np.full(n, tile_bytes, np.int64)
-        out8 = self._batched_span_decode(
-            page, offs, cnts, dst_offs, dst_lens, fallback_on_mismatch=True
-        )
+        out8 = self._batched_span_decode(page, offs, cnts, dst_offs, dst_lens)
         if out8 is None:
             return None
         arr = out8.view(dtype)
