@@ -208,6 +208,33 @@ def test_sweep_pinned_intensity_range(tmp_path):
 
 
 @needs_reference
+def test_sweep_pinned_range_scaled_stream(tmp_path):
+    """Pinned in_range composes with scaling_factor on the STREAMED sweep
+    path (advisor r4 high): raw-unit pins convert to the virtual resized
+    source's img_as_float units; streamed == whole within the resize
+    tolerance, and maps are non-constant (the bug clipped all to lo)."""
+    slides = _make_tree(tmp_path)
+    model_dir = os.path.join(REFERENCE, "models/nucleiDAPI")
+    img0 = imread(slides[0])
+    pin = (float(img0.min()), float(img0.max()))
+    rep_w = batch.run_sweep(
+        [slides[0]], model_dir, str(tmp_path / "w"), resume=False,
+        verbose=False, scaling_factor=0.5, in_range=pin,
+    )
+    rep_s = batch.run_sweep(
+        [slides[0]], model_dir, str(tmp_path / "st"), resume=False,
+        verbose=False, scaling_factor=0.5, in_range=pin,
+        stream_above_px=1,
+    )
+    assert not rep_w.failed and not rep_s.failed
+    for name in ("slide_NucleiPM_1.tif", "slide_ContoursPM_1.tif"):
+        x = imread(str(tmp_path / "w" / name))
+        y = imread(str(tmp_path / "st" / name))
+        assert np.abs(x.astype(int) - y.astype(int)).max() <= 2
+        assert y.min() != y.max()
+
+
+@needs_reference
 def test_sweep_channel_name(tmp_path, rng):
     """channel_name resolves per slide (different channel orders across
     files land on the right plane each time); a slide without the name

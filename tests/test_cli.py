@@ -351,6 +351,33 @@ def test_intensity_range_flag(tmp_path):
 
 
 @needs_reference
+def test_intensity_range_streaming_scaled(tmp_path):
+    """Raw-unit --intensityRange over the SCALED streaming path (advisor
+    r4 high): the pin must divide by the dtype full-scale before reaching
+    the unit-scale ResampledSource, or every pixel clips to lo and the
+    maps come out silently constant.  Pinned streamed == pinned whole at
+    the same scale, and the maps are non-constant."""
+    img_dir = tmp_path / "sample" / "registration"
+    img_dir.mkdir(parents=True)
+    crop = imread(
+        os.path.join(REFERENCE, "UNet sample data/registration/105.tif")
+    )[:192, :160]
+    imwrite(str(img_dir / "c.tif"), crop, bigtiff=False)
+    base = [str(img_dir / "c.tif"), "--tool", "unmicst-legacy",
+            "--stackOutput", "--scalingFactor", "0.5",
+            "--intensityRange", f"{float(crop.min())},{float(crop.max())}"]
+    assert cli.main(base + ["--outputPath", str(tmp_path / "w"),
+                            "--engine", "whole"]) == 0
+    assert cli.main(base + ["--outputPath", str(tmp_path / "st"),
+                            "--engine", "streaming"]) == 0
+    for k in range(3):
+        a = imread(str(tmp_path / "w" / "c_Probabilities_1.tif"), k)
+        b = imread(str(tmp_path / "st" / "c_Probabilities_1.tif"), k)
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+        assert b.min() != b.max()  # the bug produced constant maps
+
+
+@needs_reference
 def test_intensity_range_flag_streaming(tmp_path):
     """The streaming engine honors --intensityRange: pinning the data's
     own (min, max) equals the derived run bit-for-bit."""

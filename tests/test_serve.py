@@ -822,6 +822,38 @@ def test_roi_with_pinned_range(server_url, tmp_path, rng):
     ).max() > 2
 
 
+def test_serve_scale_with_pinned_range_streamed(tmp_path, rng):
+    """range= composes with scale= on the STREAMING branch (advisor r4
+    high): raw-unit pins convert into the unit-scale resampled source's
+    units; streamed == whole branch, and the maps are non-constant (the
+    bug clipped every pixel to lo)."""
+    from unmicst_tpu.io.tiff import imread
+
+    raw = (rng.rand(110, 84) * 60000).astype(np.uint16)
+    src = str(tmp_path / "s.tif")
+    imwrite(src, raw, bigtiff=False)
+    pin = [(float(raw.min()), float(raw.max()))]
+    root = os.path.join(REFERENCE, "models")
+    srv_whole = ModelServer(model_root=root, precision="float32")
+    a, _ = srv_whole.infer_tiff_path(
+        src, "nucleiDAPI", 0, True, -1, scale=0.5, in_range=pin
+    )
+    srv_stream = ModelServer(
+        model_root=root, precision="float32", stream_above_px=1
+    )
+    b, _ = srv_stream.infer_tiff_path(
+        src, "nucleiDAPI", 0, True, -1, scale=0.5, in_range=pin
+    )
+    pa, pb = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+    open(pa, "wb").write(a)
+    open(pb, "wb").write(b)
+    for k in range(3):
+        x = imread(pa, k).astype(int)
+        y = imread(pb, k).astype(int)
+        assert np.abs(x - y).max() <= 2
+        assert y.min() != y.max()
+
+
 def test_range_param_validation(server_url, tmp_path, rng):
     import urllib.error
 

@@ -266,7 +266,10 @@ def run_sweep(
                         net_src = pp.ResampledSource(src, scaling_factor)
                         contours, nuclei = stream_engine.infer(
                             net_src, outlier=outlier, classes=(1, 2),
-                            stats=in_range,
+                            # raw-unit pin -> img_as_float source units
+                            stats=pp.pinned_to_source_units(
+                                in_range, net_src
+                            ),
                         )
                         raw_shape = (src.height, src.width)
                         contours = pp.upscale_pm(contours, raw_shape)

@@ -407,22 +407,31 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
                 else (lambda src: src)
             )
             if tool == "unmicst-duo":
+                net_srcs = [wrap(srcs[c]) for c in chans]
                 maps = stream.infer_stack(
-                    [wrap(srcs[c]) for c in chans], outlier=args.outlier,
+                    net_srcs, outlier=args.outlier,
                     classes=classes,
-                    stats=pinned if pinned else (
-                        [shared_stats[c] for c in chans]
-                        if shared_stats else None
+                    # pinned ranges are raw-unit; ResampledSource streams
+                    # img_as_float units, so convert per source
+                    stats=(
+                        [pp.pinned_to_source_units(p, s)
+                         for p, s in zip(pinned, net_srcs)]
+                        if pinned else (
+                            [shared_stats[c] for c in chans]
+                            if shared_stats else None
+                        )
                     ),
                 )
             else:
+                net_src = wrap(srcs[dapi_channel])
                 maps = stream.infer(
-                    wrap(srcs[dapi_channel]),
+                    net_src,
                     outlier=args.outlier,
                     rescale=tool != "unmicst-solo",  # the v2-solo quirk
                     classes=classes,
                     stats=(
-                        pinned[0] if pinned
+                        pp.pinned_to_source_units(pinned[0], net_src)
+                        if pinned
                         else shared_stats.get(dapi_channel)
                     ),
                 )

@@ -73,6 +73,37 @@ def img_as_float(image: np.ndarray) -> np.ndarray:
     return image.astype(np.float64)
 
 
+# img_as_float divisor per integer dtype (float passes through, scale 1)
+_IMG_AS_FLOAT_SCALE = {
+    np.dtype(np.uint8): 255.0,
+    np.dtype(np.uint16): 65535.0,
+    np.dtype(np.uint32): 4294967295.0,
+    np.dtype(np.int16): 32767.0,
+    np.dtype(np.int32): 2147483647.0,
+}
+
+
+def pinned_to_source_units(pairs, source):
+    """Convert raw-pixel-unit pinned (lo, hi) rescale pairs into the units
+    ``source.read_rows`` yields.
+
+    :class:`ResampledSource` streams img_as_float unit-scale float32 rows
+    (the integer full-scale already divided out), while the streaming
+    engine applies ``stats=`` verbatim in source units — so raw-unit pins
+    must divide by the underlying dtype's full-scale or every pixel clips
+    to ``lo`` (silently constant maps).  Plain integer sources stream raw
+    units and pass through unchanged.  Accepts ``None``, one ``(lo, hi)``
+    pair, or a sequence of pairs; preserves the input structure.
+    """
+    scale = getattr(source, "raw_units_scale", None)
+    if pairs is None or scale is None or scale == 1.0:
+        return pairs
+    arr = np.asarray(pairs, dtype=np.float64) / scale
+    if arr.ndim == 1:
+        return tuple(arr.tolist())
+    return [tuple(p) for p in arr.tolist()]
+
+
 def _fold_coords(coords: np.ndarray, n: int):
     """Mirror-fold sample coords into [0, n-1] and split into (lo index,
     lerp fraction) — scipy's mode="mirror" for the single-reflection
@@ -200,20 +231,31 @@ class ResampledSource:
                 if source.dtype == np.float32 else source
             )
             in_h, in_w = raw.shape
+            read_dtype = raw.dtype
             self._read = lambda a, b: raw[a:b]
         elif hasattr(source, "read_rows"):
             in_h, in_w = source.height, source.width
+            # ChannelSource.dtype is already post parity-cast
+            read_dtype = np.dtype(source.dtype)
             self._read = lambda a, b: source.read_rows(a, b - a)
         else:
             tf, page = source
             in_h, in_w = tf.pages[page].height, tf.pages[page].width
             cast = np.dtype(tf.pages[page].dtype) == np.float32
+            read_dtype = (
+                np.dtype(np.uint16) if cast
+                else np.dtype(tf.pages[page].dtype)
+            )
 
             def _read(a, b, _tf=tf, _page=page, _w=in_w, _cast=cast):
                 rows = _tf.read_region(_page, a, 0, b - a, _w)
                 return rows.astype(np.uint16) if _cast else rows
 
             self._read = _read
+        # resize_rows normalizes integer rows through img_as_float, so this
+        # source's units are raw / raw_units_scale — callers pinning
+        # raw-unit rescale ranges must divide by it (pinned_to_source_units)
+        self.raw_units_scale = _IMG_AS_FLOAT_SCALE.get(read_dtype, 1.0)
         self.raw_shape = (in_h, in_w)
         self.height = int(float(in_h) * float(scaling_factor))
         self.width = int(float(in_w) * float(scaling_factor))

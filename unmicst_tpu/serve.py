@@ -465,11 +465,18 @@ class ModelServer:
                     ins = [_pp.ResampledSource(s, scale) for s in srcs]
                 else:
                     ins = srcs
+                # range= pins are raw-unit; at scale != 1 the sources
+                # stream img_as_float units, so convert per source
+                from unmicst_tpu.io.preprocess import (
+                    pinned_to_source_units as _p2s,
+                )
+
                 if len(ins) > 1:
                     maps = eng.infer_stack(
                         ins, outlier=outlier, rescale=rescale,
                         stats=(
-                            [tuple(p) for p in in_range]
+                            [_p2s(tuple(p), s)
+                             for p, s in zip(in_range, ins)]
                             if in_range is not None else None
                         ),
                     )
@@ -477,7 +484,7 @@ class ModelServer:
                     maps = eng.infer(
                         ins[0], outlier=outlier, rescale=rescale,
                         stats=(
-                            tuple(in_range[0])
+                            _p2s(tuple(in_range[0]), ins[0])
                             if in_range is not None else None
                         ),
                     )
