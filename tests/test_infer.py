@@ -355,3 +355,99 @@ def test_pinned_range_composes_with_scale_classes_int8(small_model, rng):
     a = q1.infer_slide(raw)
     b = q2.infer_slide(raw, in_range=pin)
     np.testing.assert_array_equal(a, b)
+
+
+def test_device_plane_pans_match_host(small_model, rng):
+    """Device-resident slide path (viewer pans): a band cut ON DEVICE
+    from a pinned plane is byte-identical to feeding the same band from
+    host, every same-sized window shares ONE program (offsets are
+    traced), and out-of-plane bands raise instead of silently clamping."""
+    hp, params = small_model
+    eng = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8)
+    raw = (rng.rand(200, 180) * 60000).astype(np.uint16)
+    plane = eng.device_plane(raw)
+
+    def n_dev():
+        return sum(
+            1 for k in eng._compiled._entries if k[0] == "slide_dev"
+        )
+
+    n0 = n_dev()
+    pin = (float(raw.min()), float(raw.max()))
+    for r0, c0 in [(0, 0), (56, 0), (0, 76), (104, 84), (3, 5)]:
+        dev = eng.infer_slide_device(
+            plane, r0, c0, 96, 96, in_range=pin
+        )
+        host = eng.infer_slide(
+            np.ascontiguousarray(raw[r0:r0 + 96, c0:c0 + 96]),
+            in_range=pin,
+        )
+        np.testing.assert_array_equal(dev, host, err_msg=f"{(r0, c0)}")
+    assert n_dev() - n0 == 1  # all five offsets rode one program
+    # band-local (derived) stats also match the host band path
+    dev = eng.infer_slide_device(plane, 8, 16, 96, 96, outlier=99.0)
+    host = eng.infer_slide(
+        np.ascontiguousarray(raw[8:104, 16:112]), outlier=99.0
+    )
+    np.testing.assert_array_equal(dev, host)
+    # out-of-plane bands must error, not clamp to a shifted window
+    for bad in [(-1, 0), (120, 0), (0, 100)]:
+        with pytest.raises(ValueError, match="outside"):
+            eng.infer_slide_device(plane, bad[0], bad[1], 96, 96)
+    # float32 sources parity-cast exactly like infer_slide
+    rawf = rng.rand(64, 64).astype(np.float32) * 300
+    pf = eng.device_plane(rawf)
+    np.testing.assert_array_equal(
+        eng.infer_slide_device(pf, 0, 0, 64, 64),
+        eng.infer_slide(rawf),
+    )
+
+
+def test_device_plane_stack_pans_match_host(rng):
+    """Duo: pinned [C, H, W] stack pans == host stack bands, including
+    per-channel pinned ranges; channel-count mismatches raise."""
+    hp = HParams(
+        im_size=32, n_channels=2, n_classes=3, n_out0=4, ks=3, n_layers=1
+    )
+    params = unet.init_params(jax.random.PRNGKey(0), hp, "duo")
+    eng = InferenceEngine(hp, params, "duo", 0.2, 0.3, tile_batch=8)
+    raws = (rng.rand(2, 150, 120) * 60000).astype(np.uint16)
+    planes = eng.device_plane(raws)
+    pin = [(float(r.min()), float(r.max())) for r in raws]
+    for r0, c0 in [(0, 0), (30, 40), (86, 56)]:
+        dev = eng.infer_slide_stack_device(
+            planes, r0, c0, 64, 64, in_range=pin
+        )
+        host = eng.infer_slide_stack(
+            [np.ascontiguousarray(r[r0:r0 + 64, c0:c0 + 64])
+             for r in raws],
+            in_range=pin,
+        )
+        np.testing.assert_array_equal(dev, host, err_msg=f"{(r0, c0)}")
+    with pytest.raises(ValueError, match="channels"):
+        eng.infer_slide_stack_device(planes[:1], 0, 0, 64, 64)
+
+
+def test_device_plane_int8_calibration(small_model, rng):
+    """An int8 engine calibrates when the plane is pinned; an
+    uncalibrated engine given a foreign plane refuses loudly; the
+    device pan equals the host int8 pan."""
+    hp, params = small_model
+    raw = (rng.rand(160, 160) * 60000).astype(np.uint16)
+    q1 = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8,
+                         quantized=True)
+    plane = q1.device_plane(raw)  # calibrates q1 on the full plane
+    assert q1._quant is not None
+    dev = q1.infer_slide_device(plane, 32, 32, 96, 96)
+    # same QuantState, host-fed band: byte-identical
+    host = q1.infer_slide(np.ascontiguousarray(raw[32:128, 32:128]))
+    np.testing.assert_array_equal(dev, host)
+    # pin-time calibration == infer_slide's own full-plane calibration
+    q2 = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8,
+                         quantized=True)
+    np.testing.assert_array_equal(q2.infer_slide(raw),
+                                  q1.infer_slide(raw))
+    q3 = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8,
+                         quantized=True)
+    with pytest.raises(RuntimeError, match="uncalibrated"):
+        q3.infer_slide_device(jnp.asarray(raw), 0, 0, 96, 96)

@@ -1197,3 +1197,139 @@ def test_prewarm_on_upload(server_url, tmp_path, rng):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=60)
         assert ei.value.code == 400, bad
+
+
+def test_device_cached_pans_zero_h2d(server_url, tmp_path, rng,
+                                     monkeypatch):
+    """The viewer fast path: roi= pans against slide=ID pin the plane
+    into device memory once — after that a pan reads ZERO raw rows from
+    the container (the band is dynamic_slice'd on device) and the
+    response is byte-identical to the body-POST host path."""
+    from unmicst_tpu.io import slides as slides_mod
+
+    img = (rng.rand(600, 500) * 60000).astype(np.uint16)
+    p = str(tmp_path / "devpan.tif")
+    imwrite(p, img)
+    body = open(p, "rb").read()
+
+    def post(path_q, data):
+        req = urllib.request.Request(
+            server_url + path_q, data=data, method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.read(), dict(r.headers)
+
+    sid = json.loads(post("/slides", body)[0])["slide_id"]
+    q = "model=nucleiDAPI&channel=0&range=0,65535"
+    # first pan pins the plane (one full-plane read), later pans are
+    # body-less AND read-less
+    post(f"/infer?{q}&slide={sid}&roi=40,16,64,96", None)
+
+    calls = []
+    orig = slides_mod.ChannelSource.read_rows
+
+    def counting(self, r0, nrows):
+        calls.append((r0, nrows))
+        return orig(self, r0, nrows)
+
+    monkeypatch.setattr(slides_mod.ChannelSource, "read_rows", counting)
+    cached, _ = post(f"/infer?{q}&slide={sid}&roi=300,200,64,96", None)
+    assert calls == []  # no raw rows rode the host link
+    monkeypatch.undo()
+    hosted, _ = post(f"/infer?{q}&roi=300,200,64,96", body)
+    assert cached == hosted  # byte-identical TIFF vs the host path
+
+    with urllib.request.urlopen(server_url + "/stats", timeout=30) as r:
+        st = json.loads(r.read())
+    assert st["device_pins"] >= 1 and st["device_pans"] >= 2
+    assert st["device_plane_bytes_used"] >= img.nbytes
+
+
+def test_device_cached_pans_duo(tmp_path, rng):
+    """Duo (2-channel) pans pin a [C, H, W] stack; device == host."""
+    from tests.test_cli_variants import _make_model_dir
+    from unmicst_tpu.core.hp import HParams
+
+    zoo = str(tmp_path / "zoo")
+    os.makedirs(zoo)
+    _make_model_dir(
+        zoo, "duoTest",
+        HParams(im_size=32, n_channels=2, n_classes=3, n_out0=4, ks=3,
+                n_layers=2),
+        "duo",
+    )
+    srv = ModelServer(model_root=zoo, precision="float32")
+    src = str(tmp_path / "in.tif")
+    for i in range(2):
+        imwrite(src, (rng.rand(200, 180) * 60000).astype(np.uint16),
+                bigtiff=False, append=i > 0)
+    roi = (30, 40, 64, 64)
+    hosted, _ = srv.infer_tiff_path(src, "duoTest", [0, 1], True, -1,
+                                    roi=roi)
+    cached, _ = srv.infer_tiff_path(src, "duoTest", [0, 1], True, -1,
+                                    roi=roi, slide_id="deadbeef")
+    cached2, _ = srv.infer_tiff_path(src, "duoTest", [0, 1], True, -1,
+                                     roi=roi, slide_id="deadbeef")
+    assert cached == hosted == cached2
+    st = srv.snapshot()
+    assert st["device_pins"] == 1 and st["device_pans"] == 2
+
+
+def test_device_cache_budget_and_eviction(tmp_path, rng):
+    """Over-budget slides fall back to the host path (still correct);
+    within-budget planes LRU-evict so HBM use stays bounded."""
+    from http.server import ThreadingHTTPServer
+
+    plane_bytes = 300 * 250 * 2
+    srv = ModelServer(
+        model_root=os.path.join(REFERENCE, "models"),
+        precision="float32",
+        device_slide_bytes=int(plane_bytes * 1.5),  # fits ONE plane
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    def post(path_q, data):
+        req = urllib.request.Request(
+            url + path_q, data=data, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.read()
+
+    try:
+        sids = []
+        for i in range(2):
+            img = (rng.rand(300, 250) * 60000).astype(np.uint16)
+            p = str(tmp_path / f"dev{i}.tif")
+            imwrite(p, img, bigtiff=False)
+            sids.append(
+                json.loads(post("/slides", open(p, "rb").read()))
+                ["slide_id"]
+            )
+        for sid in sids:
+            post(f"/infer?model=nucleiDAPI&channel=0&slide={sid}"
+                 "&roi=50,50,64,64", None)
+        st = srv.snapshot()
+        assert st["device_pins"] == 2  # both pinned...
+        assert st["device_planes_pinned"] == 1  # ...first LRU-evicted
+        assert st["device_plane_bytes_used"] <= srv.device_slide_bytes
+
+        # an over-budget slide (plane > bound) serves via the host path
+        big = (rng.rand(500, 400) * 60000).astype(np.uint16)
+        p = str(tmp_path / "big.tif")
+        imwrite(p, big, bigtiff=False)
+        sid = json.loads(post("/slides", open(p, "rb").read()))["slide_id"]
+        out = post(f"/infer?model=nucleiDAPI&channel=0&slide={sid}"
+                   "&roi=50,50,64,64", None)
+        assert out
+        st = srv.snapshot()
+        assert st["device_pins"] == 2  # unchanged: it was not pinned
+
+        # disabled cache (bytes=0) never pins
+        srv.device_slide_bytes = 0
+        post(f"/infer?model=nucleiDAPI&channel=0&slide={sids[1]}"
+             "&roi=10,10,64,64", None)
+    finally:
+        httpd.shutdown()

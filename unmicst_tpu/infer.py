@@ -25,7 +25,7 @@ Parity note: the reference accumulates in float16 (``PartitionOfImage.py:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -486,7 +486,8 @@ class InferenceEngine:
     def _build_slide(self, height: int, width: int, in_dtype, outlier,
                      rescale: bool, classes=None, n_in: int = 0,
                      scaling_factor: float = 1.0,
-                     fixed_range: bool = False):
+                     fixed_range: bool = False,
+                     plane_shape: Optional[Tuple[int, int]] = None):
         """Jitted raw-slide pipeline: uint8/uint16 in, uint8 maps out.
 
         Fuses the host preprocessing (``UnMicst1-5.py:817-821``:
@@ -512,6 +513,13 @@ class InferenceEngine:
         data — windowed/ROI requests normalized with a pinned global
         range match a full-slide run's normalization exactly, and every
         pinned range shares one compiled program.
+
+        ``plane_shape``: device-resident slide mode — the raw argument is
+        the FULL pinned (plane_h, plane_w) plane (or [n_in, ...] stack)
+        already living in HBM, and ``run`` takes traced (r0, c0) offsets:
+        the (height, width) band is cut with ``dynamic_slice`` ON DEVICE,
+        so a viewer pan costs zero host->device pixel traffic.  Offsets
+        being traced, every same-sized window shares one program.
         """
         from unmicst_tpu.core.resize_dev import ResizePlan
 
@@ -580,7 +588,31 @@ class InferenceEngine:
             )
             return jnp.moveaxis((r * 255.0).astype(jnp.uint8), 0, -1)
 
-        if fixed_range:
+        if plane_shape is not None:
+
+            def cut(plane, r0, c0):
+                if n_in == 0:
+                    return jax.lax.dynamic_slice(
+                        plane, (r0, c0), (height, width)
+                    )
+                return jax.lax.dynamic_slice(
+                    plane, (jnp.int32(0), r0, c0), (n_in, height, width)
+                )
+
+            if fixed_range:
+
+                def run(params, plane, win, r0, c0, lo, hi, quant=None):
+                    return body(params, cut(plane, r0, c0), win, quant,
+                                lo=lo, hi=hi)
+
+            else:
+
+                def run(params, plane, win, r0, c0, q=jnp.float32(0.0),
+                        quant=None):
+                    return body(params, cut(plane, r0, c0), win, quant,
+                                q=q)
+
+        elif fixed_range:
 
             def run(params, raw, win, lo, hi, quant=None):
                 return body(params, raw, win, quant, lo=lo, hi=hi)
@@ -647,6 +679,164 @@ class InferenceEngine:
         elif outlier != -1:
             args.append(jnp.float32(outlier))
         out = jitted(*args, quant=qs)
+        return np.moveaxis(np.asarray(out), -1, 0)
+
+    # -- device-resident slide (zero-H2D viewer pans) -------------------------
+
+    def _window_dev(self):
+        """The blend window as a cached device array — windowed serving
+        calls are otherwise charged one small H2D per request."""
+        if getattr(self, "_win_dev", None) is None:
+            self._win_dev = jnp.asarray(
+                tiler.ramp_window(self.hp.im_size, self.hp.margin)
+            )
+        return self._win_dev
+
+    def device_plane(self, raw, outlier: float = -1, rescale: bool = True,
+                     in_range=None):
+        """Pin a raw slide plane ([H, W]) or channel stack ([C, H, W])
+        into device HBM for repeated windowed inference.
+
+        Upload ONCE; every :meth:`infer_slide_device` pan after that cuts
+        its band with an on-device ``dynamic_slice`` — zero per-pan
+        host->device pixel traffic (the reference re-feeds every window
+        from host, ``UnMicst.py:520-541``).  float32 planes parity-cast
+        to uint16 (``UnMicst1-5.py:807-808``).  An int8-quantized engine
+        calibrates from this plane (host side) before the upload, so the
+        device path serves quantized too.
+        """
+        a = np.asarray(raw)
+        if a.dtype == np.float32:
+            a = a.astype(np.uint16)
+        if self.quantized and self._quant is None:
+            self._quant_for_raw(a, outlier, rescale, in_range=in_range)
+        return jax.device_put(a)
+
+    def _band_checked(self, plane, ndim: int, r0: int, c0: int,
+                      height: int, width: int):
+        if plane.ndim != ndim:
+            raise ValueError(
+                f"pinned plane must be {ndim}-D, got shape {plane.shape}"
+            )
+        ph, pw = plane.shape[-2:]
+        r0, c0 = int(r0), int(c0)
+        if not (0 <= r0 and 0 <= c0 and r0 + height <= ph
+                and c0 + width <= pw):
+            # dynamic_slice silently clamps out-of-range starts — the
+            # caller would get a shifted window, not an error
+            raise ValueError(
+                f"band ({r0},{c0})+{height}x{width} outside the "
+                f"{ph}x{pw} pinned plane"
+            )
+        return ph, pw
+
+    def infer_slide_device(
+        self,
+        plane,
+        r0: int,
+        c0: int,
+        height: int,
+        width: int,
+        outlier: float = -1,
+        rescale: bool = True,
+        classes=None,
+        scaling_factor: float = 1.0,
+        in_range=None,
+    ) -> np.ndarray:
+        """Windowed inference against a :meth:`device_plane`-pinned slide:
+        uint8 [K, height, width] maps for the band at (r0, c0).
+
+        :meth:`infer_slide` semantics on the band's pixels (byte-identical
+        output), but the band never rides the host link — it is cut
+        on-device from the pinned plane, and (r0, c0) are traced scalars
+        so every same-sized window hits one compiled program.
+        """
+        if self.quantized and self._quant is None:
+            raise RuntimeError(
+                "int8 engine is uncalibrated: pin the slide with "
+                "device_plane(...) (which calibrates) or run one host-path "
+                "request first"
+            )
+        classes = self._check_classes(classes)
+        fixed = in_range is not None
+        if fixed:
+            if not rescale:
+                raise ValueError("in_range requires rescale=True")
+            ir = _normalize_in_range(in_range, 1)
+        ph, pw = self._band_checked(plane, 2, r0, c0, height, width)
+        dt = np.dtype(plane.dtype)
+        key = ("slide_dev", ph, pw, height, width, dt,
+               outlier != -1 and not fixed, rescale, classes,
+               float(scaling_factor), fixed)
+        jitted = self._compiled.get_or_build(
+            key,
+            lambda: self._build_slide(
+                height, width, dt, outlier, rescale, classes,
+                scaling_factor=scaling_factor, fixed_range=fixed,
+                plane_shape=(ph, pw),
+            ),
+        )
+        args = [self.params, plane, self._window_dev(),
+                jnp.int32(r0), jnp.int32(c0)]
+        if fixed:
+            args.extend(_range_args(ir, dt))
+        elif outlier != -1:
+            args.append(jnp.float32(outlier))
+        out = jitted(*args, quant=self._quant)
+        return np.moveaxis(np.asarray(out), -1, 0)
+
+    def infer_slide_stack_device(
+        self,
+        planes,
+        r0: int,
+        c0: int,
+        height: int,
+        width: int,
+        outlier: float = -1,
+        rescale: bool = True,
+        classes=None,
+        scaling_factor: float = 1.0,
+        in_range=None,
+    ) -> np.ndarray:
+        """:meth:`infer_slide_device` for a pinned [C, H, W] channel stack
+        (duo plumbing, per-channel ranges)."""
+        if self.quantized and self._quant is None:
+            raise RuntimeError(
+                "int8 engine is uncalibrated: pin the slide with "
+                "device_plane(...) (which calibrates) or run one host-path "
+                "request first"
+            )
+        classes = self._check_classes(classes)
+        n_in = int(planes.shape[0])
+        if n_in != self.hp.n_channels:
+            raise ValueError(
+                f"model expects {self.hp.n_channels} channels, got {n_in}"
+            )
+        fixed = in_range is not None
+        if fixed:
+            if not rescale:
+                raise ValueError("in_range requires rescale=True")
+            ir = _normalize_in_range(in_range, n_in)
+        ph, pw = self._band_checked(planes, 3, r0, c0, height, width)
+        dt = np.dtype(planes.dtype)
+        key = ("slide_stack_dev", ph, pw, height, width, dt,
+               outlier != -1 and not fixed, rescale, classes,
+               float(scaling_factor), fixed)
+        jitted = self._compiled.get_or_build(
+            key,
+            lambda: self._build_slide(
+                height, width, dt, outlier, rescale, classes,
+                n_in=n_in, scaling_factor=scaling_factor,
+                fixed_range=fixed, plane_shape=(ph, pw),
+            ),
+        )
+        args = [self.params, planes, self._window_dev(),
+                jnp.int32(r0), jnp.int32(c0)]
+        if fixed:
+            args.extend(_range_args(ir, dt))
+        elif outlier != -1:
+            args.append(jnp.float32(outlier))
+        out = jitted(*args, quant=self._quant)
         return np.moveaxis(np.asarray(out), -1, 0)
 
     # -- device-side multi-channel (duo) slide path --------------------------

@@ -94,6 +94,7 @@ class ModelServer:
         max_scaled_px: int = 1 << 30,
         calibration_percentile: float = 99.99,
         slide_cache_bytes: int = 4 << 30,
+        device_slide_bytes: int = 2 << 30,
     ):
         self.model_root = model_root
         self.precision = precision
@@ -122,6 +123,7 @@ class ModelServer:
             "busy_rejected": 0, "px_processed": 0, "infer_s_total": 0.0,
             "slide_uploads": 0, "slide_hits": 0, "by_model": {},
             "prewarmed": 0, "prewarm_errors": 0, "prewarm_pending": 0,
+            "device_pins": 0, "device_pans": 0,
         }
         # content-addressed slide cache (POST /slides): interactive
         # viewers upload a slide ONCE and issue body-less roi= requests
@@ -131,6 +133,16 @@ class ModelServer:
         self._slides: Dict[str, dict] = {}  # id -> {path,bytes,used,refs}
         self._slide_total = 0
         self._slide_dir: Optional[str] = None
+        # device-RESIDENT plane cache: an 8k^2 uint16 slide is 128 MB —
+        # it fits in HBM whole, so pin it there once and let every roi=
+        # pan cut its band ON DEVICE (dynamic_slice, traced offsets):
+        # zero per-pan host->device pixel traffic, where the host path
+        # re-uploads a ~MB raw band through a ~20 MB/s link per pan
+        self.device_slide_bytes = int(device_slide_bytes)
+        self._dev_lock = threading.Lock()
+        # (slide_id, channels) -> {event,plane,bytes,used,error}
+        self._dev_planes: Dict[tuple, dict] = {}
+        self._dev_total = 0
 
     def _count(self, **deltas) -> None:
         with self._stats_lock:
@@ -150,6 +162,9 @@ class ModelServer:
         with self._slide_lock:
             out["slides_cached"] = len(self._slides)
             out["slide_cache_bytes_used"] = self._slide_total
+        with self._dev_lock:
+            out["device_planes_pinned"] = len(self._dev_planes)
+            out["device_plane_bytes_used"] = self._dev_total
         return out
 
     # -- slide cache (upload once, infer many) -------------------------------
@@ -199,6 +214,7 @@ class ModelServer:
                     os.unlink(v["path"])
                 except OSError:
                     pass
+                self._drop_device_planes(vid)
         self._count(slide_uploads=1)
         return {"slide_id": sid, "bytes": nbytes, "deduplicated": False}
 
@@ -221,6 +237,84 @@ class ModelServer:
             ent = self._slides.get(slide_id)
             if ent is not None and ent["refs"] > 0:
                 ent["refs"] -= 1
+
+    # -- device-resident planes (zero-H2D viewer pans) ------------------------
+
+    def _drop_device_planes(self, slide_id: str) -> None:
+        """Release the HBM planes of an evicted slide (in-flight pans
+        keep the arrays alive via their local references; the HBM frees
+        when the last one drops)."""
+        with self._dev_lock:
+            for k in [k for k in self._dev_planes if k[0] == slide_id]:
+                v = self._dev_planes.pop(k)
+                if v["event"].is_set() and v["error"] is None:
+                    self._dev_total -= v["bytes"]
+
+    def _device_plane_for(self, slide_key, srcs, eng):
+        """The pinned HBM plane(s) ([H, W] or [C, H, W]) for a cached
+        slide, uploading ONCE on first use — or None when the device
+        cache is disabled, the slide exceeds ``device_slide_bytes``, or
+        an int8 engine has not calibrated yet (the first request then
+        rides the host path, which calibrates; later pans go device).
+
+        Keyed by (slide_id, channel tuple): the pixels are engine-
+        independent (``ChannelSource`` already parity-casts float32
+        sources to uint16 at read time), so every model shares one
+        upload.  LRU-bounded; concurrent first pans wait on the one
+        builder instead of double-uploading.  Build failures fall back
+        to the host path (which surfaces the real IO error)."""
+        if slide_key is None or self.device_slide_bytes <= 0:
+            return None
+        if eng.quantized and eng._quant is None:
+            return None
+        h, w = srcs[0].height, srcs[0].width
+        nbytes = sum(
+            h * w * np.dtype(s.dtype).itemsize for s in srcs
+        )
+        if nbytes > self.device_slide_bytes:
+            return None
+        with self._dev_lock:
+            ent = self._dev_planes.get(slide_key)
+            if ent is None:
+                ent = {"event": threading.Event(), "plane": None,
+                       "bytes": nbytes, "used": time.time(), "error": None}
+                self._dev_planes[slide_key] = ent
+                builder = True
+            else:
+                ent["used"] = time.time()
+                builder = False
+        if builder:
+            try:
+                raw = (srcs[0].read_rows(0, h) if len(srcs) == 1
+                       else np.stack([s.read_rows(0, h) for s in srcs]))
+                ent["plane"] = eng.device_plane(raw)
+            except BaseException as e:  # noqa: BLE001 — non-fatal cache
+                ent["error"] = e
+                with self._dev_lock:
+                    self._dev_planes.pop(slide_key, None)
+                ent["event"].set()
+                return None
+            ent["event"].set()
+            self._count(device_pins=1)
+            with self._dev_lock:
+                self._dev_total += nbytes
+                while self._dev_total > self.device_slide_bytes:
+                    victims = sorted(
+                        (e["used"], k)
+                        for k, e in self._dev_planes.items()
+                        if e is not ent and e["event"].is_set()
+                        and e["error"] is None
+                    )
+                    if not victims:
+                        break
+                    _, vk = victims[0]
+                    v = self._dev_planes.pop(vk)
+                    self._dev_total -= v["bytes"]
+        else:
+            ent["event"].wait()
+            if ent["error"] is not None:
+                return None
+        return ent["plane"]
 
     def prewarm_slide(self, slide_id: str, model: str, roi_h: int,
                       roi_w: int, channel=0, rescale: bool = True,
@@ -271,6 +365,7 @@ class ModelServer:
                         path, model, channel, rescale, outlier,
                         scale=scale, roi=(r0, c0, roi_h, roi_w),
                         in_range=in_range, channel_names=channel_names,
+                        slide_id=slide_id,
                     )
                 finally:
                     self._inflight.release()
@@ -375,7 +470,7 @@ class ModelServer:
         outlier: float, compress: Optional[str] = None,
         scale: float = 1.0, pyramid: bool = False,
         roi: Optional[Tuple[int, int, int, int]] = None,
-        in_range=None, channel_names=None,
+        in_range=None, channel_names=None, slide_id: Optional[str] = None,
     ) -> Tuple[bytes, dict]:
         """Run channel(s) of any supported container (TIFF/CZI/ND2 —
         sniffed from magic bytes, uploads carry no trustworthy name)
@@ -436,6 +531,10 @@ class ModelServer:
                     srcs, shape, model, roi, rescale, outlier,
                     compress=compress, scale=scale, pyramid=pyramid,
                     in_range=in_range,
+                    slide_key=(
+                        (slide_id, tuple(channels))
+                        if slide_id is not None else None
+                    ),
                 )
             if (scale > 1
                     and shape[0] * shape[1] * scale * scale
@@ -521,7 +620,7 @@ class ModelServer:
     def _infer_roi(self, srcs, shape, model: str, roi, rescale: bool,
                    outlier: float, compress: Optional[str] = None,
                    scale: float = 1.0, pyramid: bool = False,
-                   in_range=None) -> Tuple[bytes, dict]:
+                   in_range=None, slide_key=None) -> Tuple[bytes, dict]:
         """Windowed inference for ``roi=(r0, c0, h, w)``: read a window
         with one net-tile of context on ALL FOUR sides, infer it on the
         whole-image engine, trim to the ROI.
@@ -572,26 +671,51 @@ class ModelServer:
                 f"{self.stream_above_px}; request a smaller window or "
                 "drop roi= to stream the whole slide"
             )
-        bands = [
-            # read_rows takes (start, COUNT) — passing b read b rows
-            # (zero-padded past EOF): correct pixels but an inflated
-            # band and a fresh compile per offset
-            np.ascontiguousarray(s.read_rows(a, b - a)[:, ca:cb])
-            for s in srcs
-        ]
-        t0 = time.perf_counter()
-        if len(bands) > 1:
-            maps = eng.infer_slide_stack(
-                bands, outlier=outlier, rescale=rescale,
-                scaling_factor=scale, in_range=in_range,
-            )
+        plane = self._device_plane_for(slide_key, srcs, eng)
+        if plane is not None:
+            # cached-slide fast path: the band is dynamic_slice'd from
+            # the pinned HBM plane — no read_rows, no per-pan H2D; the
+            # traced offsets make every same-sized window one program
+            t0 = time.perf_counter()
+            if len(srcs) > 1:
+                maps = eng.infer_slide_stack_device(
+                    plane, a, ca, b - a, cb - ca, outlier=outlier,
+                    rescale=rescale, scaling_factor=scale,
+                    in_range=in_range,
+                )
+            else:
+                maps = eng.infer_slide_device(
+                    plane, a, ca, b - a, cb - ca, outlier=outlier,
+                    rescale=rescale, scaling_factor=scale,
+                    in_range=(
+                        in_range[0] if in_range is not None else None
+                    ),
+                )
+            infer_s = time.perf_counter() - t0
+            self._count(device_pans=1)
         else:
-            maps = eng.infer_slide(
-                bands[0], outlier=outlier, rescale=rescale,
-                scaling_factor=scale,
-                in_range=in_range[0] if in_range is not None else None,
-            )
-        infer_s = time.perf_counter() - t0
+            bands = [
+                # read_rows takes (start, COUNT) — passing b read b rows
+                # (zero-padded past EOF): correct pixels but an inflated
+                # band and a fresh compile per offset
+                np.ascontiguousarray(s.read_rows(a, b - a)[:, ca:cb])
+                for s in srcs
+            ]
+            t0 = time.perf_counter()
+            if len(bands) > 1:
+                maps = eng.infer_slide_stack(
+                    bands, outlier=outlier, rescale=rescale,
+                    scaling_factor=scale, in_range=in_range,
+                )
+            else:
+                maps = eng.infer_slide(
+                    bands[0], outlier=outlier, rescale=rescale,
+                    scaling_factor=scale,
+                    in_range=(
+                        in_range[0] if in_range is not None else None
+                    ),
+                )
+            infer_s = time.perf_counter() - t0
         maps = np.ascontiguousarray(
             maps[:, r0 - a : r0 - a + h, c0 - ca : c0 - ca + w]
         )
@@ -1031,7 +1155,7 @@ def make_handler(server: ModelServer):
                     path, model, channel, rescale, outlier,
                     compress=compress, scale=scale,
                     pyramid=pyramid, roi=roi, in_range=in_range,
-                    channel_names=channel_names,
+                    channel_names=channel_names, slide_id=slide_id,
                 )
                 return out, meta, None
 
@@ -1180,12 +1304,19 @@ def main(argv=None) -> int:
         "(LRU eviction; viewers upload once, then issue body-less "
         "slide=ID requests)",
     )
+    p.add_argument(
+        "--deviceSlideBytes", type=int, default=2 << 30,
+        help="HBM byte bound for device-RESIDENT cached-slide planes: "
+        "roi= pans against slide=ID cut their band on-device (zero "
+        "per-pan host->device pixel traffic). 0 disables",
+    )
     args = p.parse_args(argv)
     serve(args.host, args.port, model_root=args.modelRoot,
           precision=args.precision, max_body_bytes=args.maxBodyBytes,
           max_inflight=args.maxInflight,
           calibration_percentile=args.calibrationPercentile,
-          slide_cache_bytes=args.slideCacheBytes)
+          slide_cache_bytes=args.slideCacheBytes,
+          device_slide_bytes=args.deviceSlideBytes)
     return 0
 
 
