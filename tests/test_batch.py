@@ -284,3 +284,45 @@ def test_sweep_channel_name(tmp_path, rng):
     b = imread(str(tmp_path / "exemplar-002" / "prob_maps"
                    / "s_NucleiPM_2.tif"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sweep_sharded_mesh_matches_single(tmp_path, rng):
+    """run_sweep(mesh=...) column-shards every streamable slide over the
+    8-device mesh; outputs match the single-device sweep within 1 uint8
+    level (the batch_main --engine sharded surface)."""
+    import jax
+
+    from unmicst_tpu import batch
+    from unmicst_tpu.core import unet
+    from unmicst_tpu.core.checkpoint import save_native
+    from unmicst_tpu.core.hp import HParams, save_pickle
+    from unmicst_tpu.io.tiff import imread, imwrite
+    from unmicst_tpu.runtime.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    hp = HParams(im_size=32, n_channels=1, n_classes=3, n_out0=6, ks=3,
+                 n_extra_convs=0, n_layers=2, batch_size=8, std_dev0=0.5)
+    params = unet.init_params(jax.random.PRNGKey(2), hp, "legacy")
+    mdir = tmp_path / "model"
+    mdir.mkdir()
+    save_native(str(mdir / "model.unmicst-tpu.msgpack"), params, hp,
+                "legacy", 0.3, 0.2)
+    save_pickle(hp.to_ref_dict(), str(mdir / "hp.data"))
+    save_pickle(0.3, str(mdir / "datasetMean.data"))
+    save_pickle(0.2, str(mdir / "datasetStDev.data"))
+    reg = tmp_path / "exemplar-1" / "registration"
+    reg.mkdir(parents=True)
+    imwrite(str(reg / "a.ome.tif"),
+            (rng.rand(150, 180) * 60000).astype(np.uint16), bigtiff=False)
+
+    slides = batch.discover_slides(str(tmp_path))
+    out_a, out_b = tmp_path / "out_single", tmp_path / "out_mesh"
+    rep_a = batch.run_sweep(slides, str(mdir), str(out_a), resume=False)
+    rep_b = batch.run_sweep(slides, str(mdir), str(out_b), resume=False,
+                            mesh=make_mesh(data=8, model=1))
+    assert rep_a.completed and rep_b.completed and not rep_b.failed
+    for name in ("a_ContoursPM_1.tif", "a_NucleiPM_1.tif"):
+        x = imread(str(out_a / name))
+        y = imread(str(out_b / name))
+        assert np.abs(x.astype(int) - y.astype(int)).max() <= 1

@@ -401,3 +401,88 @@ def test_intensity_range_flag_streaming(tmp_path):
             imread(str(tmp_path / "a" / "c_Probabilities_1.tif"), k),
             imread(str(tmp_path / "b" / "c_Probabilities_1.tif"), k),
         )
+
+
+def test_cli_engine_sharded_matches_streaming(tmp_path, rng):
+    """--engine sharded (stripes column-sharded over the 8-device CPU
+    mesh, halo seams via ppermute) == --engine streaming within 1 uint8
+    level, through the CLI surface; --meshShape subsets the devices;
+    non-streamable inputs fail loudly."""
+    import jax
+
+    from unmicst_tpu.io.tiff import TiffWriter
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    img = (rng.rand(180, 220) * 250).astype(np.uint8)
+    src = tmp_path / "s" / "registration" / "img.tif"
+    src.parent.mkdir(parents=True)
+    with TiffWriter(str(src), bigtiff=False) as tw:
+        tw.write(img)
+    common = [str(src), "--tool", "unmicst-solo", "--model", "blobDemo",
+              "--modelRoot", os.path.join(repo, "models"), "--stackOutput"]
+    assert cli.main(common + ["--outputPath", str(tmp_path / "stream"),
+                              "--engine", "streaming"]) == 0
+    assert cli.main(common + ["--outputPath", str(tmp_path / "shard"),
+                              "--engine", "sharded"]) == 0
+    assert cli.main(common + ["--outputPath", str(tmp_path / "shard4"),
+                              "--engine", "sharded",
+                              "--meshShape", "4"]) == 0
+    for k in range(3):
+        a = imread(str(tmp_path / "stream" / "img_Probabilities_1.tif"), k)
+        b = imread(str(tmp_path / "shard" / "img_Probabilities_1.tif"), k)
+        c = imread(str(tmp_path / "shard4" / "img_Probabilities_1.tif"), k)
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+        assert np.abs(a.astype(int) - c.astype(int)).max() <= 1
+    # the streamability gate applies: int16 solo input must refuse
+    # sharded (rescale-free streaming needs a known uint8/uint16
+    # im2double scale; float32 is fine — the source parity-casts it)
+    fsrc = tmp_path / "s" / "registration" / "f.tif"
+    with TiffWriter(str(fsrc), bigtiff=False) as tw:
+        tw.write((rng.rand(64, 64) * 30000 - 15000).astype(np.int16))
+    with pytest.raises(SystemExit, match="sharded"):
+        cli.main([str(fsrc), "--tool", "unmicst-solo", "--model",
+                  "blobDemo", "--modelRoot", os.path.join(repo, "models"),
+                  "--outputPath", str(tmp_path / "x"),
+                  "--engine", "sharded"])
+
+
+def test_cli_engine_sharded_duo_and_pinned_range(tmp_path, rng):
+    """Duo through --engine sharded: per-channel sharded streaming ==
+    single-device streaming; --intensityRange pins compose (the sharded
+    kernel normalizes with the pinned range, not per-band stats)."""
+    import jax
+
+    from tests.test_cli_variants import _make_model_dir
+    from unmicst_tpu.core.hp import HParams
+    from unmicst_tpu.io.tiff import TiffWriter
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    zoo = tmp_path / "zoo"
+    zoo.mkdir()
+    _make_model_dir(
+        str(zoo), "duoDemo",
+        HParams(im_size=32, n_channels=2, n_classes=3, n_out0=4, ks=3,
+                n_layers=2),
+        "duo",
+    )
+    src = tmp_path / "s" / "registration" / "d.tif"
+    src.parent.mkdir(parents=True)
+    planes = (rng.rand(2, 150, 170) * 60000).astype(np.uint16)
+    with TiffWriter(str(src), bigtiff=False) as tw:
+        tw.write(planes[0])
+        tw.write(planes[1])
+    common = [str(src), "--tool", "unmicst-duo", "--model", "duoDemo",
+              "--modelRoot", str(zoo), "--channel", "1", "2",
+              "--stackOutput",
+              "--intensityRange", "0,65535", "--intensityRange", "10,50000"]
+    assert cli.main(common + ["--outputPath", str(tmp_path / "stream"),
+                              "--engine", "streaming"]) == 0
+    assert cli.main(common + ["--outputPath", str(tmp_path / "shard"),
+                              "--engine", "sharded"]) == 0
+    for k in range(3):
+        a = imread(str(tmp_path / "stream" / "d_Probabilities_1.tif"), k)
+        b = imread(str(tmp_path / "shard" / "d_Probabilities_1.tif"), k)
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1

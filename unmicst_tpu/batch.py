@@ -132,6 +132,7 @@ def run_sweep(
     compress_output: Union[bool, str, None] = False,
     pyramid_output: bool = False,
     in_range=None,
+    mesh=None,
 ) -> BatchReport:
     """Run the sweep over this shard's slides; resumable via cursor file.
 
@@ -152,6 +153,11 @@ def run_sweep(
     resolved PER SLIDE (channel order may differ between files); slides
     without the name fail individually (``report.failed``) while the
     sweep continues.  Output suffixes carry the resolved index.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis — streamed
+    slides then column-shard every stripe over it (multi-chip halo
+    inference, ``runtime/pipeline.py::infer_sharded``); the CLI's
+    ``--engine sharded`` builds one via ``runtime.mesh.make_mesh``.
     """
     import functools
 
@@ -248,7 +254,8 @@ def run_sweep(
                     else page_dtype
                 ) in (np.dtype(np.uint8), np.dtype(np.uint16),
                       np.dtype(np.int16))
-            if slide_px > stream_above_px and streamable:
+            if (slide_px > stream_above_px or mesh is not None) \
+                    and streamable:
                 # mega-slide: bounded memory end to end (any scale — the
                 # virtual resized source streams off-scale slides too)
                 t0 = time.perf_counter()
@@ -257,20 +264,33 @@ def run_sweep(
                         # one histogram pass serves the rescale range AND
                         # the preview max (one less full-slide read)
                         lo_s, hi_s, vm_s = src.stats(outlier, with_max=True)
-                        contours, nuclei = stream_engine.infer(
-                            src, outlier=outlier, classes=(1, 2),
-                            stats=in_range or (lo_s, hi_s),
-                        )
+                        if mesh is not None:
+                            contours, nuclei = stream_engine.infer_sharded(
+                                src, mesh, outlier=outlier, classes=(1, 2),
+                                stats=in_range or (lo_s, hi_s),
+                            )
+                        else:
+                            contours, nuclei = stream_engine.infer(
+                                src, outlier=outlier, classes=(1, 2),
+                                stats=in_range or (lo_s, hi_s),
+                            )
                         raw_norm8 = preview_u8(src, vmax=vm_s)
                     else:
                         net_src = pp.ResampledSource(src, scaling_factor)
-                        contours, nuclei = stream_engine.infer(
-                            net_src, outlier=outlier, classes=(1, 2),
-                            # raw-unit pin -> img_as_float source units
-                            stats=pp.pinned_to_source_units(
-                                in_range, net_src
-                            ),
+                        # raw-unit pin -> img_as_float source units
+                        s_stats = pp.pinned_to_source_units(
+                            in_range, net_src
                         )
+                        if mesh is not None:
+                            contours, nuclei = stream_engine.infer_sharded(
+                                net_src, mesh, outlier=outlier,
+                                classes=(1, 2), stats=s_stats,
+                            )
+                        else:
+                            contours, nuclei = stream_engine.infer(
+                                net_src, outlier=outlier, classes=(1, 2),
+                                stats=s_stats,
+                            )
                         raw_shape = (src.height, src.width)
                         contours = pp.upscale_pm(contours, raw_shape)
                         nuclei = pp.upscale_pm(nuclei, raw_shape)
@@ -377,6 +397,13 @@ def batch_main(argv=None) -> int:
                    "units) for EVERY slide of the sweep — TMA cores or "
                    "serial sections from one scan normalize identically "
                    "instead of per-image; overrides --outlier")
+    p.add_argument("--engine", choices=["auto", "sharded"], default="auto",
+                   help="sharded: stream every (streamable) slide with "
+                   "its stripes column-sharded over the device mesh "
+                   "(multi-chip halo inference)")
+    p.add_argument("--meshShape", type=int, metavar="N",
+                   help="with --engine sharded: devices along the "
+                   "column-shard axis (default: every visible device)")
     args = p.parse_args(argv)
 
     in_range = None
@@ -394,6 +421,12 @@ def batch_main(argv=None) -> int:
     import jax.numpy as jnp
 
     from unmicst_tpu.cli import resolve_model_dir
+
+    mesh = None
+    if args.engine == "sharded":
+        from unmicst_tpu.runtime.mesh import make_mesh
+
+        mesh = make_mesh(data=args.meshShape or None, model=1)
 
     slides = discover_slides(args.imagePath, tma=args.TMA)
     if not slides:
@@ -416,6 +449,7 @@ def batch_main(argv=None) -> int:
         compress_output=args.compressOutput,
         pyramid_output=args.pyramidOutput,
         in_range=in_range,
+        mesh=mesh,
     )
     print(
         f"[sweep] done: {len(report.completed)} completed, "

@@ -169,9 +169,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--stats", action="store_true", help="print stage timings + Mpx/s")
     p.add_argument(
-        "--engine", choices=["auto", "whole", "streaming"], default="auto",
+        "--engine", choices=["auto", "whole", "streaming", "sharded"],
+        default="auto",
         help="auto: stream slides > 64 Mpx (bounded memory); whole: "
-        "single device-resident pass",
+        "single device-resident pass; sharded: stream with each stripe "
+        "column-sharded over the device mesh (multi-chip halo "
+        "inference; see --meshShape)",
+    )
+    p.add_argument(
+        "--meshShape", type=int, metavar="N",
+        help="with --engine sharded: devices along the column-shard "
+        "axis (default: every visible device)",
     )
     p.add_argument(
         "--trace", metavar="DIR",
@@ -379,6 +387,20 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
         trace_ctx = contextlib.nullcontext()
     t0 = time.perf_counter()
     sf = args.scalingFactor
+    mesh = None
+    if args.engine == "sharded":
+        # column-shard every stripe over the device mesh: each chip
+        # infers a vertical band, halo columns ride ppermute (SURVEY
+        # §2.6 halo-CP as a framework capability, not library-only)
+        from unmicst_tpu.runtime.mesh import make_mesh
+
+        mesh = make_mesh(data=args.meshShape or None, model=1)
+        if args.verbose or args.stats:
+            print(
+                f"[unmicst-tpu] sharded engine: "
+                f"{mesh.shape['data']} device(s) on the column axis",
+                file=sys.stderr,
+            )
     pinned = _pinned_ranges(args, tool,
                             2 if tool == "unmicst-duo" else 1)
     if tool == "unmicst-duo":
@@ -408,33 +430,48 @@ def _run_streaming(args, bundle, tool, dapi_channel, channels0, class_order,
             )
             if tool == "unmicst-duo":
                 net_srcs = [wrap(srcs[c]) for c in chans]
-                maps = stream.infer_stack(
-                    net_srcs, outlier=args.outlier,
-                    classes=classes,
-                    # pinned ranges are raw-unit; ResampledSource streams
-                    # img_as_float units, so convert per source
-                    stats=(
-                        [pp.pinned_to_source_units(p, s)
-                         for p, s in zip(pinned, net_srcs)]
-                        if pinned else (
-                            [shared_stats[c] for c in chans]
-                            if shared_stats else None
-                        )
-                    ),
+                # pinned ranges are raw-unit; ResampledSource streams
+                # img_as_float units, so convert per source
+                duo_stats = (
+                    [pp.pinned_to_source_units(p, s)
+                     for p, s in zip(pinned, net_srcs)]
+                    if pinned else (
+                        [shared_stats[c] for c in chans]
+                        if shared_stats else None
+                    )
                 )
+                if mesh is not None:
+                    maps = stream.infer_sharded_stack(
+                        net_srcs, mesh, outlier=args.outlier,
+                        classes=classes, stats=duo_stats,
+                    )
+                else:
+                    maps = stream.infer_stack(
+                        net_srcs, outlier=args.outlier,
+                        classes=classes, stats=duo_stats,
+                    )
             else:
                 net_src = wrap(srcs[dapi_channel])
-                maps = stream.infer(
-                    net_src,
-                    outlier=args.outlier,
-                    rescale=tool != "unmicst-solo",  # the v2-solo quirk
-                    classes=classes,
-                    stats=(
-                        pp.pinned_to_source_units(pinned[0], net_src)
-                        if pinned
-                        else shared_stats.get(dapi_channel)
-                    ),
+                solo_stats = (
+                    pp.pinned_to_source_units(pinned[0], net_src)
+                    if pinned
+                    else shared_stats.get(dapi_channel)
                 )
+                rescale = tool != "unmicst-solo"  # the v2-solo quirk
+                if mesh is not None:
+                    maps = stream.infer_sharded(
+                        net_src, mesh, outlier=args.outlier,
+                        rescale=rescale, classes=classes,
+                        stats=solo_stats,
+                    )
+                else:
+                    maps = stream.infer(
+                        net_src,
+                        outlier=args.outlier,
+                        rescale=rescale,
+                        classes=classes,
+                        stats=solo_stats,
+                    )
             t_infer = time.perf_counter()
             raw_src = srcs[chans[-1]]  # duo preview = last channel
             raw_shape = (raw_src.height, raw_src.width)
@@ -640,14 +677,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                 # sources do, so float32 cyto slides take the host path
                 stream_ok = False
                 why = "Cyto2 float32 input must not take the parity cast"
+            explicit_stream = args.engine in ("streaming", "sharded")
             if not stream_ok:
-                if args.engine == "streaming":
+                if explicit_stream:
                     raise SystemExit(
-                        f"--engine streaming: {why}; use --engine whole"
+                        f"--engine {args.engine}: {why}; use --engine whole"
                     )
                 use_streaming = False
             else:
-                use_streaming = args.engine == "streaming" or (
+                use_streaming = explicit_stream or (
                     args.engine == "auto" and slide_px > 64_000_000
                 )
             if use_streaming and args.check_numerics:
@@ -658,14 +696,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                     use_streaming = False
                 else:
                     print(
-                        "note: --check-numerics under --engine streaming "
-                        "scans params only (maps are uint8 on device)"
+                        f"note: --check-numerics under --engine "
+                        f"{args.engine} scans params only (maps are "
+                        "uint8 on device)"
                     )
         except (ValueError, NotImplementedError, IndexError, OSError):
-            use_streaming = args.engine == "streaming"
-    elif args.engine == "streaming":
+            use_streaming = args.engine in ("streaming", "sharded")
+    elif args.engine in ("streaming", "sharded"):
         raise SystemExit(
-            "--engine streaming supports TIFF/CZI/ND2 inputs"
+            f"--engine {args.engine} supports TIFF/CZI/ND2 inputs"
         )
 
     if use_streaming:

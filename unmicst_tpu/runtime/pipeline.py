@@ -715,11 +715,17 @@ class StreamingEngine:
         rescale: bool = True,
         out: Optional[np.ndarray] = None,
         classes=None,
+        stats: Optional[Tuple[float, float]] = None,
     ) -> np.ndarray:
         """Stream the slide with each stripe column-sharded over
-        ``mesh[axis]``; returns uint8 [K, H, W] like :meth:`infer`."""
+        ``mesh[axis]``; returns uint8 [K, H, W] like :meth:`infer`.
+        ``stats``: precomputed (lo, hi) in SOURCE units, like
+        :meth:`infer` (pinned-range callers)."""
         if rescale:
-            lo, hi = self.global_stats(source, outlier)
+            lo, hi = (
+                stats if stats is not None
+                else self.global_stats(source, outlier)
+            )
         else:
             lo, hi = 0.0, 1.0
         return self._run_sharded(
@@ -737,17 +743,20 @@ class StreamingEngine:
         rescale: bool = True,
         out: Optional[np.ndarray] = None,
         classes=None,
+        stats=None,
     ) -> np.ndarray:
         """Multi-channel (duo) column-sharded streaming — per-channel
         global ranges (``UnMicst2.py:784-788``), otherwise
-        :meth:`infer_sharded` semantics."""
+        :meth:`infer_sharded` semantics.  ``stats``: per-channel
+        (lo, hi) pairs in source units, like :meth:`infer_stack`."""
         if len(sources) != self.hp.n_channels:
             raise ValueError(
                 f"model expects {self.hp.n_channels} channels, got "
                 f"{len(sources)}"
             )
         if rescale:
-            stats = [self.global_stats(s, outlier) for s in sources]
+            if stats is None:
+                stats = [self.global_stats(s, outlier) for s in sources]
             lo = np.asarray([a for a, _ in stats], np.float32)
             hi = np.asarray([b for _, b in stats], np.float32)
         else:
