@@ -163,6 +163,69 @@ def test_valid_every_cadence(tmp_path, rng):
     assert best == min(r["valid_error"] for r in recs if "valid_error" in r)
 
 
+def test_tensorboard_scalars_and_image_panels(tmp_path, rng):
+    """Event files carry the reference summary layout
+    (UnMicst1-5.py:403-428): Train gets avg_cross_entropy +
+    learning_rate every 20 steps (including steps buffered by
+    valid_every — the drain writes them at their own step), Valid gets
+    the error scalars, and both get the 'impm' panel = [normalized
+    input | PM1 | PM2] per sample (legacy: separate pm0/pm1/pm2)."""
+    import io
+
+    from PIL import Image
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    def load(path):
+        acc = EventAccumulator(
+            str(path), size_guidance={"images": 0, "scalars": 0}
+        )
+        acc.Reload()
+        return acc
+
+    cfg = tr.TrainConfig.for_variant(
+        "v2", n_aug=1, lr0=1e-3, seed=0, valid_every=3, export_tf1=False
+    )
+    _write_corpus(str(tmp_path / "data"), 6, 1, rng)
+    corpus = tr.Corpus(str(tmp_path / "data"), 6, HP, cfg)
+    log = tmp_path / "log"
+    t = tr.Trainer(HP, cfg, str(tmp_path / "m"), log_path=str(log))
+    # steps 0..21: TB train cadence hits 0 and 20; step 20 is NOT a
+    # validated step (0,3,...,21), so its loss reaches TB only via the
+    # buffered drain
+    t.fit(corpus, corpus, n_steps=22, verbose=False)
+    t.close()
+    train_acc, valid_acc = load(log / "Train"), load(log / "Valid")
+    ce = train_acc.Scalars("avg_cross_entropy")
+    assert [s.step for s in ce] == [0, 20]
+    lr = train_acc.Scalars("learning_rate")
+    assert [s.step for s in lr] == [0, 20]
+    assert valid_acc.Scalars("mean_error")[0].step == 0
+    assert valid_acc.Scalars("avg_pixel_error_2")
+    # image panels on both writers; v2 layout = [norm in | PM1 | PM2]
+    for acc in (train_acc, valid_acc):
+        tags = acc.Tags()["images"]
+        assert "impm/0" in tags and "impm/3" in tags  # max 4 samples
+        assert "impm/4" not in tags
+        ev = acc.Images("impm/0")[0]
+        im = Image.open(io.BytesIO(ev.encoded_image_string))
+        assert im.size == (3 * HP.im_size, HP.im_size)  # W = 3S panel
+
+    # legacy layout: separate pm0/pm1/pm2 tags, raw PM planes
+    cfg_l = tr.TrainConfig.for_variant(
+        "legacy", seed=0, ckpt_every=1, export_tf1=False
+    )
+    corpus_l = tr.Corpus(str(tmp_path / "data"), 6, HP, cfg_l)
+    log_l = tmp_path / "log_legacy"
+    t2 = tr.Trainer(HP, cfg_l, str(tmp_path / "m2"), log_path=str(log_l))
+    t2.fit(corpus_l, corpus_l, n_steps=1, verbose=False)
+    t2.close()
+    tags_l = load(log_l / "Train").Tags()["images"]
+    assert {"pm0/0", "pm1/0", "pm2/0"} <= set(tags_l)
+    assert "impm/0" not in tags_l
+
+
 def test_prefetch_feed_bit_identical(tmp_path, rng):
     """prefetch=N overlaps host feed with device steps but consumes the
     SAME shared-RNG batch sequence — final params and the metrics log

@@ -95,6 +95,15 @@ class TrainConfig:
     # Writes stay ordered (each save joins the previous); fit()/close()
     # join before returning, and a worker failure re-raises there.
     async_save: bool = False
+    # TensorBoard image panels on the scalar cadence (reference
+    # 'images' summaries): v2/duo write 'impm' = [min-max-normalized
+    # input ch0 | PM plane 1 | PM plane 2] side by side, max 4 samples
+    # (UnMicst1-5.py:409-427, UnMicst2.py:401-417); cyto2 'impm' =
+    # [norm input | PM plane 0] (UnMicstCyto2.py:394-402); legacy
+    # writes the PM planes as separate pm0/pm1/pm2 tags, max 3
+    # (UnMicst.py:305-314).  Panels render the deterministic
+    # (inference-mode) forward of the logged batch.
+    tb_images: bool = True
     # Host-feed pipeline depth.  0 (default) = the inline reference
     # scheduling (assemble -> upload -> step, serialized).  N>0 runs
     # batch assembly + host->device transfer for the next N steps in a
@@ -116,7 +125,10 @@ class TrainConfig:
     # (BASELINE.md "training end-to-end wall"), so this is the main
     # training-wall lever.  Checkpoint-on-best still only fires on
     # validated steps that hit ckpt_every, identical to the reference
-    # gate when valid_every == 1.
+    # gate when valid_every == 1.  TensorBoard train scalars drain from
+    # the buffer at their own (every-20th) steps, so the train curve
+    # keeps full resolution; valid scalars/panels only exist on
+    # validated steps.
     valid_every: int = 1
     # class-weight constants (v2 defaults; duo 1/2/5/10, cyto2 1/3/-/5 —
     # each tool hardcodes its own set)
@@ -267,6 +279,41 @@ def make_eval_step(hp: HParams, cfg: TrainConfig):
         return {"errors": errors, "mean_error": jnp.mean(errors)}
 
     return eval_step
+
+
+def make_panel_fn(hp: HParams, cfg: TrainConfig):
+    """TensorBoard image panels per reference layout (see
+    :attr:`TrainConfig.tb_images`): returns ``run(params, images) ->
+    {tag: float32 [B', S, W, 1] in [0, 1]}`` with ``B'`` capped at the
+    reference ``max_outputs`` (4 for v2/duo/cyto2 'impm', 3 for the
+    legacy per-plane tags)."""
+    max_out = 3 if cfg.variant == "legacy" else 4
+
+    @jax.jit
+    def panel(params, images):
+        probs = unet.apply(params, images, hp, cfg.variant,
+                           precision=cfg.precision)
+        if cfg.variant == "legacy":
+            # UnMicst.py:305-314: raw PM planes, separate tags
+            return {
+                f"pm{k}": probs[..., k:k + 1]
+                for k in range(min(hp.n_classes, 3))
+            }
+        ch0 = images[..., 0:1]
+        lo = jnp.min(ch0, axis=(1, 2), keepdims=True)
+        hi = jnp.max(ch0, axis=(1, 2), keepdims=True)
+        norm = (ch0 - lo) / jnp.maximum(hi - lo, EPS)
+        if cfg.variant == "cyto2":
+            planes = [norm, probs[..., 0:1]]  # UnMicstCyto2.py:394-401
+        else:  # UnMicst1-5.py:409-427 / UnMicst2.py:401-417
+            planes = [norm, probs[..., 1:2], probs[..., 2:3]]
+        return {"impm": jnp.concatenate(planes, axis=2)}
+
+    def run(params, images):
+        out = panel(params, jnp.asarray(images[:max_out]))
+        return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -475,18 +522,23 @@ class Trainer:
         self._save_error = None
         self._metrics_file = None
         self._tb_train = self._tb_valid = None
+        self._panel_fn = None
         if log_path:
             os.makedirs(log_path, exist_ok=True)
             self._metrics_file = open(
                 os.path.join(log_path, "metrics.jsonl"), "a"
             )
-            # TensorBoard scalar/image summaries with Train/Valid writers,
-            # mirroring the reference layout (UnMicst1-5.py:403-443)
+            # TensorBoard Train/Valid writers mirroring the reference
+            # layout (UnMicst1-5.py:403-443): scalar summaries plus the
+            # per-variant image panels of make_panel_fn (gated by
+            # cfg.tb_images)
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
                 self._tb_train = SummaryWriter(os.path.join(log_path, "Train"))
                 self._tb_valid = SummaryWriter(os.path.join(log_path, "Valid"))
+                if cfg.tb_images:
+                    self._panel_fn = make_panel_fn(hp, cfg)
             except ImportError:
                 pass
 
@@ -599,15 +651,44 @@ class Trainer:
                     rec["valid_error"] = e
                     rec["errors"] = errors
                 self._log(rec)
-            if self._tb_train and self.step % 20 == 0:  # cadence: :490,507
-                self._tb_train.add_scalar(
-                    "avg_cross_entropy", float(pending[-1][1]["loss"]), self.step
-                )
-                for k, err in enumerate(errors):
-                    self._tb_valid.add_scalar(
-                        f"avg_pixel_error_{k}", float(err), self.step
-                    )
-                self._tb_valid.add_scalar("mean_error", e, self.step)
+            if self._tb_train:
+                # train scalars drain from the buffer AT THEIR OWN steps
+                # (reference cadence every 20, :490,507 — with
+                # valid_every > 1 the non-validated steps' losses are
+                # already held in `pending`, so no TB points are lost)
+                for s, m, _ in pending:
+                    if s % 20 == 0:
+                        self._tb_train.add_scalar(
+                            "avg_cross_entropy", float(m["loss"]), s
+                        )
+                        self._tb_train.add_scalar(
+                            "learning_rate",
+                            cfg.lr0 * cfg.decay_rate
+                            ** (s // cfg.decay_steps),
+                            s,
+                        )
+                # valid scalars + image panels exist only on validated
+                # steps; with a sparse cadence (valid_every > 20) every
+                # validated step logs, else the reference every-20 gate
+                if self.step % 20 == 0 or cfg.valid_every > 20:
+                    for k, err in enumerate(errors):
+                        self._tb_valid.add_scalar(
+                            f"avg_pixel_error_{k}", float(err), self.step
+                        )
+                    self._tb_valid.add_scalar("mean_error", e, self.step)
+                    if self._panel_fn is not None:
+                        # one image per sample, like tf.summary.image's
+                        # impm/image/<j> (not a padded grid)
+                        for w, b in ((self._tb_train, batch),
+                                     (self._tb_valid, vbatch)):
+                            for tag, arr in self._panel_fn(
+                                self.params, b["image"]
+                            ).items():
+                                for j in range(arr.shape[0]):
+                                    w.add_image(
+                                        f"{tag}/{j}", arr[j], self.step,
+                                        dataformats="HWC",
+                                    )
             pending.clear()
             if verbose:
                 print(f"step {self.step:05d}, e: {e:f}")
