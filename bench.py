@@ -158,6 +158,35 @@ def _time_calls(fn, *args, repeats=REPEATS, **kw) -> float:
     return _wall(lambda: _fetch(fn(*args, **kw)), repeats)
 
 
+def _link_probe(jax, repeats=3) -> dict:
+    """Measured host<->device bandwidth (r4 verdict weak #6): one timed
+    H2D and D2H of a known size, min over ``repeats``.  The headline
+    wall is transfer-bound through the dev tunnel, and the tunnel
+    swings session to session (BASELINE.md records 3.7-5.9 Mpx/s across
+    rounds for the same program) — recording the link alongside makes a
+    swing attributable to link weather instead of reading as a code
+    regression."""
+    mb = int(os.environ.get("BENCH_LINK_PROBE_MB", "16"))
+    host = np.random.RandomState(1).randint(
+        0, 256, mb * 1024 * 1024, np.uint8
+    )
+    h2d = d2h = np.inf
+    dev = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        dev = jax.device_put(host)
+        np.asarray(dev[:1])  # completion via 1-element fetch
+        h2d = min(h2d, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        d2h = min(d2h, time.perf_counter() - t0)
+    return {
+        "probe_mb": mb,
+        "h2d_mb_s": round(mb / h2d, 1),
+        "d2h_mb_s": round(mb / d2h, 1),
+    }
+
+
 def _resident(engine, slide, jnp, tiler, hp):
     """Device-resident seconds for the full raw-slide program."""
     h, w = slide.shape
@@ -225,16 +254,30 @@ def main() -> None:
     matched_mpx_s = BASELINE_SIZE * BASELINE_SIZE / 1e6 / m_best
 
     fl = slide_flops(bundle.hp, SIZE, SIZE, bundle.variant)
+    link = _link_probe(jax)
+    # transfer-bound expectation at the measured link: uint16 slide in
+    # (2 MB/Mpx) + K uint8 class maps out (K MB/Mpx), directions
+    # serialized on the half-duplex tunnel
+    k = bundle.hp.n_classes
+    expected_mpx_s = 1.0 / (
+        2.0 / link["h2d_mb_s"] + k / link["d2h_mb_s"]
+    )
     detail = {
         "model": os.path.basename(model_dir),
         "device": str(jax.devices()[0]),
         "wall": {
-            "note": "host-fed; transfer-bound through the ~20 MB/s dev "
-            "tunnel (BASELINE.md), not a hardware ceiling",
+            "note": "host-fed; transfer-bound through the dev tunnel "
+            "(BASELINE.md) at the link bandwidth measured below, not a "
+            "hardware ceiling — compare `value` against "
+            "expected_mpx_s_at_link before reading a swing as a "
+            "regression",
             "precision": PRECISION,
             f"{SIZE}x{SIZE}_mpx_s": round(mpx_s, 2),
             f"matched_{BASELINE_SIZE}x{BASELINE_SIZE}_mpx_s":
                 round(matched_mpx_s, 2),
+            "link": link,
+            "link_mb_s": min(link["h2d_mb_s"], link["d2h_mb_s"]),
+            "expected_mpx_s_at_link": round(expected_mpx_s, 2),
         },
         "baseline": {
             "what": "reference-style torch CPU executor, 2048x2048, "
