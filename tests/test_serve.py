@@ -1199,6 +1199,47 @@ def test_prewarm_on_upload(server_url, tmp_path, rng):
         assert ei.value.code == 400, bad
 
 
+def test_prewarm_bounded_queue(monkeypatch):
+    """Prewarm work rides ONE worker thread with a bounded queue: a
+    burst of prewarm uploads sheds the excess as 'dropped' (counted)
+    instead of accumulating threads that camp on the inflight semaphore
+    and starve interactive /infer traffic."""
+    import threading as th
+    import time as _time
+
+    from unmicst_tpu.serve import ModelServer
+
+    srv = ModelServer(model_root="/nonexistent")
+    started, release = th.Event(), th.Event()
+    calls = []
+
+    def fake_prewarm(slide_id, **kw):
+        calls.append(slide_id)
+        started.set()
+        release.wait(30)
+
+    monkeypatch.setattr(srv, "prewarm_slide", fake_prewarm)
+    assert srv.schedule_prewarm("s0") == "scheduled"
+    assert started.wait(10)  # worker is now blocked inside s0
+    for i in range(1, 5):  # fills the maxsize-4 queue
+        assert srv.schedule_prewarm(f"s{i}") == "scheduled"
+    assert srv.schedule_prewarm("s5") == "dropped"
+    st = srv.snapshot()
+    assert st["prewarm_dropped"] == 1 and st["prewarm_pending"] == 5
+    release.set()
+    deadline = _time.time() + 30
+    while _time.time() < deadline and srv.snapshot()["prewarm_pending"]:
+        _time.sleep(0.05)
+    assert srv.snapshot()["prewarm_pending"] == 0
+    assert calls == [f"s{i}" for i in range(5)]  # s5 never ran
+    # the worker restarts for work scheduled after an idle exit
+    assert srv.schedule_prewarm("s6") == "scheduled"
+    deadline = _time.time() + 30
+    while _time.time() < deadline and "s6" not in calls:
+        _time.sleep(0.05)
+    assert "s6" in calls
+
+
 def test_device_cached_pans_zero_h2d(server_url, tmp_path, rng,
                                      monkeypatch):
     """The viewer fast path: roi= pans against slide=ID pin the plane

@@ -832,32 +832,45 @@ def test_truncation_fuzz_all_containers(tmp_path, rng):
 
     fuzz = str(tmp_path / "fuzz.bin")
     frng = np.random.RandomState(1234)
+    import warnings
+
     for path, reader in paths.items():
-        blob = open(path, "rb").read()
+        with open(path, "rb") as f:
+            blob = f.read()
         good = reader(path)  # sanity: the fixture itself reads
         assert good.shape == plane.shape
         cuts = sorted(set(
             [0, 1, 7, len(blob) - 1]
             + list(frng.randint(2, len(blob), 12))
         ))
-        for cut in cuts:
-            with open(fuzz, "wb") as f:
-                f.write(blob[:cut])
-            try:
-                reader(fuzz)
-            except Exception as e:  # noqa: BLE001 — clean failure is the contract
-                assert not isinstance(e, (MemoryError, SystemError)), e
-        for _ in range(12):
-            corrupted = bytearray(blob)
-            for pos in frng.randint(0, len(blob), 8):
-                corrupted[pos] ^= 0xFF
-            with open(fuzz, "wb") as f:
-                f.write(bytes(corrupted))
-            try:
-                out = reader(fuzz)
-                assert out.nbytes <= 1 << 26  # bounded even when "readable"
-            except Exception as e:  # noqa: BLE001
-                assert not isinstance(e, (MemoryError, SystemError)), e
+        with warnings.catch_warnings():
+            # PIL's fallback chatters UserWarnings on corrupt TIFF
+            # metadata (expected here — we FEED it corrupt files);
+            # ResourceWarnings stay fatal: an fd leak is a real bug
+            warnings.simplefilter("ignore", UserWarning)
+            warnings.simplefilter("error", ResourceWarning)
+            for cut in cuts:
+                with open(fuzz, "wb") as f:
+                    f.write(blob[:cut])
+                try:
+                    reader(fuzz)
+                except ResourceWarning:
+                    raise
+                except Exception as e:  # noqa: BLE001 — clean failure is the contract
+                    assert not isinstance(e, (MemoryError, SystemError)), e
+            for _ in range(12):
+                corrupted = bytearray(blob)
+                for pos in frng.randint(0, len(blob), 8):
+                    corrupted[pos] ^= 0xFF
+                with open(fuzz, "wb") as f:
+                    f.write(bytes(corrupted))
+                try:
+                    out = reader(fuzz)
+                    assert out.nbytes <= 1 << 26  # bounded even when "readable"
+                except ResourceWarning:
+                    raise
+                except Exception as e:  # noqa: BLE001
+                    assert not isinstance(e, (MemoryError, SystemError)), e
 
 
 def test_czi_jxr_dtype_mismatch_rejected(tmp_path, rng, stub_jxr):

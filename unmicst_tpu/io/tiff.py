@@ -322,6 +322,15 @@ class TiffFile:
     def __init__(self, path: str):
         self.path = path
         self._fh = open(path, "rb")
+        try:
+            self._init_parse(path)
+        except Exception:
+            # a parse failure must not leak the fd (hostile-input sweeps
+            # and fuzz campaigns open thousands of corrupt files)
+            self._fh.close()
+            raise
+
+    def _init_parse(self, path: str) -> None:
         self._fsize = os.fstat(self._fh.fileno()).st_size
         header = self._fh.read(16)
         if header[:2] == b"II":
@@ -510,13 +519,10 @@ class TiffFile:
             page.subifds = np.atleast_1d(tags[330]).astype(np.int64)
         return page, next_ifd
 
-    def read_subifd(self, index: int, level: int) -> np.ndarray:
-        """Decode one SubIFD pyramid level of page ``index`` whole.
-
-        The main page chain is unaffected by SubIFDs (``read_page(0)``
-        stays the full-resolution plane); this is the explicit accessor
-        for the reduced levels our pyramid writer (and QuPath-class
-        tools) store under tag 330."""
+    def subifd_page(self, index: int, level: int) -> "TiffPage":
+        """Parse (header only, no pixel decode) one SubIFD pyramid level
+        of page ``index`` — cheap dimension/dtype inspection so pyramid-
+        aware readers can pick a level before committing to a decode."""
         page = self.pages[index]
         if page.subifds is None:
             raise ValueError(f"page {index} has no SubIFDs")
@@ -533,7 +539,16 @@ class TiffFile:
             raise ValueError(
                 f"corrupt SubIFD at offset {int(page.subifds[level]):#x}"
             ) from None
-        return self._read_page_obj(sub)
+        return sub
+
+    def read_subifd(self, index: int, level: int) -> np.ndarray:
+        """Decode one SubIFD pyramid level of page ``index`` whole.
+
+        The main page chain is unaffected by SubIFDs (``read_page(0)``
+        stays the full-resolution plane); this is the explicit accessor
+        for the reduced levels our pyramid writer (and QuPath-class
+        tools) store under tag 330."""
+        return self._read_page_obj(self.subifd_page(index, level))
 
     # -- decoding ------------------------------------------------------------
 

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import tempfile
 import threading
 import time
@@ -123,8 +124,16 @@ class ModelServer:
             "busy_rejected": 0, "px_processed": 0, "infer_s_total": 0.0,
             "slide_uploads": 0, "slide_hits": 0, "by_model": {},
             "prewarmed": 0, "prewarm_errors": 0, "prewarm_pending": 0,
+            "prewarm_dropped": 0,
             "device_pins": 0, "device_pans": 0,
         }
+        # prewarm runs on ONE worker with a small bounded queue: repeated
+        # prewarm uploads must never accumulate threads that each camp on
+        # the inflight semaphore and starve interactive /infer traffic
+        # (each queued entry is also capped by _PREWARM_SEM_TIMEOUT_S per
+        # geometry inside prewarm_slide)
+        self._prewarm_queue: "queue.Queue" = queue.Queue(maxsize=4)
+        self._prewarm_worker: Optional[threading.Thread] = None
         # content-addressed slide cache (POST /slides): interactive
         # viewers upload a slide ONCE and issue body-less roi= requests
         # against its id instead of re-uploading per window
@@ -358,7 +367,10 @@ class ModelServer:
             })
             warmed = 0
             for r0, c0 in offsets:
-                if not self._inflight.acquire(timeout=3600.0):
+                # short timeout: prewarm yields to live traffic — a busy
+                # device means the cache is getting warmed by real pans
+                # anyway, so give up rather than camp on the semaphore
+                if not self._inflight.acquire(timeout=30.0):
                     break
                 try:
                     self.infer_tiff_path(
@@ -375,22 +387,59 @@ class ModelServer:
         finally:
             self.release_slide(slide_id)
 
-    def _prewarm_async(self, *args, **kwargs) -> None:
-        """Daemon worker for upload-time prewarm: semantic failures
-        (unknown model, roi larger than the slide) land in stats as
-        ``prewarm_errors`` — the upload already returned 200 and the
-        viewer's pans still work, just without the warm cache."""
-        self._count(prewarm_pending=1)
+    def schedule_prewarm(self, slide_id: str, **kwargs) -> str:
+        """Enqueue an upload-time prewarm on the single bounded worker.
+
+        Returns ``"scheduled"``, or ``"dropped"`` when the queue is full
+        (counted in stats) — prewarm is a latency optimization, so under
+        a burst of uploads the excess warms are shed rather than letting
+        each hold a thread against the inflight semaphore (which would
+        starve interactive ``/infer`` traffic with 503-less waits)."""
         try:
-            self.prewarm_slide(*args, **kwargs)
-        except Exception as e:  # noqa: BLE001 — background: record, don't die
-            self._count(prewarm_errors=1)
-            with self._stats_lock:
-                self.stats["last_prewarm_error"] = (
-                    f"{type(e).__name__}: {e}"
+            self._prewarm_queue.put_nowait((slide_id, kwargs))
+        except queue.Full:
+            self._count(prewarm_dropped=1)
+            return "dropped"
+        self._count(prewarm_pending=1)
+        with self._stats_lock:
+            worker = self._prewarm_worker
+            if worker is None or not worker.is_alive():
+                worker = threading.Thread(
+                    target=self._prewarm_worker_loop,
+                    name="prewarm-worker", daemon=True,
                 )
-        finally:
-            self._count(prewarm_pending=-1)
+                self._prewarm_worker = worker
+                worker.start()
+        return "scheduled"
+
+    def _prewarm_worker_loop(self) -> None:
+        """Drain the prewarm queue; semantic failures (unknown model,
+        roi larger than the slide) land in stats as ``prewarm_errors`` —
+        the upload already returned 200 and the viewer's pans still
+        work, just without the warm cache.  Exits when idle (restarted
+        on the next schedule)."""
+        while True:
+            try:
+                slide_id, kwargs = self._prewarm_queue.get(timeout=5.0)
+            except queue.Empty:
+                # exit decision under the same lock schedule_prewarm uses
+                # to test liveness, so a concurrent enqueue either lands
+                # before this check (we continue) or restarts the worker
+                with self._stats_lock:
+                    if self._prewarm_queue.empty():
+                        self._prewarm_worker = None
+                        return
+                continue
+            try:
+                self.prewarm_slide(slide_id, **kwargs)
+            except Exception as e:  # noqa: BLE001 — background: record, don't die
+                self._count(prewarm_errors=1)
+                with self._stats_lock:
+                    self.stats["last_prewarm_error"] = (
+                        f"{type(e).__name__}: {e}"
+                    )
+            finally:
+                self._count(prewarm_pending=-1)
 
     def engine(self, model: str, kind: str = "whole"):
         """Cached engine, built OUTSIDE the cache lock: a cold build
@@ -1007,14 +1056,9 @@ def make_handler(server: ModelServer):
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             if prewarm is not None:
-                threading.Thread(
-                    target=server._prewarm_async,
-                    args=(res["slide_id"],),
-                    kwargs=prewarm,
-                    name=f"prewarm-{res['slide_id'][:8]}",
-                    daemon=True,
-                ).start()
-                res = dict(res, prewarm="scheduled")
+                res = dict(res, prewarm=server.schedule_prewarm(
+                    res["slide_id"], **prewarm
+                ))
             server._count(ok=1)
             self._json(200, res)
 
