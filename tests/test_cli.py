@@ -486,3 +486,74 @@ def test_cli_engine_sharded_duo_and_pinned_range(tmp_path, rng):
         a = imread(str(tmp_path / "stream" / "d_Probabilities_1.tif"), k)
         b = imread(str(tmp_path / "shard" / "d_Probabilities_1.tif"), k)
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_use_pyramid_input(tmp_path, rng, monkeypatch):
+    """--usePyramid at scale <= 0.5 decodes the nearest stored SubIFD
+    level (the full-res plane is NEVER decoded) and equals feeding that
+    level directly with the residual scale, upscaled to raw dims; the
+    flag is a loud no-op on flat inputs."""
+    import unmicst_tpu.io.tiff as tiff_mod
+    from unmicst_tpu.io import preprocess as pp
+    from unmicst_tpu.io.tiff import TiffFile, TiffWriter
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    img = (rng.rand(256, 384) * 60000).astype(np.uint16)
+    src = tmp_path / "s" / "registration" / "pyr.tif"
+    src.parent.mkdir(parents=True)
+    with TiffWriter(str(src), bigtiff=False) as tw:
+        n = tw.write_pyramid(img, tile=(64, 64), min_size=64)
+    assert n == 2  # 1/2 and 1/4 stored levels
+    with TiffFile(str(src)) as tf:
+        lvl0 = tf.read_subifd(0, 0)
+    assert lvl0.shape == (128, 192)
+    lv = tmp_path / "s" / "registration" / "lvl.tif"
+    with TiffWriter(str(lv), bigtiff=False) as tw:
+        tw.write(lvl0)
+
+    common = ["--tool", "unmicst-solo", "--model", "blobDemo",
+              "--modelRoot", os.path.join(repo, "models"), "--stackOutput"]
+    reads = []
+    orig = tiff_mod.TiffFile.read_page
+
+    def counting(self, i):
+        reads.append(self.path)
+        return orig(self, i)
+
+    monkeypatch.setattr(tiff_mod.TiffFile, "read_page", counting)
+    assert cli.main([str(src), *common, "--outputPath",
+                     str(tmp_path / "p"), "--scalingFactor", "0.5",
+                     "--usePyramid"]) == 0
+    assert str(src) not in reads  # decode-bytes saving: no full decode
+
+    # == the stored level fed directly at the residual scale (1.0 here)
+    assert cli.main([str(lv), *common, "--outputPath",
+                     str(tmp_path / "l")]) == 0
+    for k in range(3):
+        a = imread(str(tmp_path / "p" / "pyr_Probabilities_1.tif"), k)
+        b = imread(str(tmp_path / "l" / "lvl_Probabilities_1.tif"), k)
+        np.testing.assert_array_equal(a, pp.upscale_pm(b, img.shape))
+
+    # non-octave scale: level 1/2 + residual device resize 0.6
+    assert cli.main([str(src), *common, "--outputPath",
+                     str(tmp_path / "p3"), "--scalingFactor", "0.3",
+                     "--usePyramid"]) == 0
+    assert cli.main([str(lv), *common, "--outputPath",
+                     str(tmp_path / "l3"), "--scalingFactor", "0.6"]) == 0
+    for k in range(3):
+        a = imread(str(tmp_path / "p3" / "pyr_Probabilities_1.tif"), k)
+        b = imread(str(tmp_path / "l3" / "lvl_Probabilities_1.tif"), k)
+        np.testing.assert_array_equal(a, pp.upscale_pm(b, img.shape))
+
+    # flat input: flag degrades loudly to the normal full-res read
+    flat = tmp_path / "s" / "registration" / "flat.tif"
+    with TiffWriter(str(flat), bigtiff=False) as tw:
+        tw.write(img)
+    assert cli.main([str(flat), *common, "--outputPath",
+                     str(tmp_path / "f"), "--scalingFactor", "0.5",
+                     "--usePyramid"]) == 0
+    # explicit streaming engines refuse the combination
+    with pytest.raises(SystemExit, match="usePyramid"):
+        cli.main([str(src), *common, "--outputPath", str(tmp_path / "x"),
+                  "--scalingFactor", "0.5", "--usePyramid",
+                  "--engine", "streaming"])

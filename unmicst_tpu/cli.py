@@ -182,6 +182,15 @@ def build_parser() -> argparse.ArgumentParser:
         "axis (default: every visible device)",
     )
     p.add_argument(
+        "--usePyramid", action="store_true",
+        help="with --scalingFactor <= 0.5 on a pyramidal (SubIFD) "
+        "TIFF: decode the nearest stored level + residual device "
+        "resize instead of the full-res plane (~4x fewer decode/"
+        "transfer bytes per octave; stored levels are the writer's "
+        "box means, not the full-res bilinear chain — maps can differ "
+        "slightly from a full-res run)",
+    )
+    p.add_argument(
         "--trace", metavar="DIR",
         help="capture a jax.profiler trace of the inference into DIR",
     )
@@ -631,6 +640,42 @@ def main(argv: Optional[List[str]] = None) -> int:
     pinned = _pinned_ranges(args, tool,
                             2 if tool == "unmicst-duo" else 1)
 
+    # ---- pyramid input plan (--usePyramid) --------------------------------
+    pyr = None  # (level, divisor, full_shape, level_shape)
+    if args.usePyramid:
+        from unmicst_tpu.io.slides import pyramid_plan
+
+        pyr_chans = list(dict.fromkeys(
+            _duo_chans(channels0, dapi_channel)
+            if tool == "unmicst-duo" else [dapi_channel]
+        ))
+        plans = [pyramid_plan(args.imagePath, file_type, c,
+                              args.scalingFactor) for c in pyr_chans]
+        if all(p is not None for p in plans) and len(
+                {(p[0], p[1]) for p in plans}) == 1:
+            pyr = plans[0]
+            if args.engine in ("streaming", "sharded"):
+                raise SystemExit(
+                    f"--usePyramid decodes a stored level whole (the "
+                    f"whole engine); it does not combine with --engine "
+                    f"{args.engine}"
+                )
+            if args.verbose or args.stats:
+                print(
+                    f"[unmicst-tpu] pyramid: stored level {pyr[0]} "
+                    f"(1/{pyr[1]}) + residual scale "
+                    f"{args.scalingFactor * pyr[1]:.3f}",
+                    file=sys.stderr,
+                )
+        else:
+            print(
+                "[unmicst-tpu] --usePyramid: no usable stored level "
+                "(needs SubIFDs on every channel page and "
+                "--scalingFactor <= 0.5) — reading full resolution",
+                file=sys.stderr,
+            )
+    sf_eff = args.scalingFactor * pyr[1] if pyr else args.scalingFactor
+
     # ---- read + preprocess ------------------------------------------------
     t_read = time.perf_counter()
     from unmicst_tpu.io.slides import TIFF_LIKE
@@ -685,8 +730,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                     )
                 use_streaming = False
             else:
+                # a usable stored level shrinks what the whole engine
+                # must materialize — gate auto-streaming on LEVEL pixels
+                eff_px = pyr[3][0] * pyr[3][1] if pyr else slide_px
                 use_streaming = explicit_stream or (
-                    args.engine == "auto" and slide_px > 64_000_000
+                    args.engine == "auto" and eff_px > 64_000_000
                 )
             if use_streaming and args.check_numerics:
                 # the streaming path quantizes maps on device; the float
@@ -712,11 +760,19 @@ def main(argv: Optional[List[str]] = None) -> int:
                               class_order, file_type, stem, out_path, cyto,
                               t_start)
 
+    if pyr is not None:
+        from unmicst_tpu.io.slides import read_channel_level
+
+        def _read_plane(c):
+            return read_channel_level(args.imagePath, file_type, c, pyr[0])
+    else:
+        def _read_plane(c):
+            return read_channel(args.imagePath, file_type, c)
+
     if tool == "unmicst-duo":
         chans = _duo_chans(channels0, dapi_channel)
         raw_by_chan = {
-            c: read_channel(args.imagePath, file_type, c)
-            for c in dict.fromkeys(chans)
+            c: _read_plane(c) for c in dict.fromkeys(chans)
         }
         raw_planes = [raw_by_chan[c] for c in chans]
         use_rescaled = True  # the un-rescaled-input quirk is solo-only
@@ -731,7 +787,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             planes, raw_norm = [], None
             for i, c in enumerate(chans):
                 pc = pp.preprocess_channel(
-                    raw_by_chan[c], args.scalingFactor, args.outlier,
+                    raw_by_chan[c], sf_eff, args.outlier,
                     cast_float32=not cyto,
                     in_range=pinned[i] if pinned else None,
                 )
@@ -741,7 +797,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             preview = np.uint8(255 * raw_norm)
         channel_mode = "stack"
     else:
-        raw = read_channel(args.imagePath, file_type, dapi_channel)
+        raw = _read_plane(dapi_channel)
         use_rescaled = tool != "unmicst-solo"  # the v2-solo quirk
         # scale-1 integer slides take the device-side path: preprocessing
         # and uint8 quantization run on-chip, so the host link carries raw
@@ -755,7 +811,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             channel_mode = "broadcast"
         else:
             pc = pp.preprocess_channel(
-                raw, args.scalingFactor, args.outlier,
+                raw, sf_eff, args.outlier,
                 use_rescaled=use_rescaled, cast_float32=not cyto,
                 in_range=pinned[0] if pinned else None,
             )
@@ -784,12 +840,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             if channel_mode == "stack":
                 maps = engine.infer_slide_stack(
                     slide_raw, outlier=args.outlier, classes=classes,
-                    scaling_factor=args.scalingFactor, in_range=pinned,
+                    scaling_factor=sf_eff, in_range=pinned,
                 )
             else:
                 maps = engine.infer_slide(
                     slide_raw, outlier=args.outlier, rescale=use_rescaled,
-                    classes=classes, scaling_factor=args.scalingFactor,
+                    classes=classes, scaling_factor=sf_eff,
                     in_range=pinned[0] if pinned else None,
                 )
             idx = (
@@ -812,6 +868,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         check_numerics(params, "params")
         check_numerics(probs, "probability maps")
     t_infer = time.perf_counter()
+
+    if pyr is not None:
+        # level-resolution maps/preview -> full-resolution pages (the
+        # output contract is always raw dims, UnMicst1-5.py:848-854)
+        _get_page_lvl = get_page
+        get_page = lambda c: pp.upscale_pm(_get_page_lvl(c), pyr[2])  # noqa: E731
+        preview = pp.upscale_pm(preview, pyr[2])
 
     # ---- outputs ----------------------------------------------------------
     _write_outputs(

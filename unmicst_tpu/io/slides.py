@@ -99,6 +99,67 @@ def read_channel(image_path: str, file_type: str, channel: int) -> np.ndarray:
     )
 
 
+def pyramid_plan(image_path: str, file_type: str, channel: int,
+                 scaling_factor: float):
+    """Pick the deepest stored SubIFD pyramid level usable at
+    ``scaling_factor`` (the ``--usePyramid`` input path).
+
+    Returns ``(level, divisor, full_shape, level_shape)`` or ``None``
+    when the input is not TIFF-like, the channel's page carries no
+    SubIFDs, or no stored level has an integer downscale ``divisor``
+    <= ``1/scaling_factor`` (reading a coarser level than the requested
+    scale would LOSE information the full-res run keeps).  Header-only:
+    no pixel data is decoded.
+
+    The reference ignores pyramids entirely (``UnMicst1-5.py:794-806``
+    reads page planes whole via tifffile) — this is a beyond-parity
+    input optimization: at ``--scalingFactor 0.5`` on a pyramidal
+    OME-TIFF the decode + host->device bytes drop ~4x per octave.
+    """
+    if file_type not in TIFF_LIKE:
+        return None
+    if not scaling_factor or scaling_factor > 0.5:
+        return None
+    try:
+        with TiffFile(image_path) as tf:
+            pidx = tiff_plane(tf, channel)
+            page = tf.pages[pidx]
+            if page.subifds is None or not len(page.subifds):
+                return None
+            target = 1.0 / float(scaling_factor)
+            best = None
+            for lvl in range(len(page.subifds)):
+                sub = tf.subifd_page(pidx, lvl)
+                if not sub.height or not sub.width:
+                    continue
+                d = round(page.height / sub.height)
+                if d < 2:
+                    continue
+                # accept mild odd-dimension rounding, reject
+                # anisotropic or non-integer level geometry
+                if (abs(page.height / sub.height - d) > 0.02 * d
+                        or abs(page.width / sub.width - d) > 0.02 * d):
+                    continue
+                if d <= target * (1 + 1e-6) and (
+                        best is None or d > best[1]):
+                    best = (lvl, d, (page.height, page.width),
+                            (sub.height, sub.width))
+            return best
+    except (ValueError, NotImplementedError, OSError, IndexError):
+        return None
+
+
+def read_channel_level(image_path: str, file_type: str, channel: int,
+                       level: int) -> np.ndarray:
+    """Decode one stored pyramid level of a channel's page (see
+    :func:`pyramid_plan`); byte order normalized like ``tiff.imread``."""
+    with TiffFile(image_path) as tf:
+        arr = tf.read_subifd(tiff_plane(tf, channel), level)
+    if arr.dtype.byteorder not in ("=", "|"):
+        arr = arr.astype(arr.dtype.newbyteorder("="))
+    return arr
+
+
 def _streamed_int_stats(read_rows, height: int, width: int, dtype,
                         outlier: float, with_max: bool = False):
     """Exact (min, max | percentile[, max]) over a windowed integer source.
