@@ -199,3 +199,84 @@ def test_nearly_dead_channel_uses_absmax_fallback():
     # all scales either reflect real (tiny) activations or true-dead 1.0;
     # at least some must be far below 1.0 (the absmax fallback at work)
     assert (live < 1e-3).any()
+
+
+def test_bias_correction_mechanics():
+    """calibrate(bias_correct=True) attaches a per-output-channel shift
+    equal to the measured mean(conv_f32 - conv_int8) over the
+    calibration tiles; quant_conv applies it verbatim, and the corrected
+    site residual means out to ~zero on those tiles (the property the
+    PTQ refinement buys)."""
+    rng = np.random.RandomState(3)
+    hp, variant = HP_V2, "v2"
+    params = unet.init_params(jax.random.PRNGKey(2), hp, variant)
+    tiles = _tiles(rng, hp, n=8)
+    qs0 = quant.calibrate(params, tiles, hp, variant)
+    qs1 = quant.calibrate(params, tiles, hp, variant, bias_correct=True)
+    sites = quant.conv_sites(
+        jax.tree_util.tree_map(np.asarray, params), hp
+    )
+    for site, qk in qs1["kernels"].items():
+        assert qk["bias"].shape == (qk["w8"].shape[-1],), site
+        assert "bias" not in qs0["kernels"][site], site
+
+    # quant_conv applies the shift verbatim
+    site = "bottom"
+    cin = qs1["kernels"][site]["w8"].shape[2]
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, cin)).astype(np.float32))
+    y0 = unet.quant_conv(x, qs0["kernels"][site], qs0["scales"][site])
+    y1 = unet.quant_conv(x, qs1["kernels"][site], qs1["scales"][site])
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0) + np.asarray(qs1["kernels"][site]["bias"]),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    # corrected residuals mean ~0 per cout on the calibration tiles
+    def resid_fn(p, t):
+        out = {}
+
+        def tap(s, xx):
+            if s in sites:
+                yf = unet.conv(xx, jnp.asarray(sites[s], jnp.float32))
+                yq = unet.quant_conv(xx, qs1["kernels"][s], qs1["scales"][s])
+                out[s] = jnp.mean(yf - yq, axis=(0, 1, 2))
+
+        unet.apply(p, t, hp, variant, tap=tap)
+        return out
+
+    resid = jax.jit(resid_fn)(params, jnp.asarray(tiles))
+    for s, r in resid.items():
+        scale = float(np.abs(np.asarray(qs1["kernels"][s]["w_scale"])).mean())
+        assert np.abs(np.asarray(r)).max() <= max(1e-4, 10 * scale), s
+
+    # end-to-end: the corrected forward stays in the same error band
+    ref = np.asarray(unet.apply(params, jnp.asarray(tiles), hp, variant))
+    e0 = np.abs(np.asarray(
+        unet.apply(params, jnp.asarray(tiles), hp, variant, quant=qs0)
+    ) - ref).mean()
+    e1 = np.abs(np.asarray(
+        unet.apply(params, jnp.asarray(tiles), hp, variant, quant=qs1)
+    ) - ref).mean()
+    assert e1 <= 2 * e0 + 1e-6
+
+
+def test_engine_quant_bias_correct_flag():
+    """InferenceEngine(quant_bias_correct=True) calibrates with bias
+    vectors; default engines stay bias-free (opt-in until the on-chip
+    accuracy verdict ships it)."""
+    from unmicst_tpu.infer import InferenceEngine
+
+    rng = np.random.RandomState(4)
+    params = unet.init_params(jax.random.PRNGKey(5), HP_V2, "v2")
+    raw = (rng.rand(96, 96) * 60000).astype(np.uint16)
+    for flag in (False, True):
+        eng = InferenceEngine(
+            HP_V2, params, "v2", 0.3, 0.2, quantized=True,
+            quant_bias_correct=flag,
+        )
+        maps = eng.infer_slide(raw)
+        assert maps.shape == (3, 96, 96)
+        has_bias = any(
+            "bias" in qk for qk in eng._quant["kernels"].values()
+        )
+        assert has_bias == flag

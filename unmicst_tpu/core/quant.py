@@ -128,6 +128,7 @@ def calibrate(
     variant: str,
     *,
     percentile: float = 99.99,
+    bias_correct: bool = False,
 ) -> QuantState:
     """Build a QuantState from normalized sample tiles [N, S, S, C].
 
@@ -175,6 +176,33 @@ def calibrate(
         a = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
         scales[site] = jnp.asarray(a)
         kernels[site] = _quantize_kernel(w, a)
+
+    if bias_correct:
+        # Per-output-channel mean-shift correction (standard PTQ
+        # refinement): E[conv_f32(x)] - E[conv_int8(x)] measured per site
+        # over the calibration tiles, with x = the FLOAT forward's site
+        # inputs (the same tap).  Added after dequantize (unet.quant_conv
+        # reads qk["bias"]); one extra float+int8 conv per site,
+        # calibration-time only.
+        def bias_fn(p, t):
+            corr: Dict[str, jnp.ndarray] = {}
+
+            def tap(site: str, x: jnp.ndarray) -> None:
+                if site in site_kernels:
+                    yf = unet.conv(x, jnp.asarray(
+                        site_kernels[site], jnp.float32
+                    ))
+                    yq = unet.quant_conv(x, kernels[site], scales[site])
+                    corr[site] = jnp.mean(yf - yq, axis=(0, 1, 2))
+
+            unet.apply(p, t, hp, variant, tap=tap)
+            return corr
+
+        corr = jax.jit(bias_fn)(params_h, tiles)
+        for site, b in corr.items():
+            kernels[site]["bias"] = jnp.asarray(
+                np.asarray(b, np.float32)
+            )
     return {"kernels": kernels, "scales": scales}
 
 

@@ -215,7 +215,13 @@ def quant_conv(
         ),
         preferred_element_type=jnp.int32,
     )
-    return y.astype(jnp.float32) * qk["w_scale"]
+    y = y.astype(jnp.float32) * qk["w_scale"]
+    if "bias" in qk:
+        # per-output-channel mean-shift correction measured on the
+        # calibration tiles (core/quant.py::calibrate bias_correct) —
+        # cancels the systematic rounding bias of the int8 path
+        y = y + qk["bias"]
+    return y
 
 
 def max_pool(x: jnp.ndarray, window: int) -> jnp.ndarray:

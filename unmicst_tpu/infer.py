@@ -159,6 +159,7 @@ class InferenceEngine:
         stack_fold_max_bytes: int = 1 << 30,
         quantized: bool = False,
         calibration_percentile: float = 99.99,
+        quant_bias_correct: bool = False,
     ):
         self.hp = hp
         # one batched host->device transfer at construction: the
@@ -182,6 +183,7 @@ class InferenceEngine:
         # for host-side weight quantization
         self.quantized = bool(quantized)
         self.calibration_percentile = float(calibration_percentile)
+        self.quant_bias_correct = bool(quant_bias_correct)
         self._params_host = params if quantized else None
         self._quant = None
         # bounded, thread-safe program cache: long-running services see
@@ -346,6 +348,7 @@ class InferenceEngine:
             self._quant = _q.calibrate(
                 self._params_host, tiles, self.hp, self.variant,
                 percentile=self.calibration_percentile,
+                bias_correct=self.quant_bias_correct,
             )
         return self._quant
 
