@@ -160,8 +160,29 @@ class InferenceEngine:
         quantized: bool = False,
         calibration_percentile: float = 99.99,
         quant_bias_correct: bool = False,
+        s2d: bool = False,
     ):
         self.hp = hp
+        # space-to-depth level-0 refold (core/s2d.py): exact weight
+        # transformation that runs the narrow full-res level packed at
+        # half resolution with 4x channels — an MXU occupancy lever for
+        # the legacy nets (measured verdict: BASELINE.md).  The packed
+        # kernels ride INSIDE the params pytree so every jitted program
+        # receives them as traced arguments (closure-captured device
+        # constants cost ~35 s each at lowering through the tunnel).
+        self.s2d = bool(s2d)
+        if self.s2d and quantized:
+            raise ValueError(
+                "s2d and int8 quantization cannot combine (the int8 site "
+                "calibration is keyed to the standard layout)"
+            )
+        if self.s2d:
+            from unmicst_tpu.core import s2d as _s2d
+
+            params = {
+                "base": params,
+                "s2d": _s2d.refold_params(params, hp, variant),
+            }
         # one batched host->device transfer at construction: the
         # loaders return host arrays (per-leaf device puts pay a
         # tunnel round-trip each), and numpy params passed to a
@@ -219,11 +240,21 @@ class InferenceEngine:
         variant = self.variant
         accum_dtype = self.accum_dtype
 
-        def forward(params, t, quant=None):
-            return apply(
-                params, t, hp, variant, compute_dtype=compute_dtype,
-                precision=precision, quant=quant,
-            )
+        if self.s2d:
+            from unmicst_tpu.core import s2d as _s2d
+
+            def forward(params, t, quant=None):
+                return _s2d.apply(
+                    params["base"], params["s2d"], t, hp, variant,
+                    compute_dtype=compute_dtype, precision=precision,
+                )
+        else:
+
+            def forward(params, t, quant=None):
+                return apply(
+                    params, t, hp, variant, compute_dtype=compute_dtype,
+                    precision=precision, quant=quant,
+                )
 
         stripe_rows = R * sub + 2 * margin
         arange_r = np.arange(R)  # numpy: embeds as a literal, never D2H
