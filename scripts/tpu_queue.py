@@ -43,9 +43,10 @@ print(f"TPU_OK {d} {time.time()-t0:.1f}s", flush=True)
 STEPS = [
     # (name, command-style, path-or-None, timeout_s)
     ("bench", "plain", "bench.py", 3600),
+    ("serve_bench", "stdin", "scripts/serve_bench_tpu.py", 2400),
+    ("s2d_ab", "stdin", "scripts/s2d_ab_tpu.py", 3600),
     ("golden_onchip", "stdin", "scripts/golden_onchip_tpu.py", 2400),
     ("scale_device", "stdin", "scripts/scale_device_tpu.py", 3600),
-    ("serve_bench", "stdin", "scripts/serve_bench_tpu.py", 2400),
     ("train_wall", "stdin", "scripts/train_wall_tpu.py", 3600),
     ("halo_overlap", "stdin", "scripts/halo_overlap_tpu.py", 2400),
 ]
