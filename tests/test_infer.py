@@ -403,6 +403,49 @@ def test_device_plane_pans_match_host(small_model, rng):
     )
 
 
+def test_device_plane_trim_crops_on_device(small_model, rng):
+    """``trim=``: the maps are cropped ON DEVICE before the fetch —
+    byte-identical to the host-side crop of the untrimmed call, traced
+    offsets share one program per (th, tw), bad trims raise."""
+    hp, params = small_model
+    eng = InferenceEngine(hp, params, "legacy", 0.2, 0.2, tile_batch=8)
+    raw = (rng.rand(200, 180) * 60000).astype(np.uint16)
+    plane = eng.device_plane(raw)
+    pin = (float(raw.min()), float(raw.max()))
+
+    def n_dev():
+        return sum(
+            1 for k in eng._compiled._entries if k[0] == "slide_dev"
+        )
+
+    full = eng.infer_slide_device(plane, 8, 16, 96, 96, in_range=pin)
+    n0 = n_dev()
+    for tr0, tc0, th, tw in [(24, 32, 40, 40), (0, 0, 40, 40),
+                             (56, 56, 40, 40)]:
+        cut = eng.infer_slide_device(
+            plane, 8, 16, 96, 96, in_range=pin, trim=(tr0, tc0, th, tw)
+        )
+        assert cut.shape == full.shape[:1] + (th, tw)
+        np.testing.assert_array_equal(
+            cut, full[:, tr0:tr0 + th, tc0:tc0 + tw],
+            err_msg=f"{(tr0, tc0)}",
+        )
+    assert n_dev() - n0 == 1  # all three trim offsets rode one program
+    # derived band stats (outlier percentile) see the WHOLE band, so a
+    # trimmed call still normalizes like the untrimmed one
+    np.testing.assert_array_equal(
+        eng.infer_slide_device(plane, 8, 16, 96, 96, outlier=99.0,
+                               trim=(10, 20, 32, 48)),
+        eng.infer_slide_device(
+            plane, 8, 16, 96, 96, outlier=99.0
+        )[:, 10:42, 20:68],
+    )
+    for bad in [(-1, 0, 32, 32), (0, 0, 97, 32), (70, 0, 32, 32),
+                (0, 0, 0, 32)]:
+        with pytest.raises(ValueError, match="trim"):
+            eng.infer_slide_device(plane, 8, 16, 96, 96, trim=bad)
+
+
 def test_device_plane_stack_pans_match_host(rng):
     """Duo: pinned [C, H, W] stack pans == host stack bands, including
     per-channel pinned ranges; channel-count mismatches raise."""
@@ -424,6 +467,15 @@ def test_device_plane_stack_pans_match_host(rng):
             in_range=pin,
         )
         np.testing.assert_array_equal(dev, host, err_msg=f"{(r0, c0)}")
+    # trim= on the stack path: device crop == host crop of the full band
+    np.testing.assert_array_equal(
+        eng.infer_slide_stack_device(
+            planes, 30, 40, 64, 64, in_range=pin, trim=(8, 12, 32, 40)
+        ),
+        eng.infer_slide_stack_device(
+            planes, 30, 40, 64, 64, in_range=pin
+        )[:, 8:40, 12:52],
+    )
     with pytest.raises(ValueError, match="channels"):
         eng.infer_slide_stack_device(planes[:1], 0, 0, 64, 64)
 

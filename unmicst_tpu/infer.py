@@ -521,7 +521,8 @@ class InferenceEngine:
                      rescale: bool, classes=None, n_in: int = 0,
                      scaling_factor: float = 1.0,
                      fixed_range: bool = False,
-                     plane_shape: Optional[Tuple[int, int]] = None):
+                     plane_shape: Optional[Tuple[int, int]] = None,
+                     trim_hw: Optional[Tuple[int, int]] = None):
         """Jitted raw-slide pipeline: uint8/uint16 in, uint8 maps out.
 
         Fuses the host preprocessing (``UnMicst1-5.py:817-821``:
@@ -554,6 +555,13 @@ class InferenceEngine:
         the (height, width) band is cut with ``dynamic_slice`` ON DEVICE,
         so a viewer pan costs zero host->device pixel traffic.  Offsets
         being traced, every same-sized window shares one program.
+
+        ``trim_hw`` (plane mode only): the output maps are cropped ON
+        DEVICE to a (th, tw) window at traced (tr, tc) band-relative
+        offsets before they ride the link — a viewer pan that needs a
+        512^2 view out of a context band fetches th*tw*K bytes instead
+        of the whole band (the band D2H was the dominant cached-pan
+        cost on tunnel-attached hosts, scripts/pan_latency_report.json).
         """
         from unmicst_tpu.core.resize_dev import ResizePlan
 
@@ -633,7 +641,34 @@ class InferenceEngine:
                     plane, (jnp.int32(0), r0, c0), (n_in, height, width)
                 )
 
-            if fixed_range:
+            if trim_hw is not None:
+                th, tw = trim_hw
+
+                def trim(out, tr, tc):
+                    # uint8 crop on device: byte-identical to the host
+                    # crop, (height*width - th*tw)*K fewer D2H bytes
+                    return jax.lax.dynamic_slice(
+                        out, (tr, tc, jnp.int32(0)),
+                        (th, tw, out.shape[-1]),
+                    )
+
+                if fixed_range:
+
+                    def run(params, plane, win, r0, c0, tr, tc, lo, hi,
+                            quant=None):
+                        return trim(
+                            body(params, cut(plane, r0, c0), win, quant,
+                                 lo=lo, hi=hi), tr, tc)
+
+                else:
+
+                    def run(params, plane, win, r0, c0, tr, tc,
+                            q=jnp.float32(0.0), quant=None):
+                        return trim(
+                            body(params, cut(plane, r0, c0), win, quant,
+                                 q=q), tr, tc)
+
+            elif fixed_range:
 
                 def run(params, plane, win, r0, c0, lo, hi, quant=None):
                     return body(params, cut(plane, r0, c0), win, quant,
@@ -764,6 +799,20 @@ class InferenceEngine:
             )
         return ph, pw
 
+    @staticmethod
+    def _trim_checked(trim, height: int, width: int):
+        if trim is None:
+            return None
+        tr0, tc0, th, tw = (int(v) for v in trim)
+        if not (0 <= tr0 and 0 <= tc0 and th > 0 and tw > 0
+                and tr0 + th <= height and tc0 + tw <= width):
+            # same clamping hazard as _band_checked, output side
+            raise ValueError(
+                f"trim ({tr0},{tc0})+{th}x{tw} outside the "
+                f"{height}x{width} band"
+            )
+        return th, tw
+
     def infer_slide_device(
         self,
         plane,
@@ -776,6 +825,7 @@ class InferenceEngine:
         classes=None,
         scaling_factor: float = 1.0,
         in_range=None,
+        trim=None,
     ) -> np.ndarray:
         """Windowed inference against a :meth:`device_plane`-pinned slide:
         uint8 [K, height, width] maps for the band at (r0, c0).
@@ -784,6 +834,12 @@ class InferenceEngine:
         output), but the band never rides the host link — it is cut
         on-device from the pinned plane, and (r0, c0) are traced scalars
         so every same-sized window hits one compiled program.
+
+        ``trim=(tr0, tc0, th, tw)`` (band-relative) crops the output maps
+        ON DEVICE before the fetch — returns [K, th, tw], byte-identical
+        to ``maps[:, tr0:tr0+th, tc0:tc0+tw]`` of the untrimmed call, at
+        th*tw/(height*width) of the D2H bytes.  Offsets are traced; only
+        (th, tw) shapes the program.
         """
         if self.quantized and self._quant is None:
             raise RuntimeError(
@@ -798,20 +854,23 @@ class InferenceEngine:
                 raise ValueError("in_range requires rescale=True")
             ir = _normalize_in_range(in_range, 1)
         ph, pw = self._band_checked(plane, 2, r0, c0, height, width)
+        trim_hw = self._trim_checked(trim, height, width)
         dt = np.dtype(plane.dtype)
         key = ("slide_dev", ph, pw, height, width, dt,
                outlier != -1 and not fixed, rescale, classes,
-               float(scaling_factor), fixed)
+               float(scaling_factor), fixed, trim_hw)
         jitted = self._compiled.get_or_build(
             key,
             lambda: self._build_slide(
                 height, width, dt, outlier, rescale, classes,
                 scaling_factor=scaling_factor, fixed_range=fixed,
-                plane_shape=(ph, pw),
+                plane_shape=(ph, pw), trim_hw=trim_hw,
             ),
         )
         args = [self.params, plane, self._window_dev(),
                 jnp.int32(r0), jnp.int32(c0)]
+        if trim_hw is not None:
+            args.extend([jnp.int32(trim[0]), jnp.int32(trim[1])])
         if fixed:
             args.extend(_range_args(ir, dt))
         elif outlier != -1:
@@ -831,9 +890,10 @@ class InferenceEngine:
         classes=None,
         scaling_factor: float = 1.0,
         in_range=None,
+        trim=None,
     ) -> np.ndarray:
         """:meth:`infer_slide_device` for a pinned [C, H, W] channel stack
-        (duo plumbing, per-channel ranges)."""
+        (duo plumbing, per-channel ranges; same ``trim=`` contract)."""
         if self.quantized and self._quant is None:
             raise RuntimeError(
                 "int8 engine is uncalibrated: pin the slide with "
@@ -852,20 +912,24 @@ class InferenceEngine:
                 raise ValueError("in_range requires rescale=True")
             ir = _normalize_in_range(in_range, n_in)
         ph, pw = self._band_checked(planes, 3, r0, c0, height, width)
+        trim_hw = self._trim_checked(trim, height, width)
         dt = np.dtype(planes.dtype)
         key = ("slide_stack_dev", ph, pw, height, width, dt,
                outlier != -1 and not fixed, rescale, classes,
-               float(scaling_factor), fixed)
+               float(scaling_factor), fixed, trim_hw)
         jitted = self._compiled.get_or_build(
             key,
             lambda: self._build_slide(
                 height, width, dt, outlier, rescale, classes,
                 n_in=n_in, scaling_factor=scaling_factor,
                 fixed_range=fixed, plane_shape=(ph, pw),
+                trim_hw=trim_hw,
             ),
         )
         args = [self.params, planes, self._window_dev(),
                 jnp.int32(r0), jnp.int32(c0)]
+        if trim_hw is not None:
+            args.extend([jnp.int32(trim[0]), jnp.int32(trim[1])])
         if fixed:
             args.extend(_range_args(ir, dt))
         elif outlier != -1:

@@ -724,13 +724,18 @@ class ModelServer:
         if plane is not None:
             # cached-slide fast path: the band is dynamic_slice'd from
             # the pinned HBM plane — no read_rows, no per-pan H2D; the
-            # traced offsets make every same-sized window one program
+            # traced offsets make every same-sized window one program.
+            # trim= crops the maps to the ROI ON DEVICE too: only
+            # h*w*K uint8 bytes ride D2H, not the whole context band
+            # (the band fetch dominated the measured pan latency,
+            # scripts/pan_latency_report.json)
             t0 = time.perf_counter()
+            trim = (r0 - a, c0 - ca, h, w)
             if len(srcs) > 1:
                 maps = eng.infer_slide_stack_device(
                     plane, a, ca, b - a, cb - ca, outlier=outlier,
                     rescale=rescale, scaling_factor=scale,
-                    in_range=in_range,
+                    in_range=in_range, trim=trim,
                 )
             else:
                 maps = eng.infer_slide_device(
@@ -739,8 +744,10 @@ class ModelServer:
                     in_range=(
                         in_range[0] if in_range is not None else None
                     ),
+                    trim=trim,
                 )
             infer_s = time.perf_counter() - t0
+            maps = np.ascontiguousarray(maps)
             self._count(device_pans=1)
         else:
             bands = [
@@ -765,9 +772,11 @@ class ModelServer:
                     ),
                 )
             infer_s = time.perf_counter() - t0
-        maps = np.ascontiguousarray(
-            maps[:, r0 - a : r0 - a + h, c0 - ca : c0 - ca + w]
-        )
+            # host path infers the whole band: crop here (the device
+            # path already returned the ROI crop via trim=)
+            maps = np.ascontiguousarray(
+                maps[:, r0 - a : r0 - a + h, c0 - ca : c0 - ca + w]
+            )
         return self._encode(
             maps, model, (h, w), h * w, infer_s,
             compress=compress, pyramid=pyramid, in_range=in_range,
