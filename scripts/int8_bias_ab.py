@@ -52,7 +52,7 @@ ref_arg = np.argmax(ref, axis=0)
 report = {"slide": "105.tif (full)", "weights": "nucleiDAPI (real)",
           "reference": "f32 Precision.HIGH", "modes": {}}
 for label, kw in [
-    ("int8_p9999", dict(quantized=True)),
+    ("int8_p9999", dict(quantized=True, quant_bias_correct=False)),
     ("int8_p9999_bias_correct", dict(quantized=True,
                                      quant_bias_correct=True)),
 ]:

@@ -128,7 +128,7 @@ def calibrate(
     variant: str,
     *,
     percentile: float = 99.99,
-    bias_correct: bool = False,
+    bias_correct: bool = True,
 ) -> QuantState:
     """Build a QuantState from normalized sample tiles [N, S, S, C].
 

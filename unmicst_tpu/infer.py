@@ -159,7 +159,7 @@ class InferenceEngine:
         stack_fold_max_bytes: int = 1 << 30,
         quantized: bool = False,
         calibration_percentile: float = 99.99,
-        quant_bias_correct: bool = False,
+        quant_bias_correct: bool = True,
         s2d: bool = False,
     ):
         self.hp = hp

@@ -133,6 +133,7 @@ class StreamingEngine:
         in_flight: int = 4,
         quantized: bool = False,
         calibration_percentile: float = 99.99,
+        quant_bias_correct: bool = True,
     ):
         self.hp = hp
         # one batched host->device transfer at construction: the
@@ -159,6 +160,7 @@ class StreamingEngine:
         # quantization
         self.quantized = bool(quantized)
         self.calibration_percentile = float(calibration_percentile)
+        self.quant_bias_correct = bool(quant_bias_correct)
         self._params_host = params if quantized else None
         self._quant = None
         # bounded + locked: serving routes mega-slides here, one compiled
@@ -400,6 +402,7 @@ class StreamingEngine:
         self._quant = _q.calibrate(
             self._params_host, (x - self.mean) / self.std, hp, self.variant,
             percentile=self.calibration_percentile,
+            bias_correct=self.quant_bias_correct,
         )
         return self._quant
 
