@@ -754,6 +754,94 @@ def test_roi_inference(server_url, tmp_path, rng):
         assert ei.value.code == 400
 
 
+def test_classes_subset(server_url, tmp_path, rng):
+    """classes= returns only the requested probability-map pages (same
+    reversed page order), on the whole path AND on cached-slide ROI
+    pans (where the discard happens on device); bad indices are 400s."""
+    import urllib.error
+
+    img = (rng.rand(160, 140) * 60000).astype(np.uint16)
+    p = str(tmp_path / "cls.tif")
+    imwrite(p, img)
+    body = open(p, "rb").read()
+
+    def post(query, data=body):
+        req = urllib.request.Request(
+            server_url + "/infer?" + query, data=data,
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=180) as r:
+            out = r.read()
+            meta = json.loads(r.headers["X-UnMicst-Meta"])
+        dst = tmp_path / "cls_out.tif"
+        dst.write_bytes(out)
+        with TiffFile(str(dst)) as tf:
+            return np.stack([tf.read_page(i)
+                             for i in range(len(tf.pages))]), meta
+
+    full, _ = post("model=nucleiDAPI&channel=0")
+    # page order is reversed class order: page0 = class 2
+    one, meta = post("model=nucleiDAPI&channel=0&classes=2")
+    assert one.shape[0] == 1 and meta["classes"] == 1
+    assert meta["class_indices"] == [2]
+    np.testing.assert_array_equal(one[0], full[0])
+    two, _ = post("model=nucleiDAPI&channel=0&classes=1,2")
+    np.testing.assert_array_equal(two, full[:2])
+    # cached-slide pan with classes: device-trimmed AND device-subset
+    sreq = urllib.request.Request(
+        server_url + "/slides", data=body, method="POST",
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(sreq, timeout=180) as r:
+        sid = json.loads(r.read())["slide_id"]
+    q = ("model=nucleiDAPI&channel=0&range=0,65535&classes=2"
+         f"&slide={sid}&roi=40,16,64,96")
+    pan, meta = post(q, data=None)
+    fullr, _ = post("model=nucleiDAPI&channel=0&range=0,65535"
+                    "&roi=40,16,64,96")
+    assert pan.shape == (1, 64, 96) and meta["class_indices"] == [2]
+    np.testing.assert_array_equal(pan[0], fullr[0])
+    # out-of-range / malformed class lists are client errors (a BLANK
+    # classes= is dropped by parse_qs -> behaves as absent; "," is the
+    # present-but-empty form)
+    for bad in ("9", "x", ","):
+        req = urllib.request.Request(
+            server_url + "/infer?model=nucleiDAPI&channel=0"
+            f"&classes={bad}",
+            data=body,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+
+
+def test_classes_subset_streamed(tmp_path, rng):
+    """classes= on a slide above the streaming bound: all classes are
+    computed (streamed engine), the response carries the subset."""
+    root = os.path.join(REFERENCE, "models")
+    srv = ModelServer(
+        model_root=root, precision="float32", stream_above_px=1
+    )
+    img = (rng.rand(120, 100) * 60000).astype(np.uint16)
+    p = str(tmp_path / "big.tif")
+    imwrite(p, img)
+    full, _ = srv.infer_tiff_path(p, "nucleiDAPI", 0, True, -1)
+    sub, meta = srv.infer_tiff_path(p, "nucleiDAPI", 0, True, -1,
+                                    classes=(2,))
+    dst = tmp_path / "s.tif"
+    dst.write_bytes(sub)
+    dst2 = tmp_path / "f.tif"
+    dst2.write_bytes(full)
+    with TiffFile(str(dst)) as tf, TiffFile(str(dst2)) as tf2:
+        assert len(tf.pages) == 1 and len(tf2.pages) == 3
+        np.testing.assert_array_equal(tf.read_page(0), tf2.read_page(0))
+    assert meta["class_indices"] == [2]
+    with pytest.raises(ValueError, match="out of range"):
+        srv.infer_tiff_path(p, "nucleiDAPI", 0, True, -1, classes=(7,))
+
+
 def test_probe_range(server_url, tmp_path, rng):
     """probe=range returns global per-channel (lo, hi) — exact min/max
     and exact percentile — with no inference."""

@@ -5,7 +5,7 @@ The reference is strictly batch CLI (model setup cost paid per invocation,
 module keeps the model resident and serves slides over HTTP:
 
 * ``POST /infer?model=nucleiDAPI&channel=0[&compress=1|deflate|zstd]
-  [&scale=0.5][&roi=r0,c0,h,w][&range=lo,hi]`` with a
+  [&scale=0.5][&roi=r0,c0,h,w][&range=lo,hi][&classes=1,2]`` with a
   TIFF, CZI, or ND2 body (container sniffed from magic bytes; OME-aware
   channel mapping) -> multi-page TIFF response (the ``_Probabilities``
   page stack, reversed class order, uint8; optionally deflate- or
@@ -13,7 +13,9 @@ module keeps the model resident and serves slides over HTTP:
   net-tile of context read around it — the interactive-viewer path
   over mega-slides); ``range=lo,hi`` pins the intensity-rescale range
   (repeat per channel for duo) so windowed requests normalize exactly
-  like a full-slide run;
+  like a full-slide run; ``classes=`` returns only those class pages
+  (a one-PM viewer pays 1/K of the D2H + response bytes — dropped ON
+  DEVICE on the non-streamed paths);
 * ``POST /infer?probe=range&channel=0[&outlier=p]`` -> JSON global
   per-channel (lo, hi) of the body, no inference — viewers call it once,
   then pin ``range=`` on every ROI request;
@@ -70,6 +72,26 @@ def _parse_compress(value: str) -> Optional[str]:
     if v in ("deflate", "zstd"):
         return v
     return "deflate" if _parse_bool(value, "compress") else None
+
+
+def _parse_classes(q) -> Optional[tuple]:
+    """``classes=`` -> tuple of 0-based class indices (repeatable or
+    comma-joined); None when absent.  Range-checking happens against the
+    model downstream (the engine knows n_classes)."""
+    if "classes" not in q:
+        return None
+    vals = [x for v in q["classes"] for x in v.split(",") if x != ""]
+    if not vals:
+        raise ValueError(
+            "classes parameter present but empty; pass 0-based class "
+            "indices, e.g. classes=1,2"
+        )
+    try:
+        return tuple(int(x) for x in vals)
+    except ValueError:
+        raise ValueError(
+            f"classes must be integer indices, got {q['classes']!r}"
+        ) from None
 
 
 def _parse_bool(value: str, name: str) -> bool:
@@ -328,7 +350,8 @@ class ModelServer:
     def prewarm_slide(self, slide_id: str, model: str, roi_h: int,
                       roi_w: int, channel=0, rescale: bool = True,
                       outlier: float = -1.0, scale: float = 1.0,
-                      in_range=None, channel_names=None) -> int:
+                      in_range=None, channel_names=None,
+                      classes=None) -> int:
         """Compile every ``roi=`` band geometry a viewer will hit on a
         cached slide, BEFORE the first pan.
 
@@ -377,7 +400,7 @@ class ModelServer:
                         path, model, channel, rescale, outlier,
                         scale=scale, roi=(r0, c0, roi_h, roi_w),
                         in_range=in_range, channel_names=channel_names,
-                        slide_id=slide_id,
+                        slide_id=slide_id, classes=classes,
                     )
                 finally:
                     self._inflight.release()
@@ -520,6 +543,7 @@ class ModelServer:
         scale: float = 1.0, pyramid: bool = False,
         roi: Optional[Tuple[int, int, int, int]] = None,
         in_range=None, channel_names=None, slide_id: Optional[str] = None,
+        classes=None,
     ) -> Tuple[bytes, dict]:
         """Run channel(s) of any supported container (TIFF/CZI/ND2 —
         sniffed from magic bytes, uploads carry no trustworthy name)
@@ -540,7 +564,15 @@ class ModelServer:
         ROI request normalizes with BAND-local stats, which drifts
         against the full-slide run and flickers between viewer windows;
         pin the global range (one ``probe=range`` request) to make every
-        window normalize identically.  Overrides ``outlier``."""
+        window normalize identically.  Overrides ``outlier``.
+
+        ``classes``: optional class-index subset — the response carries
+        only those probability-map pages (same page-order contract:
+        reversed request order).  A viewer that renders one PM pays 1/K
+        of the device->host and response bytes; on the non-streamed
+        engines the discard happens ON DEVICE (``_build_slide``
+        ``classes=``), streamed slides compute all classes and drop the
+        rest at encode."""
         import contextlib
 
         from unmicst_tpu.infer import _normalize_in_range
@@ -575,6 +607,13 @@ class ModelServer:
             shape = (srcs[0].height, srcs[0].width)
             if any((s.height, s.width) != shape for s in srcs):
                 raise ValueError("channel planes disagree on dimensions")
+            if classes is not None:
+                classes = tuple(int(c) for c in classes)
+                if not classes:
+                    raise ValueError(
+                        "classes parameter present but empty; pass "
+                        "0-based class indices, e.g. classes=1,2"
+                    )
             if roi is not None:
                 return self._infer_roi(
                     srcs, shape, model, roi, rescale, outlier,
@@ -584,6 +623,7 @@ class ModelServer:
                         (slide_id, tuple(channels))
                         if slide_id is not None else None
                     ),
+                    classes=classes,
                 )
             if (scale > 1
                     and shape[0] * shape[1] * scale * scale
@@ -604,6 +644,16 @@ class ModelServer:
                 # spooled temp file.  t0 starts after engine lookup in both
                 # branches so infer_s excludes first-request construction.
                 eng = self.engine(model, "stream")
+                if classes is not None:
+                    # the streamed engine computes every class; validate
+                    # here so bad indices 400 like the whole-image path
+                    bad = [c for c in classes
+                           if not 0 <= c < eng.hp.n_classes]
+                    if bad:
+                        raise ValueError(
+                            f"class index(es) {bad} out of range for a "
+                            f"{eng.hp.n_classes}-class model"
+                        )
                 t0 = time.perf_counter()
                 if scale != 1:
                     # virtual resized slide + raw-resolution upscale at
@@ -636,6 +686,10 @@ class ModelServer:
                             if in_range is not None else None
                         ),
                     )
+                if classes is not None:
+                    # subset BEFORE the upscale: dropped classes skip
+                    # the host-side resize too
+                    maps = maps[list(classes)]
                 if scale != 1:
                     maps = np.stack(
                         [_pp.upscale_pm(m, shape) for m in maps]
@@ -651,6 +705,7 @@ class ModelServer:
                     maps = eng.infer_slide_stack(
                         raws, outlier=outlier, rescale=rescale,
                         scaling_factor=scale, in_range=in_range,
+                        classes=classes,
                     )
                 else:
                     maps = eng.infer_slide(
@@ -659,17 +714,20 @@ class ModelServer:
                         in_range=(
                             in_range[0] if in_range is not None else None
                         ),
+                        classes=classes,
                     )
             infer_s = time.perf_counter() - t0
         return self._encode(
             maps, model, shape, shape[0] * shape[1], infer_s,
             compress=compress, pyramid=pyramid, in_range=in_range,
+            class_indices=classes,
         )
 
     def _infer_roi(self, srcs, shape, model: str, roi, rescale: bool,
                    outlier: float, compress: Optional[str] = None,
                    scale: float = 1.0, pyramid: bool = False,
-                   in_range=None, slide_key=None) -> Tuple[bytes, dict]:
+                   in_range=None, slide_key=None,
+                   classes=None) -> Tuple[bytes, dict]:
         """Windowed inference for ``roi=(r0, c0, h, w)``: read a window
         with one net-tile of context on ALL FOUR sides, infer it on the
         whole-image engine, trim to the ROI.
@@ -735,7 +793,7 @@ class ModelServer:
                 maps = eng.infer_slide_stack_device(
                     plane, a, ca, b - a, cb - ca, outlier=outlier,
                     rescale=rescale, scaling_factor=scale,
-                    in_range=in_range, trim=trim,
+                    in_range=in_range, trim=trim, classes=classes,
                 )
             else:
                 maps = eng.infer_slide_device(
@@ -744,7 +802,7 @@ class ModelServer:
                     in_range=(
                         in_range[0] if in_range is not None else None
                     ),
-                    trim=trim,
+                    trim=trim, classes=classes,
                 )
             infer_s = time.perf_counter() - t0
             maps = np.ascontiguousarray(maps)
@@ -762,6 +820,7 @@ class ModelServer:
                 maps = eng.infer_slide_stack(
                     bands, outlier=outlier, rescale=rescale,
                     scaling_factor=scale, in_range=in_range,
+                    classes=classes,
                 )
             else:
                 maps = eng.infer_slide(
@@ -770,6 +829,7 @@ class ModelServer:
                     in_range=(
                         in_range[0] if in_range is not None else None
                     ),
+                    classes=classes,
                 )
             infer_s = time.perf_counter() - t0
             # host path infers the whole band: crop here (the device
@@ -780,6 +840,7 @@ class ModelServer:
         return self._encode(
             maps, model, (h, w), h * w, infer_s,
             compress=compress, pyramid=pyramid, in_range=in_range,
+            class_indices=classes,
         )
 
     def probe_range(self, path: str, channel, outlier: float,
@@ -820,7 +881,8 @@ class ModelServer:
 
     def _encode(self, maps, model: str, shape, raw_size: int,
                 infer_s: float, compress: Optional[str] = None,
-                pyramid: bool = False, in_range=None) -> Tuple[bytes, dict]:
+                pyramid: bool = False, in_range=None,
+                class_indices=None) -> Tuple[bytes, dict]:
         from unmicst_tpu.io.tiff import TiffWriter
 
         buf = tempfile.NamedTemporaryFile(suffix=".tif", delete=False)
@@ -846,6 +908,10 @@ class ModelServer:
             "infer_s": round(infer_s, 3),
             "mpx_per_s": round(raw_size / 1e6 / infer_s, 2),
         }
+        if class_indices is not None:
+            # which class each response page is (reversed, like the
+            # page order itself)
+            meta["class_indices"] = [int(c) for c in class_indices]
         if in_range is not None:
             meta["in_range"] = [list(p) for p in in_range]
         return out, meta
@@ -1015,6 +1081,7 @@ def make_handler(server: ModelServer):
                         outlier=float(q.get("outlier", ["-1"])[0]),
                         scale=scale, in_range=in_range,
                         channel_names=channel_names,
+                        classes=_parse_classes(q),
                     )
             except ValueError as e:
                 server._count(client_error=1)
@@ -1143,6 +1210,7 @@ def make_handler(server: ModelServer):
                             f"roi must be r0,c0,h,w — got {q['roi'][0]!r}"
                         )
                     roi = tuple(int(v) for v in parts)
+                classes = _parse_classes(q)
                 in_range = None
                 if "range" in q:
                     in_range = []
@@ -1209,6 +1277,7 @@ def make_handler(server: ModelServer):
                     compress=compress, scale=scale,
                     pyramid=pyramid, roi=roi, in_range=in_range,
                     channel_names=channel_names, slide_id=slide_id,
+                    classes=classes,
                 )
                 return out, meta, None
 
