@@ -21,9 +21,18 @@
 extern "C" {
 
 // Returns number of bytes written to dst, or -1 on corrupt stream /
-// insufficient dst capacity.
-long long unmicst_lzw_decode(const uint8_t* src, long long src_len,
-                             uint8_t* dst, long long dst_cap) {
+// insufficient dst capacity.  The _ex variants additionally report an
+// OVERRUN flag: 1 when the dst capacity was reached while the stream
+// demonstrably encoded more output — mid-chunk truncation, or an exact
+// fill followed by more data chunks (trailing no-op/EOI/zero-bit
+// padding stays 0).  The plain decoders keep the libtiff/PIL
+// accept-and-truncate posture; the flag makes writer padding
+// distinguishable from an over-long (possibly corrupt) final strip,
+// best-effort for exotic LZW early-change encoders.
+long long unmicst_lzw_decode_ex(const uint8_t* src, long long src_len,
+                                uint8_t* dst, long long dst_cap,
+                                int* overrun) {
+  if (overrun) *overrun = 0;
   // TIFF LZW: 9..12-bit MSB-first codes, clear=256, EOI=257, early change.
   struct Entry {
     int32_t prev;   // previous entry index, -1 for root
@@ -64,6 +73,7 @@ long long unmicst_lzw_decode(const uint8_t* src, long long src_len,
       }
       std::memcpy(dst + out, tmp, (size_t)(dst_cap - out));
       out = dst_cap;
+      if (overrun) *overrun = 1;  // mid-chain truncation: always over-long
       return n;
     }
     long long i = out + n;
@@ -138,11 +148,44 @@ long long unmicst_lzw_decode(const uint8_t* src, long long src_len,
     // early change (TIFF spec 6.0)
     if (next_code >= (1 << nbits) - 1 && nbits < 12) ++nbits;
   }
+  if (overrun && !*overrun && out == dst_cap) {
+    // exact fill: peek whether real data follows.  EOI at the current
+    // width (or one narrower — the in-the-wild early-change off-by-one)
+    // or nothing but zero padding bits is a clean termination.
+    bool more = false;
+    for (int w : {nbits, nbits - 1}) {
+      if (bitpos + w > maxbit) continue;
+      long long b0 = bitpos >> 3;
+      uint32_t win = 0;
+      for (int k = 0; k < 4; ++k) {
+        win <<= 8;
+        if (b0 + k < src_len) win |= src[b0 + k];
+      }
+      int c = (int)((win >> (32 - (int)(bitpos & 7) - w)) & ((1u << w) - 1));
+      if (c == 257) { more = false; break; }
+      more = true;  // a non-EOI code fits: provisionally over-long...
+    }
+    if (more) {
+      // ...unless every remaining bit is zero (byte padding)
+      bool nonzero = false;
+      for (long long b = bitpos; b < maxbit && !nonzero; ++b)
+        nonzero = (src[b >> 3] >> (7 - (b & 7))) & 1;
+      more = nonzero;
+    }
+    if (more) *overrun = 1;
+  }
   return out;
 }
 
-long long unmicst_packbits_decode(const uint8_t* src, long long src_len,
-                                  uint8_t* dst, long long dst_cap) {
+long long unmicst_lzw_decode(const uint8_t* src, long long src_len,
+                             uint8_t* dst, long long dst_cap) {
+  return unmicst_lzw_decode_ex(src, src_len, dst, dst_cap, nullptr);
+}
+
+long long unmicst_packbits_decode_ex(const uint8_t* src, long long src_len,
+                                     uint8_t* dst, long long dst_cap,
+                                     int* overrun) {
+  if (overrun) *overrun = 0;
   long long i = 0, out = 0;
   while (i < src_len) {
     uint8_t h = src[i++];
@@ -151,6 +194,7 @@ long long unmicst_packbits_decode(const uint8_t* src, long long src_len,
       if (i + n > src_len) return -1;
       if (out + n > dst_cap) {  // writer-padded strip: truncate + stop
         std::memcpy(dst + out, src + i, (size_t)(dst_cap - out));
+        if (overrun) *overrun = 1;  // mid-literal truncation
         return dst_cap;
       }
       std::memcpy(dst + out, src + i, (size_t)n);
@@ -161,15 +205,29 @@ long long unmicst_packbits_decode(const uint8_t* src, long long src_len,
       if (i >= src_len) return -1;
       if (out + n > dst_cap) {  // writer-padded strip: truncate + stop
         std::memset(dst + out, src[i], (size_t)(dst_cap - out));
+        if (overrun) *overrun = 1;  // mid-run truncation
         return dst_cap;
       }
       std::memset(dst + out, src[i], (size_t)n);
       ++i;
       out += n;
     }  // h == 128: no-op
-    if (out == dst_cap) return out;  // declared geometry reached: done
+    if (out == dst_cap) {  // declared geometry reached: done
+      if (overrun) {
+        // exact fill: anything but no-op (128) padding after this
+        // point encodes more output
+        for (long long k = i; k < src_len; ++k)
+          if (src[k] != 128) { *overrun = 1; break; }
+      }
+      return out;
+    }
   }
   return out;
+}
+
+long long unmicst_packbits_decode(const uint8_t* src, long long src_len,
+                                  uint8_t* dst, long long dst_cap) {
+  return unmicst_packbits_decode_ex(src, src_len, dst, dst_cap, nullptr);
 }
 
 }  // extern "C"

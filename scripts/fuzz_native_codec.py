@@ -280,6 +280,20 @@ def codec_case(rng, case_id: int) -> dict | None:
             return {"why": "lzw bytes mismatch"}
         if st == "reject" and ref_st == "ok" and not corrupt:
             return {"why": "native lzw rejected a valid stream"}
+        # _ex differential: same bytes as the plain decoder, and a
+        # pristine fully-fitting stream must never flag overrun
+        if st == "ok":
+            exo, over = _native.lzw_decode_ex(stream, declared)
+            if exo.tobytes() != out:
+                return {"why": "lzw_ex bytes differ from lzw"}
+            if not corrupt and len(out) < declared and over:
+                return {"why": "lzw_ex flagged overrun on a clean "
+                        "under-capacity stream"}
+        # capacity-cut of the pristine stream: overrun must flag
+        if not corrupt and len(plain) >= 2:
+            exo, over = _native.lzw_decode_ex(stream, len(plain) // 2)
+            if exo.tobytes() != plain[: len(plain) // 2] or not over:
+                return {"why": "lzw_ex missed a capacity overrun"}
     elif codec == 2:  # PackBits
         stream = packbits_encode(plain)
         corrupt = rng.randint(0, 2) == 1
@@ -294,6 +308,18 @@ def codec_case(rng, case_id: int) -> dict | None:
             return {"why": "packbits bytes mismatch"}
         if st == "reject" and ref_st == "ok" and not corrupt:
             return {"why": "native packbits rejected a valid stream"}
+        if st == "ok":
+            exo, over = _native.packbits_decode_ex(stream, declared)
+            if exo.tobytes() != out:
+                return {"why": "packbits_ex bytes differ from packbits"}
+            if not corrupt and len(out) < declared and over:
+                return {"why": "packbits_ex flagged overrun on a clean "
+                        "under-capacity stream"}
+        if not corrupt and len(plain) >= 2:
+            exo, over = _native.packbits_decode_ex(
+                stream, len(plain) // 2)
+            if exo.tobytes() != plain[: len(plain) // 2] or not over:
+                return {"why": "packbits_ex missed a capacity overrun"}
     elif codec == 3:  # deflate round-trip
         enc = _native.deflate(plain)
         ref = zlib.decompress(enc)

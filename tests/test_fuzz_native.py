@@ -113,6 +113,53 @@ def test_fuzz_lzw_encoder_matches_decoders():
         assert out.tobytes() == plain
 
 
+def test_decode_ex_reports_overrun():
+    """The _ex decoders report an overrun flag — capacity reached while
+    the stream demonstrably encoded more output — making writer padding
+    distinguishable from over-long/corrupt final strips (ADVICE r4).
+    Trailing EOI / zero-bit / 0x80-no-op padding is NOT an overrun."""
+    sys.path.insert(0, REPO)
+    from scripts.fuzz_native_codec import gen_payload, lzw_encode, \
+        packbits_encode
+    from unmicst_tpu.io import _native
+
+    rng = np.random.RandomState(7)
+    plain = bytes(gen_payload(rng, 2))[:20_000]
+
+    enc = packbits_encode(plain)
+    r = _native.packbits_decode_ex(enc, len(plain))
+    if r is None:
+        pytest.skip("native lib absent")
+    out, over = r
+    assert out.tobytes() == plain and not over
+    # exact fill + no-op padding: clean
+    out, over = _native.packbits_decode_ex(enc + b"\x80" * 8, len(plain))
+    assert out.tobytes() == plain and not over
+    # over-long: half the declared capacity stops mid-stream
+    out, over = _native.packbits_decode_ex(enc, len(plain) // 2)
+    assert len(out) == len(plain) // 2 and over
+    assert out.tobytes() == plain[: len(plain) // 2]
+    # exact fill + MORE data chunks: overrun even without mid-chunk cut
+    out, over = _native.packbits_decode_ex(enc + b"\x00A", len(plain))
+    assert out.tobytes() == plain and over
+
+    enc = lzw_encode(plain)
+    out, over = _native.lzw_decode_ex(enc, len(plain))
+    assert out.tobytes() == plain and not over
+    # trailing byte padding after EOI: clean
+    out, over = _native.lzw_decode_ex(enc + b"\0" * 64, len(plain))
+    assert out.tobytes() == plain and not over
+    # capacity-stop mid-stream: overrun
+    out, over = _native.lzw_decode_ex(enc, len(plain) // 2)
+    assert len(out) == len(plain) // 2 and over
+    assert out.tobytes() == plain[: len(plain) // 2]
+    # single-run RLE truncation (the mid-run case a consumed-bytes
+    # report cannot see): 25 repeats declared as 12
+    enc1 = packbits_encode(b"\xf6" * 25)
+    out, over = _native.packbits_decode_ex(enc1, 12)
+    assert out.tobytes() == b"\xf6" * 12 and over
+
+
 # ---------------------------------------------------------- named repros
 def test_truncated_header_raises_valueerror(tmp_path):
     from unmicst_tpu.io.tiff import TiffFile
