@@ -818,8 +818,9 @@ def test_classes_subset(server_url, tmp_path, rng):
 
 
 def test_classes_subset_streamed(tmp_path, rng):
-    """classes= on a slide above the streaming bound: all classes are
-    computed (streamed engine), the response carries the subset."""
+    """classes= on a slide above the streaming bound: the stripe program
+    subsets ON DEVICE (the subset is part of the compiled-program key),
+    so the D2H and the response both carry only the requested pages."""
     root = os.path.join(REFERENCE, "models")
     srv = ModelServer(
         model_root=root, precision="float32", stream_above_px=1
@@ -838,6 +839,11 @@ def test_classes_subset_streamed(tmp_path, rng):
         assert len(tf.pages) == 1 and len(tf2.pages) == 3
         np.testing.assert_array_equal(tf.read_page(0), tf2.read_page(0))
     assert meta["class_indices"] == [2]
+    # device-side proof: the streamed engine compiled a program whose
+    # key carries the classes tuple (host-side dropping would reuse the
+    # classes=None program)
+    keys = list(srv.engine("nucleiDAPI", "stream")._compiled._entries)
+    assert any(k[-1] == (2,) for k in keys), keys
     with pytest.raises(ValueError, match="out of range"):
         srv.infer_tiff_path(p, "nucleiDAPI", 0, True, -1, classes=(7,))
 

@@ -568,11 +568,14 @@ class ModelServer:
 
         ``classes``: optional class-index subset — the response carries
         only those probability-map pages (same page-order contract:
-        reversed request order).  A viewer that renders one PM pays 1/K
-        of the device->host and response bytes; on the non-streamed
-        engines the discard happens ON DEVICE (``_build_slide``
-        ``classes=``), streamed slides compute all classes and drop the
-        rest at encode."""
+        reversed request order).  The discard happens ON DEVICE on every
+        path (``_build_slide`` / the streamed stripe program subset
+        before the fetch), so a viewer that renders one PM pays 1/K of
+        the device->host bytes as well as 1/K of the response bytes —
+        on a 20k^2 3-class streamed slide that is ~2/3 of a ~1.2 GB
+        D2H.  Each distinct subset compiles its own stripe program
+        (bounded cache), the same tradeoff the whole-image engine
+        already makes."""
         import contextlib
 
         from unmicst_tpu.infer import _normalize_in_range
@@ -644,16 +647,6 @@ class ModelServer:
                 # spooled temp file.  t0 starts after engine lookup in both
                 # branches so infer_s excludes first-request construction.
                 eng = self.engine(model, "stream")
-                if classes is not None:
-                    # the streamed engine computes every class; validate
-                    # here so bad indices 400 like the whole-image path
-                    bad = [c for c in classes
-                           if not 0 <= c < eng.hp.n_classes]
-                    if bad:
-                        raise ValueError(
-                            f"class index(es) {bad} out of range for a "
-                            f"{eng.hp.n_classes}-class model"
-                        )
                 t0 = time.perf_counter()
                 if scale != 1:
                     # virtual resized slide + raw-resolution upscale at
@@ -672,6 +665,7 @@ class ModelServer:
                 if len(ins) > 1:
                     maps = eng.infer_stack(
                         ins, outlier=outlier, rescale=rescale,
+                        classes=classes,
                         stats=(
                             [_p2s(tuple(p), s)
                              for p, s in zip(in_range, ins)]
@@ -681,15 +675,15 @@ class ModelServer:
                 else:
                     maps = eng.infer(
                         ins[0], outlier=outlier, rescale=rescale,
+                        classes=classes,
                         stats=(
                             _p2s(tuple(in_range[0]), ins[0])
                             if in_range is not None else None
                         ),
                     )
-                if classes is not None:
-                    # subset BEFORE the upscale: dropped classes skip
-                    # the host-side resize too
-                    maps = maps[list(classes)]
+                # maps already carries ONLY the requested classes (the
+                # stripe program subsets on device before the fetch), so
+                # dropped classes skip the D2H and the host-side resize
                 if scale != 1:
                     maps = np.stack(
                         [_pp.upscale_pm(m, shape) for m in maps]
