@@ -36,11 +36,12 @@ from jax.experimental import pallas as pl
 
 try:  # TPU-specific bits are unavailable when interpreting on CPU
     from jax.experimental.pallas import tpu as pltpu
-
-    _MEMSPACE_ANY = pltpu.ANY
-except (ImportError, AttributeError):  # pragma: no cover
+except ImportError:  # pragma: no cover
     pltpu = None
-    _MEMSPACE_ANY = pl.ANY
+# pl.ANY is the modern spelling; pltpu.ANY (deprecated) only as fallback
+_MEMSPACE_ANY = getattr(pl, "ANY", None)
+if _MEMSPACE_ANY is None:  # pragma: no cover
+    _MEMSPACE_ANY = pltpu.ANY
 
 from unmicst_tpu.core.tiler import TileGrid
 

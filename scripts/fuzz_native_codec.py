@@ -791,6 +791,7 @@ def run_worker(mode: str, seed: int, n: int, mem_gib: float) -> int:
                         failures.append(r)
             finally:
                 httpd.shutdown()
+                httpd.server_close()
     elif mode in ("file", "container", "ckpt"):
         import tempfile
 

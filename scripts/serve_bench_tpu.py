@@ -233,6 +233,7 @@ def main() -> None:
         report["server_stats"] = srv.snapshot()
     finally:
         httpd.shutdown()
+        httpd.server_close()
 
     out = ("/root/repo/scripts/serve_bench_smoke.json" if SMOKE
            else "/root/repo/scripts/serve_bench_report.json")

@@ -29,6 +29,7 @@ def server_url():
     t.start()
     yield f"http://127.0.0.1:{port}"
     httpd.shutdown()
+    httpd.server_close()
 
 
 def test_healthz_and_models(server_url):
@@ -96,6 +97,7 @@ def test_serve_int8_precision(server_url, tmp_path, rng):
                 )
     finally:
         httpd.shutdown()
+        httpd.server_close()
     diff = np.abs(outs["int8"] - outs["f32"])
     assert diff.mean() < 6.0, diff.mean()
     dis = (outs["int8"].argmax(0) != outs["f32"].argmax(0)).mean()
@@ -169,6 +171,7 @@ def test_oversized_body_rejected_413(tmp_path, rng):
         assert ei.value.code == 411
     finally:
         httpd.shutdown()
+        httpd.server_close()
 
 
 def test_concurrent_inference_consistent(server_url, tmp_path, rng):
@@ -502,6 +505,7 @@ def test_busy_backpressure_503(tmp_path, rng):
         assert stats["ok"] == 0
     finally:
         httpd.shutdown()
+        httpd.server_close()
 
 
 def test_stats_counts_success_and_errors(server_url, tmp_path, rng):
@@ -1161,6 +1165,7 @@ def test_slide_cache_lru_eviction(tmp_path, rng):
             assert r.status == 200
     finally:
         httpd.shutdown()
+        httpd.server_close()
 
 
 def test_roi_any_offset_bit_identical_with_range(server_url, tmp_path,
@@ -1468,3 +1473,4 @@ def test_device_cache_budget_and_eviction(tmp_path, rng):
              "&roi=10,10,64,64", None)
     finally:
         httpd.shutdown()
+        httpd.server_close()

@@ -38,6 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# pl.ANY is the modern memory-space spelling; pltpu.ANY (deprecated
+# alias) kept as a fallback for older jax
+_ANY = getattr(pl, "ANY", None)
+if _ANY is None:  # pragma: no cover
+    _ANY = pltpu.ANY
+
 
 def _shift_kernel(x_ref, out_ref, send_sem, recv_sem, *, axis: str,
                   shift: int, collective: bool):
@@ -99,8 +105,8 @@ def ring_shift(
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=_ANY)],
+        out_specs=pl.BlockSpec(memory_space=_ANY),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -213,9 +219,9 @@ def ring_shift_start(
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=_ANY)],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=_ANY),
             pl.BlockSpec(memory_space=pltpu.SEMAPHORE),
             pl.BlockSpec(memory_space=pltpu.SEMAPHORE),
         ),
@@ -240,12 +246,12 @@ def ring_shift_wait(
         partial(_wait_kernel, axis=axis, shift=handle.shift),
         out_shape=_out_struct(handle.buf),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=_ANY),
+            pl.BlockSpec(memory_space=_ANY),
             pl.BlockSpec(memory_space=pltpu.SEMAPHORE),
             pl.BlockSpec(memory_space=pltpu.SEMAPHORE),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=_ANY),
         input_output_aliases={1: 0},  # out aliases the landing buffer
         # no collective_id: the wait side holds no barrier semaphore
         # (Mosaic rejects the combination); ordering comes from the DMA
