@@ -49,6 +49,9 @@ STEPS = [
     ("scale_device", "stdin", "scripts/scale_device_tpu.py", 3600),
     ("train_wall", "stdin", "scripts/train_wall_tpu.py", 3600),
     ("halo_overlap", "stdin", "scripts/halo_overlap_tpu.py", 2400),
+    # r5 serving/quant levers: classes= pan subset + int8 bias-correct
+    # throughput (writes scripts/r5_features_report.json)
+    ("r5_features", "stdin", "scripts/r5_features_tpu.py", 3600),
 ]
 
 

@@ -852,6 +852,43 @@ def test_classes_subset_streamed(tmp_path, rng):
         srv.infer_tiff_path(p, "nucleiDAPI", 0, True, -1, classes=(7,))
 
 
+def test_classes_subset_streamed_stack(tmp_path, rng):
+    """classes= on a streamed TWO-channel (duo) slide rides
+    infer_stack's device-side subset, same byte contract as solo."""
+    from tests.test_cli_variants import _make_model_dir
+    from unmicst_tpu.core.hp import HParams
+
+    zoo = str(tmp_path / "zoo")
+    os.makedirs(zoo)
+    _make_model_dir(
+        zoo, "duoTest",
+        HParams(im_size=32, n_channels=2, n_classes=3, n_out0=4, ks=3,
+                n_layers=2),
+        "duo",
+    )
+    srv = ModelServer(model_root=zoo, precision="float32",
+                      stream_above_px=1)
+    p = str(tmp_path / "big2.tif")
+    for i in range(2):
+        imwrite(p, (rng.rand(90, 110) * 60000).astype(np.uint16),
+                bigtiff=False, append=i > 0)
+    full, _ = srv.infer_tiff_path(p, "duoTest", [0, 1], True, -1)
+    sub, meta = srv.infer_tiff_path(p, "duoTest", [0, 1], True, -1,
+                                    classes=(0, 2))
+    assert meta["class_indices"] == [0, 2]
+    dst, dst2 = tmp_path / "s2.tif", tmp_path / "f2.tif"
+    dst.write_bytes(sub)
+    dst2.write_bytes(full)
+    with TiffFile(str(dst)) as tf, TiffFile(str(dst2)) as tf2:
+        assert len(tf.pages) == 2 and len(tf2.pages) == 3
+        # page order contract: reversed request order -> classes (0, 2)
+        # serve pages [2, 0]; the full run's 3 pages are classes [2,1,0]
+        np.testing.assert_array_equal(tf.read_page(0), tf2.read_page(0))
+        np.testing.assert_array_equal(tf.read_page(1), tf2.read_page(2))
+    keys = list(srv.engine("duoTest", "stream")._compiled._entries)
+    assert any(k[-1] == (0, 2) for k in keys), keys
+
+
 def test_probe_range(server_url, tmp_path, rng):
     """probe=range returns global per-channel (lo, hi) — exact min/max
     and exact percentile — with no inference."""
