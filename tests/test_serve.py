@@ -889,6 +889,61 @@ def test_classes_subset_streamed_stack(tmp_path, rng):
     assert any(k[-1] == (0, 2) for k in keys), keys
 
 
+def test_serve_use_pyramid_input(tmp_path, rng, monkeypatch):
+    """usePyramid=1 at scale <= 0.5 serves from the stored SubIFD level
+    (full-res plane never decoded), == the level fed directly at the
+    residual scale upscaled to full dims; flat inputs fall through."""
+    import unmicst_tpu.io.tiff as tiff_mod
+    from unmicst_tpu.io import preprocess as pp
+    from unmicst_tpu.io.tiff import TiffWriter
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    img = (rng.rand(256, 384) * 60000).astype(np.uint16)
+    src = str(tmp_path / "pyr.tif")
+    with TiffWriter(src, bigtiff=False) as tw:
+        assert tw.write_pyramid(img, tile=(64, 64), min_size=64) == 2
+    with TiffFile(src) as tf:
+        lvl0 = tf.read_subifd(0, 0)
+    lv = str(tmp_path / "lvl.tif")
+    with TiffWriter(lv, bigtiff=False) as tw:
+        tw.write(lvl0)
+
+    srv = ModelServer(model_root=os.path.join(repo, "models"),
+                      precision="float32")
+    reads = []
+    orig = tiff_mod.TiffFile.read_page
+
+    def counting(self, i):
+        reads.append(self.path)
+        return orig(self, i)
+
+    monkeypatch.setattr(tiff_mod.TiffFile, "read_page", counting)
+    body, meta = srv.infer_tiff_path(src, "blobDemo", 0, True, -1,
+                                     scale=0.5, use_pyramid=True)
+    assert src not in reads  # decode saving: full-res page untouched
+    assert meta["shape"] == [256, 384]  # full-res output contract
+    oracle, _ = srv.infer_tiff_path(lv, "blobDemo", 0, True, -1)
+
+    def pages(b):
+        dst = tmp_path / "r.tif"
+        dst.write_bytes(b)
+        with TiffFile(str(dst)) as tf:
+            return [tf.read_page(k) for k in range(len(tf.pages))]
+
+    for a, b in zip(pages(body), pages(oracle)):
+        np.testing.assert_array_equal(a, pp.upscale_pm(b, img.shape))
+
+    # flat input: flag falls through to the normal scaled run
+    flat = str(tmp_path / "flat.tif")
+    with TiffWriter(flat, bigtiff=False) as tw:
+        tw.write(img)
+    with_flag, _ = srv.infer_tiff_path(flat, "blobDemo", 0, True, -1,
+                                       scale=0.5, use_pyramid=True)
+    without, _ = srv.infer_tiff_path(flat, "blobDemo", 0, True, -1,
+                                     scale=0.5)
+    assert with_flag == without
+
+
 def test_probe_range(server_url, tmp_path, rng):
     """probe=range returns global per-channel (lo, hi) — exact min/max
     and exact percentile — with no inference."""

@@ -5,17 +5,21 @@ The reference is strictly batch CLI (model setup cost paid per invocation,
 module keeps the model resident and serves slides over HTTP:
 
 * ``POST /infer?model=nucleiDAPI&channel=0[&compress=1|deflate|zstd]
-  [&scale=0.5][&roi=r0,c0,h,w][&range=lo,hi][&classes=1,2]`` with a
-  TIFF, CZI, or ND2 body (container sniffed from magic bytes; OME-aware
-  channel mapping) -> multi-page TIFF response (the ``_Probabilities``
-  page stack, reversed class order, uint8; optionally deflate- or
-  zstd-compressed pages); ``roi=`` infers only that window (one
-  net-tile of context read around it — the interactive-viewer path
-  over mega-slides); ``range=lo,hi`` pins the intensity-rescale range
-  (repeat per channel for duo) so windowed requests normalize exactly
-  like a full-slide run; ``classes=`` returns only those class pages
-  (a one-PM viewer pays 1/K of the D2H + response bytes — dropped ON
-  DEVICE on the non-streamed paths);
+  [&scale=0.5][&usePyramid=1][&roi=r0,c0,h,w][&range=lo,hi]
+  [&classes=1,2]`` with a TIFF, CZI, or ND2 body (container sniffed
+  from magic bytes; OME-aware channel mapping) -> multi-page TIFF
+  response (the ``_Probabilities`` page stack, reversed class order,
+  uint8; optionally deflate- or zstd-compressed pages); ``roi=``
+  infers only that window (one net-tile of context read around it —
+  the interactive-viewer path over mega-slides); ``range=lo,hi`` pins
+  the intensity-rescale range (repeat per channel for duo) so windowed
+  requests normalize exactly like a full-slide run; ``classes=``
+  returns only those class pages (a one-PM viewer pays 1/K of the D2H
+  + response bytes — dropped ON DEVICE on every path);
+  ``usePyramid=1`` at ``scale <= 0.5`` decodes the nearest stored
+  SubIFD level instead of the full-res plane (the CLI's
+  ``--usePyramid``; falls through silently when no usable level
+  exists, and ``roi=`` requests ignore it — windows read bands);
 * ``POST /infer?probe=range&channel=0[&outlier=p]`` -> JSON global
   per-channel (lo, hi) of the body, no inference — viewers call it once,
   then pin ``range=`` on every ROI request;
@@ -543,7 +547,7 @@ class ModelServer:
         scale: float = 1.0, pyramid: bool = False,
         roi: Optional[Tuple[int, int, int, int]] = None,
         in_range=None, channel_names=None, slide_id: Optional[str] = None,
-        classes=None,
+        classes=None, use_pyramid: bool = False,
     ) -> Tuple[bytes, dict]:
         """Run channel(s) of any supported container (TIFF/CZI/ND2 —
         sniffed from magic bytes, uploads carry no trustworthy name)
@@ -565,6 +569,14 @@ class ModelServer:
         against the full-slide run and flickers between viewer windows;
         pin the global range (one ``probe=range`` request) to make every
         window normalize identically.  Overrides ``outlier``.
+
+        ``use_pyramid``: at ``scale <= 0.5`` on a pyramidal (SubIFD)
+        TIFF, decode the nearest stored level and apply only the
+        residual resize — ~4x fewer decode bytes per octave; output is
+        upscaled to the full-res contract.  Falls through to the normal
+        paths when no usable level exists (non-TIFF, no SubIFDs,
+        ``scale > 0.5``, or the level itself still exceeds the
+        streaming bound); ``roi=`` requests ignore it.
 
         ``classes``: optional class-index subset — the response carries
         only those probability-map pages (same page-order contract:
@@ -628,6 +640,59 @@ class ModelServer:
                     ),
                     classes=classes,
                 )
+            if use_pyramid:
+                # pyramid INPUT read (the CLI's --usePyramid, serve
+                # spelling): at scale <= 0.5 decode the nearest stored
+                # SubIFD level and run the whole engine with only the
+                # residual resize — ~4x fewer decode bytes per octave.
+                # Unusable inputs (no SubIFDs on every channel page,
+                # scale > 0.5, level still above the streaming bound,
+                # non-TIFF container) fall through to the normal
+                # full-resolution paths, the CLI's posture.
+                from unmicst_tpu.io import preprocess as _pp
+                from unmicst_tpu.io.slides import (
+                    pyramid_plan, read_channel_level,
+                )
+
+                plans = [pyramid_plan(path, fmt, c, scale)
+                         for c in channels]
+                if (all(p is not None for p in plans)
+                        and len({(p[0], p[1]) for p in plans}) == 1
+                        and plans[0][3][0] * plans[0][3][1]
+                        <= self.stream_above_px):
+                    lvl, div, _full, _lshape = plans[0]
+                    raws = [read_channel_level(path, fmt, c, lvl)
+                            for c in channels]
+                    eff = scale * div
+                    eng = self.engine(model)
+                    t0 = time.perf_counter()
+                    if len(raws) > 1:
+                        maps = eng.infer_slide_stack(
+                            raws, outlier=outlier, rescale=rescale,
+                            scaling_factor=eff, in_range=in_range,
+                            classes=classes,
+                        )
+                    else:
+                        maps = eng.infer_slide(
+                            raws[0], outlier=outlier, rescale=rescale,
+                            scaling_factor=eff,
+                            in_range=(
+                                in_range[0] if in_range is not None
+                                else None
+                            ),
+                            classes=classes,
+                        )
+                    infer_s = time.perf_counter() - t0
+                    # level-resolution maps -> the full-res output
+                    # contract every other path honors
+                    maps = np.stack(
+                        [_pp.upscale_pm(m, shape) for m in maps]
+                    )
+                    return self._encode(
+                        maps, model, shape, shape[0] * shape[1],
+                        infer_s, compress=compress, pyramid=pyramid,
+                        in_range=in_range, class_indices=classes,
+                    )
             if (scale > 1
                     and shape[0] * shape[1] * scale * scale
                     > self.max_scaled_px):
@@ -1196,6 +1261,9 @@ def make_handler(server: ModelServer):
                 pyramid = _parse_bool(
                     q.get("pyramid", ["0"])[0], "pyramid"
                 )
+                use_pyramid = _parse_bool(
+                    q.get("usePyramid", ["0"])[0], "usePyramid"
+                )
                 roi = None
                 if "roi" in q:
                     parts = q["roi"][0].split(",")
@@ -1271,7 +1339,7 @@ def make_handler(server: ModelServer):
                     compress=compress, scale=scale,
                     pyramid=pyramid, roi=roi, in_range=in_range,
                     channel_names=channel_names, slide_id=slide_id,
-                    classes=classes,
+                    classes=classes, use_pyramid=use_pyramid,
                 )
                 return out, meta, None
 
