@@ -889,6 +889,46 @@ def test_classes_subset_streamed_stack(tmp_path, rng):
     assert any(k[-1] == (0, 2) for k in keys), keys
 
 
+def test_serve_preload(monkeypatch):
+    """serve(preload=[...]) constructs the named engines BEFORE the
+    listening socket exists; a bad name fails the deploy loudly."""
+    import unmicst_tpu.serve as serve_mod
+
+    captured = {}
+    real_make = serve_mod.make_handler
+
+    def capturing_make_handler(server):
+        # called at ThreadingHTTPServer construction time — preload
+        # must already have populated the engine registry by now
+        captured["engines_at_bind"] = dict(server._engines)
+        return real_make(server)
+
+    class StubHTTPD:
+        daemon_threads = False
+
+        def __init__(self, addr, handler):
+            self.server_address = (addr[0], 1)
+
+        def serve_forever(self):
+            pass
+
+        def server_close(self):
+            pass
+
+    monkeypatch.setattr(serve_mod, "make_handler", capturing_make_handler)
+    monkeypatch.setattr(serve_mod, "ThreadingHTTPServer", StubHTTPD)
+    serve_mod.serve("127.0.0.1", 0,
+                    model_root=os.path.join(REFERENCE, "models"),
+                    precision="float32", preload=["nucleiDAPI"])
+    ent = captured["engines_at_bind"][("nucleiDAPI", "float32", "whole")]
+    assert ent["value"] is not None and ent["error"] is None
+
+    with pytest.raises(FileNotFoundError, match="doesNotExist"):
+        serve_mod.serve("127.0.0.1", 0,
+                        model_root=os.path.join(REFERENCE, "models"),
+                        precision="float32", preload=["doesNotExist"])
+
+
 def test_serve_use_pyramid_input(tmp_path, rng, monkeypatch):
     """usePyramid=1 at scale <= 0.5 serves from the stored SubIFD level
     (full-res plane never decoded), == the level fed directly at the

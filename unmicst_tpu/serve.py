@@ -1415,10 +1415,19 @@ def make_handler(server: ModelServer):
     return Handler
 
 
-def serve(host: str = "0.0.0.0", port: int = 8800, **kw) -> None:
+def serve(host: str = "0.0.0.0", port: int = 8800, preload=None,
+          **kw) -> None:
     import signal
 
     server = ModelServer(**kw)
+    # --preload: pay checkpoint load + device placement BEFORE the port
+    # opens, so the first request of each named model is compile-only
+    # (and a bad model name fails the deploy loudly, not request #1)
+    for name in (preload or []):
+        t0 = time.perf_counter()
+        server.engine(name)
+        print(f"preloaded {name} in {time.perf_counter() - t0:.1f}s",
+              flush=True)
     httpd = ThreadingHTTPServer((host, port), make_handler(server))
     # graceful drain: stop accepting on SIGTERM/SIGINT, finish in-flight
     # requests (ThreadingHTTPServer joins non-daemon handler threads in
@@ -1494,13 +1503,21 @@ def main(argv=None) -> int:
         "roi= pans against slide=ID cut their band on-device (zero "
         "per-pan host->device pixel traffic). 0 disables",
     )
+    p.add_argument(
+        "--preload", default=None,
+        help="comma-separated model names to construct at startup "
+        "(checkpoint load + device placement) before the port opens — "
+        "the first request then pays only the geometry compile, and a "
+        "bad name fails the deploy instead of request #1",
+    )
     args = p.parse_args(argv)
     serve(args.host, args.port, model_root=args.modelRoot,
           precision=args.precision, max_body_bytes=args.maxBodyBytes,
           max_inflight=args.maxInflight,
           calibration_percentile=args.calibrationPercentile,
           slide_cache_bytes=args.slideCacheBytes,
-          device_slide_bytes=args.deviceSlideBytes)
+          device_slide_bytes=args.deviceSlideBytes,
+          preload=(args.preload.split(",") if args.preload else None))
     return 0
 
 
