@@ -1255,6 +1255,63 @@ def test_slide_cache_roundtrip(server_url, tmp_path, rng):
         assert ei.value.code == code, bad_q
 
 
+def test_slide_delete(server_url, tmp_path, rng):
+    """DELETE /slides/<id> frees the cache entry now (viewer closed the
+    slide): later requests 404, re-delete 404s, re-upload revives; a
+    doomed-with-readers entry defers to the last release."""
+    import urllib.error
+
+    img = (rng.rand(120, 90) * 60000).astype(np.uint16)
+    p = str(tmp_path / "del.tif")
+    imwrite(p, img)
+    body = open(p, "rb").read()
+
+    def req(method, path_q, data=None):
+        r = urllib.request.Request(
+            server_url + path_q, data=data, method=method,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(r, timeout=300) as resp:
+            return resp.read()
+
+    sid = json.loads(req("POST", "/slides", body))["slide_id"]
+    assert req("POST", f"/infer?model=nucleiDAPI&channel=0&slide={sid}")
+    assert json.loads(req("DELETE", f"/slides/{sid}"))["dropped"] == sid
+    for method, path_q in [
+        ("POST", f"/infer?model=nucleiDAPI&channel=0&slide={sid}"),
+        ("DELETE", f"/slides/{sid}"),
+        ("DELETE", "/nope"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req(method, path_q)
+        assert ei.value.code == 404, path_q
+    # re-upload revives the id
+    up = json.loads(req("POST", "/slides", body))
+    assert up["slide_id"] == sid and not up["deduplicated"]
+
+    # deferred drop: a pinned reader keeps the path alive; the last
+    # release finalizes (exercised via the ModelServer API — holding an
+    # HTTP request open mid-read is not deterministic from out here)
+    srv = ModelServer(model_root=os.path.join(REFERENCE, "models"))
+    import tempfile as _tf
+
+    spool = _tf.NamedTemporaryFile(delete=False, suffix=".tif")
+    spool.write(body)
+    spool.close()
+    import hashlib
+
+    sid2 = srv.register_slide(
+        spool.name, len(body), hashlib.sha256(body).hexdigest()
+    )["slide_id"]
+    path = srv.acquire_slide(sid2)  # pinned reader
+    assert srv.drop_slide(sid2) and os.path.exists(path)  # deferred
+    with pytest.raises(FileNotFoundError):
+        srv.acquire_slide(sid2)  # new requests 404 immediately
+    srv.release_slide(sid2)  # last reader out -> finalize
+    assert not os.path.exists(path)
+    assert not srv.drop_slide(sid2)
+
+
 def test_slide_cache_lru_eviction(tmp_path, rng):
     """The cache evicts least-recently-used entries past the byte
     bound; evicted ids 404 afterward."""

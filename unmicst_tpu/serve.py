@@ -30,6 +30,9 @@ module keeps the model resident and serves slides over HTTP:
   content-addressed (sha256, dedup), LRU-bounded cache; then body-less
   ``POST /infer?slide=ID&roi=...`` serves every viewer window without
   re-uploading the slide;
+* ``DELETE /slides/<id>`` — a viewer closed the slide: frees the disk
+  copy and the pinned HBM planes now instead of waiting for LRU
+  pressure (defers to the last in-flight reader; 404 on unknown ids);
 * ``GET /models`` -> zoo availability;
 * ``GET /healthz`` -> liveness + device info;
 * ``GET /stats`` -> request/throughput counters (uptime, px processed,
@@ -148,7 +151,8 @@ class ModelServer:
         self.stats = {
             "requests": 0, "ok": 0, "client_error": 0, "server_error": 0,
             "busy_rejected": 0, "px_processed": 0, "infer_s_total": 0.0,
-            "slide_uploads": 0, "slide_hits": 0, "by_model": {},
+            "slide_uploads": 0, "slide_hits": 0, "slide_drops": 0,
+            "by_model": {},
             "prewarmed": 0, "prewarm_errors": 0, "prewarm_pending": 0,
             "prewarm_dropped": 0,
             "device_pins": 0, "device_pans": 0,
@@ -225,6 +229,9 @@ class ModelServer:
                 )
             ent = self._slides.get(sid)
             if ent is not None:
+                # a re-upload revives an entry DELETEd while readers
+                # were still in flight (same bytes, same disk copy)
+                ent.pop("doomed", None)
                 ent["used"] = time.time()
                 os.unlink(spool_path)
                 return {"slide_id": sid, "bytes": ent["bytes"],
@@ -255,10 +262,11 @@ class ModelServer:
 
     def acquire_slide(self, slide_id: str) -> str:
         """Path of a cached slide; pins it against eviction until
-        :meth:`release_slide`.  FileNotFoundError (-> 404) if unknown."""
+        :meth:`release_slide`.  FileNotFoundError (-> 404) if unknown
+        (or explicitly dropped via ``DELETE /slides/<id>``)."""
         with self._slide_lock:
             ent = self._slides.get(slide_id)
-            if ent is None:
+            if ent is None or ent.get("doomed"):
                 raise FileNotFoundError(
                     f"unknown slide id {slide_id!r} (expired or never "
                     "uploaded — POST the body to /slides first)"
@@ -272,6 +280,39 @@ class ModelServer:
             ent = self._slides.get(slide_id)
             if ent is not None and ent["refs"] > 0:
                 ent["refs"] -= 1
+                if ent["refs"] == 0 and ent.get("doomed"):
+                    self._finalize_drop(slide_id)
+
+    def _finalize_drop(self, slide_id: str) -> None:
+        """Remove a cache entry: disk copy unlinked, HBM planes
+        released.  Caller holds ``_slide_lock``."""
+        ent = self._slides.pop(slide_id, None)
+        if ent is None:
+            return
+        self._slide_total -= ent["bytes"]
+        try:
+            os.unlink(ent["path"])
+        except OSError:
+            pass
+        self._drop_device_planes(slide_id)
+
+    def drop_slide(self, slide_id: str) -> bool:
+        """Explicit removal (``DELETE /slides/<id>`` — a viewer closed
+        the slide): frees the disk copy AND the pinned HBM planes now
+        instead of waiting for LRU pressure.  With readers in flight the
+        drop defers to the last :meth:`release_slide` (their pinned
+        paths/arrays stay valid); new requests 404 immediately.  False
+        when the id is unknown."""
+        with self._slide_lock:
+            ent = self._slides.get(slide_id)
+            if ent is None:
+                return False
+            if ent["refs"] > 0:
+                ent["doomed"] = True
+            else:
+                self._finalize_drop(slide_id)
+        self._count(slide_drops=1)
+        return True
 
     # -- device-resident planes (zero-H2D viewer pans) ------------------------
 
@@ -1010,6 +1051,22 @@ def make_handler(server: ModelServer):
                     (r for r in DEFAULT_MODEL_ROOTS if r and os.path.isdir(r)), ""
                 )
                 self._json(200, available_models(root) if root else {})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_DELETE(self):
+            url = urlparse(self.path)
+            if url.path.startswith("/slides/"):
+                server._count(requests=1)
+                sid = url.path[len("/slides/"):]
+                if server.drop_slide(sid):
+                    server._count(ok=1)
+                    self._json(200, {"dropped": sid})
+                else:
+                    server._count(client_error=1)
+                    self._json(404, {
+                        "error": f"unknown slide id {sid!r}"
+                    })
             else:
                 self._json(404, {"error": "not found"})
 
