@@ -326,3 +326,54 @@ def test_sweep_sharded_mesh_matches_single(tmp_path, rng):
         x = imread(str(out_a / name))
         y = imread(str(out_b / name))
         assert np.abs(x.astype(int) - y.astype(int)).max() <= 1
+
+
+@needs_reference
+def test_sweep_use_pyramid(tmp_path, rng, monkeypatch):
+    """use_pyramid at scale <= 0.5 sweeps from stored SubIFD levels
+    (full-res pages never decoded), == the level run directly upscaled
+    to full dims; flat slides fall through to the normal scaled path."""
+    import unmicst_tpu.io.tiff as tiff_mod
+    from unmicst_tpu.io import preprocess as pp
+    from unmicst_tpu.io.tiff import TiffWriter
+
+    model_dir = os.path.join(REFERENCE, "models/nucleiDAPI")
+    img = (rng.rand(256, 320) * 60000).astype(np.uint16)
+    d = tmp_path / "exemplar-001" / "registration"
+    d.mkdir(parents=True)
+    pyr = str(d / "pyr.ome.tif")
+    with TiffWriter(pyr, bigtiff=False) as tw:
+        assert tw.write_pyramid(img, tile=(64, 64), min_size=64) == 2
+    flat = str(d / "flat.ome.tif")
+    imwrite(flat, img, bigtiff=False)
+
+    reads = []
+    orig = tiff_mod.TiffFile.read_page
+
+    def counting(self, i):
+        reads.append(self.path)
+        return orig(self, i)
+
+    monkeypatch.setattr(tiff_mod.TiffFile, "read_page", counting)
+    rep = batch.run_sweep([pyr, flat], model_dir, verbose=False,
+                          scaling_factor=0.5, use_pyramid=True)
+    assert rep.completed == [pyr, flat] and not rep.failed
+    assert pyr not in reads      # stored level only
+    assert flat in reads         # flat slide fell through to full res
+
+    out = str(d.parent / "prob_maps")
+    # oracle: the stored level run directly, upscaled to full dims
+    with tiff_mod.TiffFile(pyr) as tf:
+        lvl0 = tf.read_subifd(0, 0)
+    lv_d = tmp_path / "exemplar-002" / "registration"
+    lv_d.mkdir(parents=True)
+    lv = str(lv_d / "lvl.ome.tif")
+    imwrite(lv, lvl0, bigtiff=False)
+    rep2 = batch.run_sweep([lv], model_dir, verbose=False)
+    lout = str(lv_d.parent / "prob_maps")
+    for name in ["ContoursPM", "NucleiPM"]:
+        a = imread(os.path.join(out, f"pyr_{name}_1.tif"), 0)
+        b = imread(os.path.join(lout, f"lvl_{name}_1.tif"), 0)
+        np.testing.assert_array_equal(a, pp.upscale_pm(b, img.shape))
+    # full-res output contract: maps carry full dims
+    assert a.shape == img.shape

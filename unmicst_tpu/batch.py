@@ -133,6 +133,7 @@ def run_sweep(
     pyramid_output: bool = False,
     in_range=None,
     mesh=None,
+    use_pyramid: bool = False,
 ) -> BatchReport:
     """Run the sweep over this shard's slides; resumable via cursor file.
 
@@ -242,6 +243,60 @@ def run_sweep(
                 chan = resolve_channel_names(
                     slide, "tif", [channel_name]
                 )[0]
+            if use_pyramid and scaling_factor <= 0.5 and mesh is None:
+                # pyramid INPUT read (the CLI's --usePyramid, per slide):
+                # decode the nearest stored SubIFD level instead of the
+                # full-res plane — ~4x fewer decode bytes per octave,
+                # and a mega-slide whose level fits the whole engine
+                # skips streaming entirely.  No usable level (flat file,
+                # scale > 0.5, level still too big) falls through to the
+                # normal paths below; mesh sweeps stream by design.
+                from unmicst_tpu.io.slides import (
+                    pyramid_plan, read_channel_level,
+                )
+
+                plan = pyramid_plan(slide, "tif", chan, scaling_factor)
+                if plan is not None and (
+                        plan[3][0] * plan[3][1] <= stream_above_px):
+                    lvl, div, full_shape, _lshape = plan
+                    lvl_raw = read_channel_level(slide, "tif", chan, lvl)
+                    t0 = time.perf_counter()
+                    contours, nuclei = engine.infer_slide(
+                        lvl_raw, outlier=outlier, classes=(1, 2),
+                        scaling_factor=scaling_factor * div,
+                        in_range=in_range,
+                    )
+                    # full-res output contract, like the CLI's pyr path
+                    contours = pp.upscale_pm(contours, full_shape)
+                    nuclei = pp.upscale_pm(nuclei, full_shape)
+                    preview = pp.upscale_pm(
+                        pp.preview_u8_from_raw(lvl_raw), full_shape
+                    )
+                    dt = time.perf_counter() - t0
+                    cfile = os.path.join(
+                        this_out, f"{stem}_ContoursPM_{chan + 1}.tif"
+                    )
+                    imwrite(cfile, contours)
+                    imwrite(cfile, preview, append=True)
+                    imwrite(
+                        os.path.join(
+                            this_out, f"{stem}_NucleiPM_{chan + 1}.tif"
+                        ),
+                        nuclei,
+                    )
+                    mpx = full_shape[0] * full_shape[1] / 1e6
+                    report.mpx_total += mpx
+                    report.completed.append(slide)
+                    _record_done(
+                        my_done, done_cache, this_out, shard_index, slide
+                    )
+                    if verbose:
+                        print(
+                            f"[sweep {shard_index}/{num_shards}] {slide} "
+                            f"(pyramid 1/{div}): {mpx:.1f} Mpx in "
+                            f"{dt:.2f}s"
+                        )
+                    continue
             with TiffFile(slide) as tf_probe:
                 page = tf_probe.pages[tiff_plane(tf_probe, chan)]
                 slide_px = page.height * page.width
@@ -390,6 +445,10 @@ def batch_main(argv=None) -> int:
     p.add_argument("--compressOutput", nargs="?", const="deflate",
                    default=None, choices=["deflate", "zstd"],
                    help="compress output TIFF pages (bare flag = deflate)")
+    p.add_argument("--usePyramid", action="store_true",
+                   help="with --scalingFactor <= 0.5: decode the nearest "
+                   "stored SubIFD level per slide instead of full res "
+                   "(falls through per slide when no usable level)")
     p.add_argument("--pyramidOutput", action="store_true",
                    help="write tiled SubIFD-pyramid output pages")
     p.add_argument("--intensityRange", metavar="LO,HI",
@@ -450,6 +509,7 @@ def batch_main(argv=None) -> int:
         pyramid_output=args.pyramidOutput,
         in_range=in_range,
         mesh=mesh,
+        use_pyramid=args.usePyramid,
     )
     print(
         f"[sweep] done: {len(report.completed)} completed, "
