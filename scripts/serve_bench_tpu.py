@@ -100,7 +100,7 @@ def one_request(url: str, body: bytes, timeout: float = 3600.0) -> dict:
 
 
 def run_cached_pans(base: str, label: str, side: int, n: int,
-                    roi_hw: int) -> dict:
+                    roi_hw: int, extra: str = "") -> dict:
     """The interactive-viewer protocol: ONE /slides upload, then n
     body-less roi= pans at scattered offsets.
 
@@ -123,7 +123,8 @@ def run_cached_pans(base: str, label: str, side: int, n: int,
 
     def pan_url(r0, c0):
         return (f"{base}/infer?model={MODEL}&slide={sid}"
-                f"&roi={r0},{c0},{roi_hw},{roi_hw}&range=0,60000")
+                f"&roi={r0},{c0},{roi_hw},{roi_hw}&range=0,60000"
+                f"{extra}")
 
     warm_int = one_request(pan_url(0, 0), None)
     e = side - roi_hw  # edge pans: bottom, right, corner band shapes
@@ -226,9 +227,19 @@ def main() -> None:
             report["workloads"]["roi_cached_pans"] = run_cached_pans(
                 base, "roi_cached_pans", 640, 3, 64
             )
+            report["workloads"]["roi_cached_pans_1cls"] = run_cached_pans(
+                base, "roi_cached_pans_1cls", 640, 3, 64,
+                extra="&classes=2"
+            )
         else:
             report["workloads"]["roi_cached_pans"] = run_cached_pans(
                 base, "roi_cached_pans", 8192, 12, 512
+            )
+            # single-PM viewer (the MCMICRO common case): 1/3 the D2H
+            # and response bytes; upload dedups to the same slide id
+            report["workloads"]["roi_cached_pans_1cls"] = run_cached_pans(
+                base, "roi_cached_pans_1cls", 8192, 12, 512,
+                extra="&classes=2"
             )
         report["server_stats"] = srv.snapshot()
     finally:
