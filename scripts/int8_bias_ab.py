@@ -32,7 +32,6 @@ import numpy as np
 from unmicst_tpu.core.checkpoint import load_params_for_bundle
 from unmicst_tpu.core.hp import load_model_dir
 from unmicst_tpu.infer import InferenceEngine
-from unmicst_tpu.io import preprocess as pp
 from unmicst_tpu.io.tiff import imread
 
 bundle = load_model_dir("/root/reference/models/nucleiDAPI")
