@@ -1605,6 +1605,27 @@ def test_device_cached_pans_duo(tmp_path, rng):
     assert st["device_pins"] == 1 and st["device_pans"] == 2
 
 
+def test_device_cached_pans_czi(tmp_path, rng):
+    """The viewer protocol is container-agnostic: a CZI slide pins its
+    HBM plane and pans exactly like TIFF (cached == host path)."""
+    from tests.test_slides_czi_nd2 import write_czi
+
+    img = (rng.rand(200, 180) * 60000).astype(np.uint16)
+    p = str(tmp_path / "pan.czi")
+    write_czi(p, [img])
+    srv = ModelServer(model_root=os.path.join(REFERENCE, "models"))
+    roi = (30, 40, 64, 64)
+    hosted, _ = srv.infer_tiff_path(p, "nucleiDAPI", 0, True, -1,
+                                    roi=roi)
+    cached, _ = srv.infer_tiff_path(p, "nucleiDAPI", 0, True, -1,
+                                    roi=roi, slide_id="feedface")
+    cached2, _ = srv.infer_tiff_path(p, "nucleiDAPI", 0, True, -1,
+                                     roi=roi, slide_id="feedface")
+    assert cached == hosted == cached2
+    st = srv.snapshot()
+    assert st["device_pins"] == 1 and st["device_pans"] == 2
+
+
 def test_device_cache_budget_and_eviction(tmp_path, rng):
     """Over-budget slides fall back to the host path (still correct);
     within-budget planes LRU-evict so HBM use stays bounded."""
