@@ -892,7 +892,22 @@ def test_classes_subset_streamed_stack(tmp_path, rng):
 def test_serve_preload(monkeypatch):
     """serve(preload=[...]) constructs the named engines BEFORE the
     listening socket exists; a bad name fails the deploy loudly."""
+    import signal
+
     import unmicst_tpu.serve as serve_mod
+
+    # serve() installs SIGINT/SIGTERM drain handlers in this (main)
+    # thread — restore them so the rest of the suite stays Ctrl-C-able
+    old = {s: signal.getsignal(s)
+           for s in (signal.SIGINT, signal.SIGTERM)}
+    try:
+        _run_preload_checks(serve_mod, monkeypatch)
+    finally:
+        for s, h in old.items():
+            signal.signal(s, h)
+
+
+def _run_preload_checks(serve_mod, monkeypatch):
 
     captured = {}
     real_make = serve_mod.make_handler
@@ -1305,6 +1320,8 @@ def test_slide_delete(server_url, tmp_path, rng):
     )["slide_id"]
     path = srv.acquire_slide(sid2)  # pinned reader
     assert srv.drop_slide(sid2) and os.path.exists(path)  # deferred
+    assert not srv.drop_slide(sid2)  # DELETE retry on doomed: 404, once
+    assert srv.snapshot()["slide_drops"] == 1
     with pytest.raises(FileNotFoundError):
         srv.acquire_slide(sid2)  # new requests 404 immediately
     srv.release_slide(sid2)  # last reader out -> finalize

@@ -252,12 +252,14 @@ def run_sweep(
                 # scale > 0.5, level still too big) falls through to the
                 # normal paths below; mesh sweeps stream by design.
                 from unmicst_tpu.io.slides import (
-                    pyramid_plan, read_channel_level,
+                    pyramid_plan_multi, read_channel_level,
                 )
 
-                plan = pyramid_plan(slide, "tif", chan, scaling_factor)
-                if plan is not None and (
-                        plan[3][0] * plan[3][1] <= stream_above_px):
+                plan = pyramid_plan_multi(
+                    slide, "tif", [chan], scaling_factor,
+                    max_level_px=stream_above_px,
+                )
+                if plan is not None:
                     lvl, div, full_shape, _lshape = plan
                     lvl_raw = read_channel_level(slide, "tif", chan, lvl)
                     t0 = time.perf_counter()
@@ -483,6 +485,15 @@ def batch_main(argv=None) -> int:
 
     mesh = None
     if args.engine == "sharded":
+        if args.usePyramid:
+            # mirror the single-image CLI's posture (cli.py): pyramid
+            # input decodes a stored level whole — it does not combine
+            # with the column-sharded streaming engine.  Silent
+            # fall-through would quietly run 4-21x slower decodes.
+            raise SystemExit(
+                "--usePyramid decodes stored levels whole (the whole "
+                "engine); it does not combine with --engine sharded"
+            )
         from unmicst_tpu.runtime.mesh import make_mesh
 
         mesh = make_mesh(data=args.meshShape or None, model=1)

@@ -643,17 +643,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     # ---- pyramid input plan (--usePyramid) --------------------------------
     pyr = None  # (level, divisor, full_shape, level_shape)
     if args.usePyramid:
-        from unmicst_tpu.io.slides import pyramid_plan
+        from unmicst_tpu.io.slides import pyramid_plan_multi
 
         pyr_chans = list(dict.fromkeys(
             _duo_chans(channels0, dapi_channel)
             if tool == "unmicst-duo" else [dapi_channel]
         ))
-        plans = [pyramid_plan(args.imagePath, file_type, c,
-                              args.scalingFactor) for c in pyr_chans]
-        if all(p is not None for p in plans) and len(
-                {(p[0], p[1]) for p in plans}) == 1:
-            pyr = plans[0]
+        pyr = pyramid_plan_multi(args.imagePath, file_type, pyr_chans,
+                                 args.scalingFactor)
+        if pyr is not None:
             if args.engine in ("streaming", "sharded"):
                 raise SystemExit(
                     f"--usePyramid decodes a stored level whole (the "

@@ -149,6 +149,30 @@ def pyramid_plan(image_path: str, file_type: str, channel: int,
         return None
 
 
+def pyramid_plan_multi(image_path: str, file_type: str, channels,
+                       scaling_factor: float, max_level_px=None):
+    """One consistent ``(level, divisor, full_shape, level_shape)`` plan
+    covering EVERY channel's page, or ``None``.
+
+    The per-surface pyramid input paths (CLI ``--usePyramid``, batch
+    sweeps, serve ``usePyramid=``) share this so the consistency rules
+    cannot drift: every channel must carry a usable stored level at the
+    SAME (level, divisor).  When ``max_level_px`` is given, plans whose
+    level itself still exceeds it are rejected — such a slide would
+    have to stream, which defeats a whole-decoded level (the callers
+    pass their streaming bound)."""
+    plans = [pyramid_plan(image_path, file_type, c, scaling_factor)
+             for c in channels]
+    if not plans or any(p is None for p in plans):
+        return None
+    if len({(p[0], p[1]) for p in plans}) != 1:
+        return None
+    p = plans[0]
+    if max_level_px is not None and p[3][0] * p[3][1] > max_level_px:
+        return None
+    return p
+
+
 def read_channel_level(image_path: str, file_type: str, channel: int,
                        level: int) -> np.ndarray:
     """Decode one stored pyramid level of a channel's page (see

@@ -305,7 +305,10 @@ class ModelServer:
         when the id is unknown."""
         with self._slide_lock:
             ent = self._slides.get(slide_id)
-            if ent is None:
+            if ent is None or ent.get("doomed"):
+                # a doomed entry is logically gone: repeated DELETEs 404
+                # like any other post-drop request, and slide_drops
+                # counts removals, not retries
                 return False
             if ent["refs"] > 0:
                 ent["doomed"] = True
@@ -692,16 +695,15 @@ class ModelServer:
                 # full-resolution paths, the CLI's posture.
                 from unmicst_tpu.io import preprocess as _pp
                 from unmicst_tpu.io.slides import (
-                    pyramid_plan, read_channel_level,
+                    pyramid_plan_multi, read_channel_level,
                 )
 
-                plans = [pyramid_plan(path, fmt, c, scale)
-                         for c in channels]
-                if (all(p is not None for p in plans)
-                        and len({(p[0], p[1]) for p in plans}) == 1
-                        and plans[0][3][0] * plans[0][3][1]
-                        <= self.stream_above_px):
-                    lvl, div, _full, _lshape = plans[0]
+                plan = pyramid_plan_multi(
+                    path, fmt, channels, scale,
+                    max_level_px=self.stream_above_px,
+                )
+                if plan is not None:
+                    lvl, div, _full, _lshape = plan
                     raws = [read_channel_level(path, fmt, c, lvl)
                             for c in channels]
                     eff = scale * div
